@@ -1,0 +1,87 @@
+"""Sources and sinks.
+
+The reference ingests from a REST API and writes to a graph store over
+Bolt (reference: src/manager.py:26-52, src/fetcher.py:16-115).  Here the
+sources are parquet datasets and the sinks are parquet directories; the
+reference's MERGE-by-unique-id write semantics (src/queries/setup.py:1-34)
+become :func:`write_insert_if_absent`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as parquet TIMESTAMP(NANOS) — Spark can only read them as
+# long nanoseconds (spark.sql.legacy.parquet.nanosAsLong); we convert to
+# microsecond TIMESTAMP_NTZ, truncating exactly like DuckDB's parquet
+# reader does, so oracle comparisons are bit-identical.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.  Column pruning / predicate pushdown happen
+    downstream via Catalyst — do NOT cache or collect here."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or FIXTURE_TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for spark.sql use."""
+    for n, df in read_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def write_insert_if_absent(
+    df: DataFrame, path: str, key_cols: list[str], spark: SparkSession
+) -> None:
+    """Insert-only upsert: append rows whose key is not already present.
+
+    Re-expresses the reference's idempotent ``MERGE (n {id}) ON CREATE SET``
+    writes (e.g. reference src/queries/game.py:86-94) without Delta: an
+    anti-join against existing keys, then append.  The anti-join is a
+    broadcast when the existing key set is small; at scale prefer a real
+    lakehouse MERGE (Delta/Iceberg) — this helper keeps identical semantics.
+    """
+    batch = df.dropDuplicates(key_cols)
+    if _path_has_data(path):
+        existing = spark.read.parquet(path).select(*key_cols)
+        batch = batch.join(existing, on=key_cols, how="left_anti")
+    batch.write.mode("append").parquet(path)
+
+
+def _path_has_data(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    )

@@ -1,0 +1,845 @@
+"""Driver-checked query surface.
+
+One entry per operator family from SURVEY.md §2, expressed on the fixture
+tables (TESTDATA.md).  Every query here has a matching DuckDB oracle in
+``ORACLES`` — the driver runs both at sf=0.01 and compares row count,
+schema, and an order-insensitive value hash.
+
+Conventions (correctness-gate critical):
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- money/double aggregates use EXACT integer arithmetic: per-row scale →
+  round → long (exact, order-independent), integer SUM, divide at the
+  very end.  Both engines then hold bit-identical doubles — no
+  aggregation-order or ROUND-implementation hazards at any scale factor;
+- timestamp arithmetic is integer microseconds (unix_micros / epoch_us);
+- every ranking has a unique-id tie-break so top-k is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.io import read_table
+from mbai_gdb_spark.ops.chain import chain_next, with_priority
+from mbai_gdb_spark.ops.intervals import asof_join, interval_join, sessionize
+from mbai_gdb_spark.ops.windows import running_sum, top1_per_key
+from mbai_gdb_spark.session import tune
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark, sf_dir, name):
+    return read_table(spark, sf_dir, name)
+
+
+# --- exact-arithmetic helpers (see module docstring) -----------------------
+
+
+def epoch_us(col: str | Column) -> Column:
+    """Integer microseconds since epoch; NTZ treated as UTC (session tz)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def scaled_long(col: Column, scale: int) -> Column:
+    """Per-row exact fixed-point: round(col*scale) as long.  The true value
+    is an integer at this scale, float error is << 0.5, so both engines
+    round to the same integer — exact and order-independent from here on."""
+    return F.round(col * F.lit(scale), 0).cast("long")
+
+
+def money_sum(col: Column, scale: int = 100) -> Column:
+    """SUM as exact integer at ``scale``, divided back to units at the end.
+    Bit-identical across engines and aggregation orders."""
+    return F.sum(scaled_long(col, scale)) / F.lit(scale)
+
+
+def money_avg(col: Column, scale: int = 100, out_scale: int = 100) -> Column:
+    """AVG via exact integer sum; result rounded to ``out_scale`` fixed
+    point with a single deterministic double division."""
+    total = F.sum(scaled_long(col, scale)).cast("double")
+    n = F.count(col)
+    return F.round(total * F.lit(out_scale) / (n * F.lit(scale)), 0) / F.lit(out_scale)
+
+
+# SQL twins of the helpers (DuckDB):
+#   scaled:  CAST(ROUND(expr * S) AS BIGINT)
+#   sum:     CAST(SUM(scaled) AS BIGINT) / S          (SUM(BIGINT) is HUGEINT)
+#   avg:     ROUND(CAST(SUM(scaled) AS DOUBLE) * OS / (COUNT(expr) * S)) / OS
+
+
+# ---------------------------------------------------------------------------
+# Aggregation family (SURVEY §2.4: A1/A2/A4/A6) — TPC-H Q1-style sweep.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100
+               AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100
+               AS sum_base_price,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000
+               AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) * 10000
+                 / (COUNT(l_quantity) * 100)) / 10000 AS avg_qty,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) * 10000
+                 / (COUNT(l_extendedprice) * 100)) / 10000 AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    """Grouped sum/avg/count sweep (reference A1/A2: per-group min/max at
+    src/queries/game.py:35-40, conditional sums at 788-795)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(F.col("l_quantity")).alias("sum_qty"),
+        money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        money_sum(disc_price, 10000).alias("sum_disc_price"),
+        money_avg(F.col("l_quantity"), 100, 10000).alias("avg_qty"),
+        money_avg(F.col("l_extendedprice"), 100, 10000).alias("avg_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "a4_conditional_event_sums",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100
+               AS purchase_value,
+           CAST(SUM(CASE WHEN event_type = 'view'
+                         THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100
+               AS view_value,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           COUNT(*)                                         AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def a4_conditional_event_sums(spark, sf_dir):
+    """Conditional aggregation — the reference's plus-minus for/against
+    CASE sums (src/queries/game.py:788-795)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = scaled_long(F.col("value"), 100)
+    return ev.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(F.lit(0)))
+            / F.lit(100)
+        ).alias("purchase_value"),
+        (
+            F.sum(F.when(F.col("event_type") == "view", cents).otherwise(F.lit(0)))
+            / F.lit(100)
+        ).alias("view_value"),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias("n_errors"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "a5_nation_customer_rollup",
+    """
+    WITH per_cust AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cust_total_cents
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_nationkey
+    )
+    SELECT n.n_name,
+           CAST(SUM(cust_total_cents) AS BIGINT) / 100 AS nation_total,
+           ROUND(CAST(SUM(cust_total_cents) AS DOUBLE) / COUNT(*)) / 100
+               AS avg_cust_total,
+           COUNT(*) AS n_customers
+    FROM per_cust pc JOIN nation n ON n.n_nationkey = pc.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def a5_nation_customer_rollup(spark, sf_dir):
+    """Two-grain rollup (reference A5: player-stint plus-minus summed from
+    lineup-stints, src/queries/game.py:797-808).  Exact cents all the way
+    up; partial aggregation is Catalyst-automatic; nation dim broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("cust_total_cents"))
+    )
+    return (
+        per_cust.join(F.broadcast(n), per_cust.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum("cust_total_cents") / F.lit(100)).alias("nation_total"),
+            (
+                F.round(F.sum("cust_total_cents").cast("double") / F.count(F.lit(1)), 0)
+                / F.lit(100)
+            ).alias("avg_cust_total"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "a7_distinct_segments",
+    """
+    SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+    """,
+)
+def a7_distinct_segments(spark, sf_dir):
+    """DISTINCT (reference A7: WITH DISTINCT, src/queries/game.py:42,133)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Join family (SURVEY §2.3: J1/J2 equi, J5 multi-dim, J6 left, J8 anti,
+# J9 semi, J11 broadcast).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_region_revenue",
+    """
+    SELECT r.r_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000
+               AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j1_region_revenue(spark, sf_dir):
+    """Chained equi-joins fact→dims (reference J1/J2 MATCH-pattern joins,
+    src/queries/game.py:1-8, season.py:12-16).  Dims are broadcast (J11)
+    so the only shuffle is the final groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            money_sum(disc_price, 10000).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "j5_local_supplier_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000
+               AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j5_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5-style same-nation constraint — the reference's
+    opponent-side / cross-entity theta condition (J5,
+    src/queries/game.py:346-357) resolved into equi keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(money_sum(disc_price, 10000).alias("revenue"))
+    )
+
+
+@query(
+    "j6_customer_order_counts",
+    """
+    SELECT c.c_custkey,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT) / 100
+               AS total_spent
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def j6_customer_order_counts(spark, sf_dir):
+    """LEFT/optional join with null-safe aggregation (reference J6:
+    OPTIONAL MATCH fallback, src/queries/game.py:237-259)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.coalesce(F.sum(scaled_long(F.col("o_totalprice"), 100)), F.lit(0))
+                / F.lit(100)
+            ).alias("total_spent"),
+        )
+    )
+
+
+@query(
+    "j8_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def j8_customers_without_orders(spark, sf_dir):
+    """Anti-join (reference J8: NOT EXISTS claim check,
+    src/queries/game.py:510)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "j9_customers_with_urgent_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def j9_customers_with_urgent_orders(spark, sf_dir):
+    """Semi-join (reference J9: EXISTS sub-pattern,
+    src/queries/game.py:786)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "j3_lineitem_ship_window",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_shipped_in_window,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100
+               AS windowed_price
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate >= o.o_orderdate
+       AND l.l_shipdate <  o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def j3_lineitem_ship_window(spark, sf_dir):
+    """Point-in-interval containment join (reference J3 — event time within
+    stint interval, src/queries/game.py:233-235 et al.): equi key
+    (orderkey) + range residual on the ship date."""
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "window_end", F.timestamp_add("DAY", F.lit(60), F.col("o_orderdate"))
+    )
+    joined = interval_join(
+        li,
+        o,
+        equi_keys=["o_orderkey"],
+        event_time="l_shipdate",
+        start="o_orderdate",
+        end="window_end",
+        how="inner",
+        closed="left",
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_shipped_in_window"),
+        money_sum(F.col("l_extendedprice")).alias("windowed_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / sequence family (SURVEY §2.5: W1/W5/W7/W8/W10).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "w1_next_event_chain",
+    """
+    SELECT event_id, next_event_id, micros_to_next FROM (
+        SELECT event_id,
+               LEAD(event_id) OVER w AS next_event_id,
+               LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS micros_to_next
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) WHERE next_event_id IS NOT NULL
+    """,
+)
+def w1_next_event_chain(spark, sf_dir):
+    """NEXT-chain via lead() (reference W1/W2/W9: per-team game chain
+    src/queries/season.py:18-27; period chain game.py:42-50; score chain
+    732-740).  One window shuffle replaces collect+UNWIND pairing."""
+    ev = _t(spark, sf_dir, "events")
+    chained = chain_next(
+        ev.withColumn("ts_us", epoch_us("ts")),
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        next_cols={"event_id": "next_event_id", "ts_us": "next_ts_us"},
+    )
+    return chained.select(
+        "event_id",
+        "next_event_id",
+        (F.col("next_ts_us") - F.col("ts_us")).alias("micros_to_next"),
+    )
+
+
+@query(
+    "w5_sessionize_events",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100 AS session_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def w5_sessionize_events(spark, sf_dir):
+    """Gaps-and-islands sessionization (reference W5: consecutive-stint
+    run segmentation, src/queries/game.py:134-182), 30-min gap."""
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, keys=["user_id"], ts="ts", gap_seconds=1800.0, tie_break=["event_id"])
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        money_sum(F.col("value")).alias("session_value"),
+    )
+
+
+@query(
+    "w8_running_total_reset",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100 AS running_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) / 100 AS daily_running_value
+    FROM events
+    """,
+)
+def w8_running_total_reset(spark, sf_dir):
+    """Running total + finer-grain reset subtotal (reference W8: the
+    80-line reduce() score accumulator with per-period reset,
+    src/queries/game.py:628-707 → two window sums)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("event_date", F.col("ts").cast("date"))
+        .withColumn("value_cents", scaled_long(F.col("value"), 100))
+    )
+    out = running_sum(
+        ev, ["user_id"], [F.col("ts"), F.col("event_id")], "value_cents", alias="run_cents"
+    )
+    out = running_sum(
+        out,
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        "value_cents",
+        alias="daily_cents",
+        reset_by=["event_date"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        (F.col("run_cents") / F.lit(100)).alias("running_value"),
+        (F.col("daily_cents") / F.lit(100)).alias("daily_running_value"),
+    )
+
+
+@query(
+    "w7_priority_ordered_chain",
+    """
+    SELECT event_id, next_event_id FROM (
+        SELECT event_id, LEAD(event_id) OVER (
+            PARTITION BY user_id ORDER BY ts,
+            CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2 WHEN 'click' THEN 3
+                            WHEN 'purchase' THEN 4 WHEN 'error' THEN 5 ELSE 9 END,
+            event_id) AS next_event_id
+        FROM events
+    ) WHERE next_event_id IS NOT NULL
+    """,
+)
+def w7_priority_ordered_chain(spark, sf_dir):
+    """Global ordering with CASE-priority tie-break (reference W7: action
+    NEXT chain ordered by time, clock, label-priority,
+    src/queries/game.py:744-769)."""
+    ev = _t(spark, sf_dir, "events")
+    prio = {"signup": 1, "view": 2, "click": 3, "purchase": 4, "error": 5}
+    ev = with_priority(ev, "event_type", prio, default=9)
+    chained = chain_next(
+        ev,
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("priority"), F.col("event_id")],
+        next_cols={"event_id": "next_event_id"},
+    )
+    return chained.select("event_id", "next_event_id")
+
+
+@query(
+    "w10_latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def w10_latest_event_per_user(spark, sf_dir):
+    """Top-1 per key (reference W10: ORDER BY DESC + head(collect()),
+    src/queries/game.py:604-616)."""
+    ev = _t(spark, sf_dir, "events")
+    latest = top1_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+@query(
+    "o3_top10_customers_by_revenue",
+    """
+    SELECT c_custkey, revenue FROM (
+        SELECT c.c_custkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000
+                   AS revenue
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c.c_custkey
+    ) ORDER BY revenue DESC, c_custkey LIMIT 10
+    """,
+)
+def o3_top10_customers_by_revenue(spark, sf_dir):
+    """Top-k with deterministic tie-break (reference O3:
+    ORDER BY DESC LIMIT 1, src/queries/game.py:512).  Spark plans a
+    TakeOrderedAndProject — no full sort.  Revenue is exact fixed-point so
+    the ranking itself is engine-independent."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey")
+        .agg(money_sum(disc_price, 10000).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey")).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (J7) and interval join on derived sessions (J3 proper).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j7_asof_click_to_view",
+    """
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+         views  AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT c.event_id AS click_event_id,
+           v.view_event_id,
+           epoch_us(c.ts) - epoch_us(v.view_ts) AS micros_since_view
+    FROM clicks c
+    JOIN LATERAL (
+        SELECT v.event_id AS view_event_id, v.ts AS view_ts
+        FROM views v
+        WHERE v.user_id = c.user_id AND v.ts <= c.ts
+          AND epoch_us(c.ts) - epoch_us(v.ts) <= 600 * 1000000
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+    ) v ON TRUE
+    """,
+)
+def j7_asof_click_to_view(spark, sf_dir):
+    """As-of join with tolerance (reference J7: rebound → latest missed
+    shot within 10 s, src/queries/game.py:506-513).  Union-timeline
+    window implementation — one shuffle, no range-join blowup."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    matched = asof_join(
+        clicks,
+        views,
+        by=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["view_event_id"],
+        tolerance_seconds=600.0,
+        direction="backward",
+        how="inner",
+    )
+    return matched.select(
+        F.col("event_id").alias("click_event_id"),
+        "view_event_id",
+        (epoch_us("ts") - epoch_us("asof_ts")).alias("micros_since_view"),
+    )
+
+
+@query(
+    "j3_purchases_in_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess_rows AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM sess_rows GROUP BY user_id, session_id
+    ), purchases AS (
+        SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id, s.session_id, p.event_id AS purchase_event_id,
+           p.value AS purchase_value
+    FROM purchases p
+    JOIN sessions s ON s.user_id = p.user_id
+        AND p.ts >= s.session_start AND p.ts <= s.session_end
+    """,
+)
+def j3_purchases_in_sessions(spark, sf_dir):
+    """Point-in-interval join against *derived* intervals (reference J3:
+    action-in-stint containment).  Equi key user_id ⇒ hash join with a
+    residual range predicate."""
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, keys=["user_id"], ts="ts", gap_seconds=1800.0, tie_break=["event_id"])
+    sessions = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.max("ts").alias("session_end")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = interval_join(
+        purchases,
+        sessions,
+        equi_keys=["user_id"],
+        event_time="ts",
+        start="session_start",
+        end="session_end",
+        how="inner",
+        closed="both",
+    )
+    return joined.select(
+        "user_id",
+        "session_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set ops (U1), scalar function families (§2.8), misc.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "u1_union_trading_nations",
+    """
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey IN (SELECT c_nationkey FROM customer)
+    UNION
+    SELECT n_nationkey, n_name FROM nation
+    WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+    """,
+)
+def u1_union_trading_nations(spark, sf_dir):
+    """UNION-dedup (reference U1: union of stint entity pairs,
+    src/queries/game.py:185-195)."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey"))
+    cust_nations = n.join(c, "n_nationkey", "left_semi").select("n_nationkey", "n_name")
+    supp_nations = n.join(s, "n_nationkey", "left_semi").select("n_nationkey", "n_name")
+    return cust_nations.unionByName(supp_nations).dropDuplicates()
+
+
+@query(
+    "f_string_part_features",
+    """
+    SELECT p_partkey,
+           CAST(string_split(p_brand, '#')[2] AS BIGINT)   AS brand_num,
+           CASE WHEN contains(p_type, 'BRUSHED') THEN 1 ELSE 0 END AS is_brushed,
+           upper(p_name)                                   AS name_upper,
+           length(p_name)                                  AS name_len,
+           concat(p_brand, '_', CAST(p_size AS VARCHAR))   AS brand_size_key,
+           substr(p_name, 1, 5)                            AS name_prefix
+    FROM part
+    """,
+)
+def f_string_part_features(spark, sf_dir):
+    """String function family (reference §2.8: toString/concat/split/
+    CONTAINS id recipes, src/queries/game.py:17,69-70,383-397)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split(F.col("p_brand"), "#").getItem(1).cast("long").alias("brand_num"),
+        F.when(F.col("p_type").contains("BRUSHED"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_brushed"
+        ),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("_"), F.col("p_size").cast("string")).alias(
+            "brand_size_key"
+        ),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+    )
+
+
+@query(
+    "f_datetime_orders",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                         AS order_year,
+           month(o_orderdate)                        AS order_month,
+           quarter(o_orderdate)                      AS order_quarter,
+           dayofweek(o_orderdate) + 1                AS order_dow,
+           CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           epoch_us(o_orderdate)                     AS order_epoch_us
+    FROM orders
+    """,
+)
+def f_datetime_orders(spark, sf_dir):
+    """Datetime function family (reference §2.8: datetime()/duration
+    arithmetic, src/queries/game.py:18-25,370-371).
+
+    DuckDB's dayofweek is 0-6 (Sun=0), Spark's is 1-7 (Sun=1) — the
+    oracle adds 1 to align."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.dayofweek("o_orderdate").alias("order_dow"),
+        F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate")).cast("date").alias("due_date"),
+        epoch_us("o_orderdate").alias("order_epoch_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship: composite pipeline exercising the signature operators at once
+# (sessionize → conditional agg → window rank).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "flagship_session_attribution",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess_rows AS (
+        SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ), per_session AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                             THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) / 100
+                   AS purchase_revenue
+        FROM sess_rows GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_id, session_start, n_events, n_purchases, purchase_revenue,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY purchase_revenue DESC, session_id) AS INT)
+               AS revenue_rank
+    FROM per_session
+    """,
+)
+def flagship_session_attribution(spark, sf_dir):
+    """Flagship composite: sessionize the event stream (W5), aggregate
+    conditional purchase revenue per session (A4), rank sessions per user
+    (W10).  One pipeline touching the reference's signature temporal
+    operators (src/queries/game.py:134-182, 628-707, 788-795)."""
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, keys=["user_id"], ts="ts", gap_seconds=1800.0, tie_break=["event_id"])
+    cents = scaled_long(F.col("value"), 100)
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("event_type") == "purchase", F.lit(1))).alias("n_purchases"),
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(F.lit(0)))
+            / F.lit(100)
+        ).alias("purchase_revenue"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("purchase_revenue").desc(), F.col("session_id")
+    )
+    return per_session.withColumn("revenue_rank", F.row_number().over(w))

@@ -1,0 +1,69 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The engine targets large multi-executor clusters; locally we run
+``local[N]``.  Everything here is expressed as ordinary Spark conf so the
+same code works unchanged on a 1000-executor cluster — only
+``spark.master`` and the shuffle-partition count change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs we also (re-)apply to sessions handed to us by a
+# driver, because correctness depends on them (timezone) or plan quality
+# does (AQE).  All are documented Spark runtime confs.
+_RUNTIME_CONF = {
+    # Timestamps in the fixture parquet are timezone-naive; interpret them
+    # as UTC wall-time everywhere so date/epoch functions agree with the
+    # DuckDB oracle regardless of machine timezone.
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime re-plan, partition coalescing, skew-join
+    # splitting.  Essential at 100 TB where static stats are wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas-UDF exchange (the slow path we keep narrow).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (e.g. the driver's)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment — keep going; defaults are
+            # only *tuning* except timeZone, which is always settable.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "mbai-gdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or get) a tuned SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count — correct for
+    local testing; on a real cluster set it near 2-3× total cores (or rely
+    on AQE coalescing from a higher initial number).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    nshuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(nshuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
