@@ -1,0 +1,130 @@
+"""Unit tests for the core operator library on tiny hand-built frames.
+
+Mirrors the test strategy SURVEY.md §5 prescribes (the reference ships no
+tests): each operator exercised on inputs small enough to verify by hand,
+with the tricky edges — empty partitions, exact-boundary timestamps,
+ties, tolerance cutoffs — covered explicitly.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.chain import chain_next, with_priority
+from mbai_gdb_spark.ops.intervals import asof_join, interval_join, sessionize
+from mbai_gdb_spark.ops.windows import running_sum, top1_per_key, topk_per_key
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_chain_next_basic(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("a", 3, 30), ("b", 1, 100)],
+        "k string, seq int, v int",
+    )
+    out = chain_next(df, ["k"], ["seq"], {"v": "next_v"}).orderBy("k", "seq")
+    rows = [(r.k, r.seq, r.next_v) for r in out.collect()]
+    assert rows == [("a", 1, 20), ("a", 2, 30)]  # last-of-partition dropped
+
+
+def test_chain_next_keep_last(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "k string, seq int")
+    out = chain_next(df, ["k"], ["seq"], {"seq": "next_seq"}, keep_last=True)
+    assert out.count() == 2
+
+
+def test_with_priority(spark):
+    df = spark.createDataFrame([("x",), ("y",), ("z",)], "t string")
+    out = with_priority(df, "t", {"x": 1, "y": 2}, default=9)
+    got = {r.t: r.priority for r in out.collect()}
+    assert got == {"x": 1, "y": 2, "z": 9}
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: exactly 60s (NOT a new session, strict >), 61s (new session)
+    df = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:00:00")),
+            (1, ts("2024-01-01T00:01:00")),  # +60s  -> same session
+            (1, ts("2024-01-01T00:02:01")),  # +61s  -> new session
+            (2, ts("2024-01-01T00:00:00")),  # other key -> its own session 1
+        ],
+        "user_id long, t timestamp",
+    )
+    out = sessionize(df, ["user_id"], "t", gap_seconds=60.0)
+    got = [(r.user_id, r.session_id) for r in out.orderBy("user_id", "t").collect()]
+    assert got == [(1, 1), (1, 1), (1, 2), (2, 1)]
+
+
+def test_interval_join_closed_semantics(spark):
+    events = spark.createDataFrame(
+        [(1, 0.0), (1, 5.0), (1, 10.0)], "k long, t double"
+    )
+    intervals = spark.createDataFrame([(1, 0.0, 10.0)], "k long, lo double, hi double")
+    half_open = interval_join(events, intervals, ["k"], "t", "lo", "hi", closed="left")
+    closed = interval_join(events, intervals, ["k"], "t", "lo", "hi", closed="both")
+    assert half_open.count() == 2  # 0, 5
+    assert closed.count() == 3  # 0, 5, 10
+
+
+def test_asof_backward_with_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:01:00"), "L1"), (1, ts("2024-01-01T00:10:00"), "L2")],
+        "k long, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T00:00:30"), "R1"),
+            (1, ts("2024-01-01T00:00:50"), "R2"),
+            (1, ts("2024-01-01T00:05:00"), "R3"),
+        ],
+        "k long, t timestamp, rtag string",
+    )
+    out = asof_join(
+        left,
+        right,
+        by=["k"],
+        left_ts="t",
+        right_ts="t",
+        right_cols=["rtag"],
+        tolerance_seconds=60.0,
+        direction="backward",
+    )
+    got = {r.tag: r.rtag for r in out.collect()}
+    # L1 at 60s: nearest preceding within 60s is R2 (50s).  L2 at 600s:
+    # nearest preceding is R3 (300s) but 300s gap > 60s tolerance -> dropped.
+    assert got == {"L1": "R2"}
+
+
+def test_asof_equal_timestamps_inclusive(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T00:00:00"))], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00:00"), "same")], "k long, t timestamp, rtag string"
+    )
+    out = asof_join(left, right, ["k"], "t", "t", ["rtag"])
+    assert [r.rtag for r in out.collect()] == ["same"]
+
+
+def test_running_sum_with_reset(spark):
+    df = spark.createDataFrame(
+        [("u", "d1", 1, 10), ("u", "d1", 2, 20), ("u", "d2", 3, 5)],
+        "k string, day string, seq int, v int",
+    )
+    out = running_sum(df, ["k"], ["seq"], "v", alias="total")
+    out = running_sum(out, ["k"], ["seq"], "v", alias="daily", reset_by=["day"])
+    rows = {r.seq: (r.total, r.daily) for r in out.collect()}
+    assert rows == {1: (10, 10), 2: (30, 30), 3: (35, 5)}
+
+
+def test_top1_and_topk(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 1), ("a", 2), ("b", 9)], "k string, v int"
+    )
+    t1 = top1_per_key(df, ["k"], [F.col("v").desc()])
+    assert {(r.k, r.v) for r in t1.collect()} == {("a", 3), ("b", 9)}
+    tk = topk_per_key(df, ["k"], [F.col("v").desc()], k=2)
+    assert tk.filter(F.col("k") == "a").count() == 2
