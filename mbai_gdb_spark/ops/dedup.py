@@ -1,0 +1,204 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Training-data-pipeline extensions beyond the reference's surface (its
+only dedup is MERGE-by-unique-id, reference src/queries/game.py:86-94 —
+re-expressed here as :func:`exact_dedup`).
+
+Scale design:
+- exact dedup: one hash-groupBy on the content key — embarrassingly
+  parallel, AQE handles skewed duplicate clusters.
+- n-gram Jaccard: inverted-index self-join on shingles (never an O(n²)
+  document cross join); hot shingles should be frequency-capped at
+  ingest (``max_shingle_freq``) — the standard df-cut that keeps the
+  join linear in corpus size.
+- MinHash: signatures are a map-only stage given integer token ids;
+  LSH banding turns near-dup search into an equi-join on (band, bucket).
+- Token ids here come from a global dictionary (dense_rank over distinct
+  tokens) so results are engine-reproducible for the oracle gate.  The
+  100 TB path swaps the dictionary for ``xxhash64(token)`` — same
+  pipeline shape minus the dictionary join; both are exposed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.text import tokens
+
+MERSENNE31 = 2_147_483_647
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the smallest id per identical content; report
+    cluster size.  (= the reference's deterministic-id MERGE semantics.)"""
+    return df.groupBy(*content_cols).agg(
+        F.min(id_col).alias(f"{id_col}_kept"),
+        F.count(F.lit(1)).alias("n_dupes"),
+    ).select(f"{id_col}_kept", "n_dupes")
+
+
+def shingle_set(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Distinct k-token shingles per document: (id, shingle)."""
+    toks = tokens(text_col)
+    with_toks = df.select(F.col(id_col), toks.alias("__toks__"))
+    idx = F.sequence(F.lit(1), F.size("__toks__") - (k - 1))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("__toks__"), i + j) for j in range(k)]
+        ),
+    )
+    return (
+        with_toks.filter(F.size("__toks__") >= k)
+        .select(F.col(id_col), F.explode(F.array_distinct(shingle)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shingle-set Jaccard via inverted index.
+
+    Output: (id_a, id_b, n_common, jaccard) with id_a < id_b and
+    jaccard >= threshold.  The jaccard is an exact integer ratio.
+    """
+    sh = shingles
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df__"))
+        sh = sh.join(
+            freq.filter(F.col("__df__") <= max_shingle_freq).select("shingle"),
+            "shingle",
+        )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n__"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n__").alias("__na__"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n__").alias("__nb__"))
+    jac = (
+        F.col("n_common").cast("double")
+        / (F.col("__na__") + F.col("__nb__") - F.col("n_common"))
+    )
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def token_dictionary(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
+    """Deterministic global token ids: dense_rank over sorted distinct
+    tokens (binary/ASCII collation in both Spark and DuckDB).
+
+    ORACLE-REPRODUCIBLE but involves a global sort of the (small,
+    deduplicated) vocabulary.  At 100 TB use ``hashed_token_ids`` —
+    identical downstream pipeline, no dictionary.
+    """
+    distinct = tokens_df.select(token_col).distinct()
+    w = Window.orderBy(token_col)
+    return distinct.withColumn("tok_id", F.dense_rank().over(w))
+
+
+def hashed_token_ids(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
+    """Scale path: stateless 64-bit token ids (xxhash64) — map-only."""
+    return tokens_df.withColumn(
+        "tok_id", F.abs(F.xxhash64(F.col(token_col))) % F.lit(MERSENNE31)
+    )
+
+
+def minhash_signatures(
+    doc_tokens: DataFrame,
+    id_col: str = "doc_id",
+    tok_id_col: str = "tok_id",
+    n_hashes: int = 16,
+    prime: int = MERSENNE31,
+) -> DataFrame:
+    """MinHash signatures over integer token-id sets.
+
+    Hash family ``h_i(x) = ((2i+1)*x + 7919*i + 13) % prime`` —
+    deterministic and reproducible in plain SQL.  Output long format
+    (doc, hash_idx, minhash): one explode + one groupBy; signature width
+    is a constant, so cost is n_hashes × |tokens| map-side.
+    """
+    hashes = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("hash_idx")
+    exploded = doc_tokens.select(id_col, tok_id_col, hashes)
+    hv = (
+        (2 * F.col("hash_idx") + 1) * F.col(tok_id_col)
+        + 7919 * F.col("hash_idx")
+        + 13
+    ) % F.lit(prime)
+    return (
+        exploded.withColumn("__hv__", hv)
+        .groupBy(id_col, "hash_idx")
+        .agg(F.min("__hv__").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any full band of the signature become a
+    candidate pair.  Equi-join on (band, bucket-key) — no cross join."""
+    banded = signatures.withColumn(
+        "band", F.expr(f"hash_idx div {rows_per_band}")
+    )
+    buckets = banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+        ).alias("bucket")
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash(
+    doc_tokens: DataFrame,
+    id_col: str = "doc_id",
+    tok_id_col: str = "tok_id",
+    n_bits: int = 16,
+    prime: int = MERSENNE31,
+) -> DataFrame:
+    """SimHash fingerprints: bit j is the sign of the sum over tokens of
+    ±1 according to bit j of the token hash.  Map + one groupBy; the
+    per-bit expansion is a constant factor."""
+    bits = F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit")
+    hv = ((F.col(tok_id_col) * 2654435761 + 97) % F.lit(prime)).alias("__hv__")
+    exploded = doc_tokens.select(id_col, hv).select(id_col, "__hv__", bits)
+    contrib = F.when(
+        F.floor(F.col("__hv__") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2 == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    per_bit = exploded.withColumn("__c__", contrib).groupBy(id_col, "bit").agg(
+        F.sum("__c__").alias("__s__")
+    )
+    bit_val = F.when(
+        F.col("__s__") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+    ).otherwise(F.lit(0))
+    return per_bit.withColumn("__b__", bit_val).groupBy(id_col).agg(
+        F.sum("__b__").alias("simhash")
+    )

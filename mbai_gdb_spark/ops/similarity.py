@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; random-hyperplane
+LSH bucketing is the scale path (candidates via equi-join on bucket
+signature, exact re-rank inside buckets).
+
+All arithmetic stays JVM-side as higher-order functions (zip_with /
+aggregate) — sequential, deterministic accumulation that DuckDB's
+list_reduce mirrors bit-for-bit, so the oracle gate can hash raw
+doubles.  For throughput-critical brute force at very high dims, a
+vectorized Pandas-UDF matmul variant is the documented alternative
+(trade: Arrow transfer + non-reproducible summation order).
+
+Scale notes: queries are broadcast (small side); the corpus never
+shuffles for brute force.  LSH replaces the |Q|×|C| expansion with
+per-bucket joins; plane count tunes recall/cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.windows import topk_per_key
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order dot product (deterministic accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against
+    the corpus, rank per query with a deterministic id tie-break.
+
+    Output: (query_id, vec_id, cosine_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
+    )
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv__"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("__qv__"), F.col("__cv__")).alias("cosine_sim"),
+        )
+    )
+    return topk_per_key(
+        scored,
+        [query_id_col],
+        [F.col("cosine_sim").desc(), F.col(id_col)],
+        k,
+        rank_alias="rank",
+    )
+
+
+def _plane_component(plane: Column, j: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    LCG on the flattened (plane, dim) index — reproducible in plain SQL."""
+    idx = (plane * 64 + j).cast("long")
+    return ((idx * F.lit(1103515245).cast("long") + 12345) % 65536) / 65536.0 - 0.5
+
+
+def lsh_bucket_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    sig_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane signature: bit p = [dot(vec, plane_p) >= 0].
+    Map-only; bucket is a small integer usable as an equi-join key."""
+    v = as_double(F.col(vec_col))
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    bits = F.transform(
+        planes,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda x, j: x * _plane_component(p, j),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.withColumn(sig_col, sig)
+
+
+def lsh_candidate_neighbors(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """ANN candidate pairs: same LSH bucket → exact cosine re-rank.
+    Output (id_a, id_b, cosine_sim), id_a < id_b."""
+    sig = lsh_bucket_signature(corpus, vec_col, n_planes)
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"), "lsh_bucket"
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"), "lsh_bucket"
+    )
+    pairs = (
+        a.join(b, "lsh_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(as_double(F.col("__va__")), as_double(F.col("__vb__"))).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    if min_cosine is not None:
+        pairs = pairs.filter(F.col("cosine_sim") >= min_cosine)
+    return pairs

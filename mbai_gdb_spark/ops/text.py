@@ -1,0 +1,135 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring, token counting,
+and document fingerprinting — all pure column algebra (JVM-side,
+whole-stage-codegen) over a whitespace tokenizer.  No Python UDFs in the
+hot path; everything scales as a map-only stage plus one groupBy where
+stated.
+
+These extend the reference's surface (it has no text ops) per the
+training-data-pipeline mandate; they reuse its id-recipe style of
+deterministic derived columns (reference: src/queries/game.py:17,84).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+# Tiny embedded stopword/marker lists — deterministic, dependency-free.
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is", "it")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokens of trimmed text (empty-string-safe)."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(col), TOKEN_SPLIT_RE)
+
+
+def _count_in(arr_sql: str, words: tuple[str, ...]) -> Column:
+    """Occurrence count of ``words`` in the array column named ``arr_sql``."""
+    lst = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({arr_sql}, x -> x IN ({lst})))")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document token counts and exact mean token length.
+
+    Integer-exact: mean = sum(len)/n as a single double division, so the
+    value is bit-identical across engines.
+    """
+    toks = tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            .cast("double")
+            / F.size(toks)
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features: stopword ratio, alpha ratio, length.
+
+    Mirrors standard LLM-corpus quality filters (length / stopword /
+    symbol ratios); all ratios are exact-integer divisions.
+    """
+    t = F.col(text_col)
+    toks = tokens(text_col)
+    with_toks = df.select(F.col(id_col), t.alias("__text__"), toks.alias("__toks__"))
+    stop_cnt = _count_in("__toks__", STOPWORDS)
+    n_tok = F.size("__toks__")
+    n_chars = F.length("__text__")
+    alpha_chars = F.length(F.regexp_replace("__text__", r"[^A-Za-z]", ""))
+    return with_toks.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        stop_cnt.alias("n_stopwords"),
+        (stop_cnt.cast("double") / n_tok).alias("stopword_ratio"),
+        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        ((n_tok >= 5) & (stop_cnt > 0)).cast("int").alias("passes_quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """N-gram/marker-word language heuristic: per-language marker hit
+    counts, argmax with a fixed priority tie-break (en>es>de>fr, then
+    'und' = undetermined when no marker hits)."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks__"))
+    scored = base.select(
+        F.col(id_col),
+        *[
+            _count_in("__toks__", words).alias(f"score_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.select(
+        id_col, *[f"score_{lang}" for lang in langs], pred.alias("pred_lang")
+    )
+
+
+def fingerprint(
+    token_ids: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "pos",
+    tok_id_col: str = "tok_id",
+    mod: int = 2_147_483_647,
+    mult: int = 31,
+) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint over integer
+    token ids: ``h = (h*mult + tok_id) % mod`` in position order.
+
+    Input is (doc, pos, tok_id) rows; output (doc, fingerprint).  The
+    groupBy collects one document's tokens — bounded state per doc, one
+    shuffle on the doc id.  At 100 TB keep documents < a few MB or
+    pre-chunk; the hash composes over chunks if needed.
+    """
+    ordered = token_ids.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct(pos_col, tok_id_col))).alias("__seq__")
+    )
+    rolled = F.aggregate(
+        F.transform("__seq__", lambda s: s[tok_id_col]),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * mult + x) % F.lit(mod),
+    )
+    return ordered.select(F.col(id_col), rolled.alias("fingerprint"))

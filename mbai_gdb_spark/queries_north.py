@@ -1,0 +1,361 @@
+"""Training-data-pipeline query surface (north-star extensions).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search (brute-force cosine top-k / hyperplane-LSH), text analysis, and
+multimodal binary plumbing — each registered with a DuckDB oracle.
+
+Oracle reproducibility notes:
+- token ids come from a deterministic global dictionary (dense_rank over
+  sorted distinct tokens) — engine-identical; the xxhash64 scale path is
+  exposed in ops.dedup but not oracle-checked;
+- all floating point flows through IDENTICAL sequential op chains
+  (zip_with/aggregate ↔ list_transform/list_reduce), so raw doubles are
+  bit-equal and safe to hash;
+- hash families are small integer LCGs expressible in plain SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_set,
+    simhash,
+    token_dictionary,
+)
+from mbai_gdb_spark.ops.multimodal import binary_metadata, with_binary_payload
+from mbai_gdb_spark.ops.similarity import cosine_topk, lsh_candidate_neighbors
+from mbai_gdb_spark.ops.text import fingerprint, lang_id, quality_score, token_stats, tokens
+from mbai_gdb_spark.queries import _t, query
+
+# Shared DuckDB SQL fragments ------------------------------------------------
+
+_SQL_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_SQL_SUM_INT = "list_reduce(list_prepend(0, {lst}), (a, x) -> a + x)"
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0, {products}), (a, x) -> a + x)"
+)
+
+
+def _sql_doc_tokens() -> str:
+    """CTE body: (doc_id, pos, tok) exploded tokens + global dictionary."""
+    return f"""
+    tok_arrays AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+    toks AS (
+        SELECT doc_id, t[i] AS tok, i AS pos
+        FROM tok_arrays, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    dict AS (
+        SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tok_id
+        FROM (SELECT DISTINCT tok FROM toks)
+    ),
+    doc_tok_ids AS (
+        SELECT t.doc_id, t.pos, d.tok_id FROM toks t JOIN dict d ON d.tok = t.tok
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST({_SQL_SUM_INT.format(lst="list_transform(toks, x -> length(x))")} AS DOUBLE)
+               / len(toks) AS mean_token_len
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Token counting (whitespace tokenizer) — map-only column algebra."""
+    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality_score",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(toks)    AS n_tokens,
+           len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','it')))
+               AS n_stopwords,
+           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','it'))) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+           CASE WHEN len(toks) >= 5
+                 AND len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','it'))) > 0
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring: length / stopword / alpha ratios (exact-integer
+    divisions — engine-identical doubles)."""
+    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_lang_id",
+    """
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','and','of','is','a')))    AS score_en,
+               len(list_filter(toks, x -> x IN ('el','la','de','que','y')))     AS score_es,
+               len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS score_de,
+               len(list_filter(toks, x -> x IN ('le','la','et','les','des')))   AS score_fr
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+              FROM documents)
+    )
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
+                WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                WHEN score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Marker-word language heuristic with fixed-priority argmax."""
+    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_fingerprint",
+    f"""
+    WITH {_sql_doc_tokens()}
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT), list(tok_id ORDER BY pos)),
+               (a, x) -> (a * 31 + x) % 2147483647
+           ) AS fingerprint
+    FROM doc_tok_ids
+    GROUP BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint over dictionary token ids."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
+    ).withColumn("pos", F.col("pos0") + 1)
+    dictionary = token_dictionary(toks, "token")
+    doc_tok_ids = toks.join(dictionary, "token").select("doc_id", "pos", "tok_id")
+    return fingerprint(doc_tok_ids, "doc_id", "pos", "tok_id")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_documents",
+    """
+    SELECT min(doc_id) AS doc_id_kept, count(*) AS n_dupes
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup via content hash-groupBy (reference A8 MERGE-by-id
+    semantics, src/queries/game.py:86-94, generalized to content keys)."""
+    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH tri AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+             UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+        FROM tri a JOIN tri b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5 via inverted-index
+    join (no document cross join)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingle_set(docs, "doc_id", "text", k=3)
+    return jaccard_pairs(sh, "doc_id", threshold=0.5)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_sql_doc_tokens()},
+    doc_set AS (SELECT DISTINCT doc_id, tok_id FROM doc_tok_ids),
+    sigs AS (
+        SELECT doc_id, h.i AS hash_idx,
+               min(((2 * h.i + 1) * tok_id + 7919 * h.i + 13) % 2147483647) AS minhash
+        FROM doc_set, UNNEST(generate_series(0, 15)) AS h(i)
+        GROUP BY doc_id, h.i
+    ),
+    buckets AS (
+        SELECT doc_id, hash_idx // 4 AS band,
+               string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
+        FROM sigs GROUP BY doc_id, hash_idx // 4
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 perms) + LSH banding (4 bands × 4 rows) candidate
+    pairs.  Equi-join on (band, bucket) — linear in corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dictionary = token_dictionary(toks, "token")
+    doc_set = toks.join(dictionary, "token").select("doc_id", "tok_id").distinct()
+    sigs = minhash_signatures(doc_set, "doc_id", "tok_id", n_hashes=16)
+    return lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4)
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH {_sql_doc_tokens()},
+    doc_set AS (SELECT DISTINCT doc_id, tok_id FROM doc_tok_ids),
+    hv AS (SELECT doc_id, (tok_id * 2654435761 + 97) % 2147483647 AS h FROM doc_set),
+    per_bit AS (
+        SELECT doc_id, b.bit,
+               SUM(CASE WHEN CAST(floor(h / pow(2.0, b.bit)) AS BIGINT) % 2 = 1
+                        THEN 1 ELSE -1 END) AS s
+        FROM hv, UNNEST(generate_series(0, 15)) AS b(bit)
+        GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(pow(2.0, bit) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """16-bit SimHash fingerprints over the token-id set."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dictionary = token_dictionary(toks, "token")
+    doc_set = toks.join(dictionary, "token").select("doc_id", "tok_id").distinct()
+    return simhash(doc_set, "doc_id", "tok_id", n_bits=16)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_SQL_VEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({v}, x -> x * x)), (a, x) -> a + x))"
+)
+
+
+@query(
+    "sim_cosine_top5",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_SQL_DOT.format(products="list_transform(generate_series(1, len(qv)), i -> qv[i] * c.ve[i])")}
+               / ({_SQL_NORM.format(v="qv")} * {_SQL_NORM.format(v="c.ve")}) AS cosine_sim
+        FROM q, v c
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_cosine_top5(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 10) —
+    broadcast queries, deterministic sequential accumulation so the
+    raw doubles hash identically to the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, queries_df, k=5)
+
+
+@query(
+    "sim_lsh_neighbors",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    sig AS (
+        SELECT vec_id, ve,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(0, 7), p ->
+                       CASE WHEN
+                           list_reduce(list_prepend(0.0,
+                               list_transform(generate_series(1, len(ve)), i ->
+                                   ve[i] * ((((p * 64 + (i - 1)) * 1103515245 + 12345) % 65536)
+                                            / 65536.0 - 0.5))),
+                               (a, x) -> a + x) >= 0
+                       THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END)),
+                   (a, x) -> a + x) AS lsh_bucket
+        FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
+           / ({_SQL_NORM.format(v="a.ve")} * {_SQL_NORM.format(v="b.ve")}) AS cosine_sim
+    FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
+          / ({_SQL_NORM.format(v="a.ve")} * {_SQL_NORM.format(v="b.ve")}) >= 0.2
+    """,
+)
+def sim_lsh_neighbors(spark, sf_dir):
+    """ANN scale path: 8-plane random-hyperplane LSH buckets (LCG planes,
+    SQL-reproducible) → exact cosine re-rank within buckets, ≥ 0.2."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_candidate_neighbors(emb, n_planes=8, min_cosine=0.2)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mm_binary_metadata",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CAST(list_reduce(list_prepend(0,
+                list_transform(generate_series(1, least(16, length(text))),
+                               i -> ascii(substr(text, i, 1)))),
+                (a, x) -> a + x) AS BIGINT) AS head_sum
+    FROM documents
+    """,
+)
+def mm_binary_metadata(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column + Arrow-batched
+    mapInPandas metadata extraction (deterministic fake decoder standing
+    in for image/audio codecs — see ops.multimodal)."""
+    docs = with_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    return binary_metadata(docs, "doc_id", "payload")
