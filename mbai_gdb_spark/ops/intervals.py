@@ -108,11 +108,14 @@ def asof_join(
     direction: str = "backward",
     how: str = "inner",
     strict: bool = False,
+    numeric: bool = False,
 ) -> DataFrame:
     """As-of join: for each left row, the single nearest right row at or
     before (``backward``) / at or after (``forward``) its timestamp, within
     an optional tolerance.  Right columns arrive as ``<col>`` aliased from
     ``right_cols``; the matched right timestamp arrives as ``asof_ts``.
+    With ``numeric=True`` the timeline columns are treated as plain
+    doubles (e.g. game-clock seconds) instead of timestamps.
 
     Implementation: tag and union both sides on a shared timeline, then a
     single ``last(..., ignorenulls=True)`` window per key ordered by time.
@@ -128,20 +131,21 @@ def asof_join(
         raise ValueError(direction)
     by = list(by)
     lcols = left.columns
+    t_type = "double" if numeric else "timestamp"
     # Build the union timeline: left rows carry nulls for right payload.
     r_payload = [F.col(c).alias(f"_r_{c}") for c in right_cols]
     r = right.select(
         *by,
-        F.col(right_ts).cast("timestamp").alias("_t"),
+        F.col(right_ts).cast(t_type).alias("_t"),
         F.lit(0).alias("_is_left"),
-        F.col(right_ts).cast("timestamp").alias("_rts"),
+        F.col(right_ts).cast(t_type).alias("_rts"),
         *r_payload,
     )
     l = left.select(
         *lcols,
-        F.col(left_ts).cast("timestamp").alias("_t"),
+        F.col(left_ts).cast(t_type).alias("_t"),
         F.lit(1).alias("_is_left"),
-        F.lit(None).cast("timestamp").alias("_rts"),
+        F.lit(None).cast(t_type).alias("_rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
     )
     unioned = l.unionByName(r, allowMissingColumns=True)

@@ -1,0 +1,213 @@
+"""Action shaping, stint attribution joins, rebound as-of attribution.
+
+Re-expresses the reference's eight per-type Cypher writers
+(src/queries/game.py:209-591) as one shaped actions table plus reusable
+joins:
+
+- shaping (P5): clock parsing, dual clocks, points, label taxonomy —
+  pure column algebra, no UDFs (the reference does this row-by-row in
+  Python, src/managers/game.py:205-274);
+- containment join (J3): action → containing team stint on
+  (game, team) + global-clock range — hash join w/ residual;
+- actor resolution (J4): action → acting player's PlayerStint;
+- opponent attribution (J5): drawn-foul / steal / block credited to the
+  *other* team's player (equi-join after resolving the opponent's id);
+- rebound as-of attribution (J7/J8): rebound → latest missed shot ≤10 s
+  back, each shot claimed by at most one rebound (greedy earliest
+  rebound wins — deterministic; the reference's version is unscoped and
+  order-dependent, SURVEY §2.11);
+- global action NEXT chain (W7): time + label-priority ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.chain import chain_next, with_priority
+from mbai_gdb_spark.ops.intervals import asof_join, interval_join
+from mbai_gdb_spark.pipeline.periods import (
+    clock_seconds_remaining,
+    period_global_offset,
+    period_len,
+)
+
+ACTION_PRIORITY = {
+    "jumpball": 1,
+    "violation": 2,
+    "foul": 3,
+    "2pt": 4,
+    "3pt": 4,
+    "freethrow": 5,
+    "rebound": 6,
+    "turnover": 7,
+    "timeout": 9,
+    "substitution": 8,
+}
+
+SCORING_TYPES = ("2pt", "3pt", "freethrow")
+
+
+def shape_actions(pbp: DataFrame) -> DataFrame:
+    """Normalize play-by-play into the typed actions table with dual
+    clocks, points, and a label array (multi-label taxonomy → array +
+    boolean hot columns, SURVEY §1.4)."""
+    plen = period_len(F.col("period"))
+    local_clock = plen - clock_seconds_remaining(F.col("clock"))
+    a = pbp.filter(~F.col("actionType").isin("period", "substitution"))
+    points = (
+        F.when(
+            (F.col("actionType") == "2pt") & (F.col("shotResult") == "Made"), 2
+        )
+        .when((F.col("actionType") == "3pt") & (F.col("shotResult") == "Made"), 3)
+        .when(
+            (F.col("actionType") == "freethrow") & (F.col("shotResult") == "Made"), 1
+        )
+        .otherwise(0)
+    )
+    # Free-throw pairs share a clock value; the reference adds +100 ms per
+    # attempt to keep siblings ordered (src/queries/game.py:446).  Keep
+    # that ordering nudge — it is load-bearing for the NEXT/score chains.
+    ft_attempt = F.when(
+        F.col("actionType") == "freethrow",
+        F.split(F.col("subType"), " ").getItem(0).cast("double"),
+    ).otherwise(F.lit(0.0))
+    local_adj = local_clock + ft_attempt * 0.1
+    labels = F.array_compact(
+        F.array(
+            F.col("actionType"),
+            F.col("subType"),
+            F.col("descriptor"),
+            F.col("shotResult"),
+        )
+    )
+    return a.select(
+        "game_id",
+        F.col("action_id"),
+        F.col("timeActual").alias("time"),
+        "period",
+        F.col("teamId").alias("team_id"),
+        F.col("personId").alias("player_id"),
+        F.col("assistPersonId").alias("assist_player_id"),
+        F.col("blockPersonId").alias("block_player_id"),
+        F.col("stealPersonId").alias("steal_player_id"),
+        F.col("foulDrawnPersonId").alias("foul_drawn_player_id"),
+        F.col("actionType").alias("action_type"),
+        F.col("subType").alias("sub_type"),
+        "descriptor",
+        "x",
+        "y",
+        F.col("shotDistance").alias("distance"),
+        (F.col("shotResult") == "Made").alias("is_made"),
+        points.alias("points"),
+        labels.alias("labels"),
+        local_adj.alias("local_clock"),
+        (period_global_offset(F.col("period")) + local_adj).alias("global_clock"),
+    )
+
+
+def join_actions_to_stints(actions: DataFrame, lineup_stints: DataFrame) -> DataFrame:
+    """J3: each action → the acting team's containing lineup stint
+    ([start, end) on the global clock; equi keys game+team)."""
+    stints = lineup_stints.select(
+        "game_id",
+        "team_id",
+        F.col("stint_id"),
+        F.col("player_ids").alias("stint_player_ids"),
+        F.col("global_start"),
+        F.col("global_end"),
+    )
+    return interval_join(
+        actions.filter(F.col("team_id").isNotNull()),
+        stints,
+        equi_keys=["game_id", "team_id"],
+        event_time="global_clock",
+        start="global_start",
+        end="global_end",
+        closed="left",
+    ).drop("global_start", "global_end")
+
+
+def resolve_actor_stints(
+    attributed: DataFrame, player_stint_edges: DataFrame
+) -> DataFrame:
+    """J4/J6: acting player's PlayerStint via the ON_COURT_WITH edge; LEFT
+    join keeps team-only actions (timeouts etc.) with a null actor stint
+    — the reference's OPTIONAL MATCH fallback."""
+    edges = player_stint_edges.select(
+        "game_id",
+        F.col("player_id"),
+        "stint_id",
+        F.col("player_stint_id").alias("actor_player_stint_id"),
+    )
+    return attributed.join(edges, ["game_id", "player_id", "stint_id"], "left")
+
+
+def attribute_rebounds(actions: DataFrame) -> DataFrame:
+    """J7 + J8: rebound → the latest missed field goal within 10 s of
+    game clock, game-scoped, each shot claimed at most once (earliest
+    rebound wins).  As-of via union-timeline window; claim-once via a
+    second top-1 window — both deterministic.
+
+    The reference's version (src/queries/game.py:506-513) lacks game
+    scoping and is MERGE-order-dependent; this implements the intended
+    semantics (SURVEY §2.11)."""
+    rebounds = actions.filter(F.col("action_type") == "rebound").select(
+        "game_id",
+        F.col("action_id").alias("rebound_id"),
+        F.col("global_clock"),
+    )
+    missed = actions.filter(
+        F.col("action_type").isin("2pt", "3pt") & ~F.col("is_made")
+    ).select(
+        "game_id",
+        F.col("global_clock").alias("shot_clock"),
+        F.col("action_id").alias("shot_id"),
+    )
+    matched = asof_join(
+        rebounds,
+        missed,
+        by=["game_id"],
+        left_ts="global_clock",
+        right_ts="shot_clock",
+        right_cols=["shot_id"],
+        tolerance_seconds=10.0,
+        direction="backward",
+        how="inner",
+        numeric=True,
+    )
+    within = matched
+    # Claim-once: if several rebounds resolved to the same shot, the
+    # earliest rebound keeps it.
+    w = Window.partitionBy("game_id", "shot_id").orderBy(
+        F.col("global_clock"), F.col("rebound_id")
+    )
+    return (
+        within.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("game_id", "rebound_id", "shot_id")
+    )
+
+
+def action_next_chain(actions: DataFrame) -> DataFrame:
+    """W7: global per-period action ordering (time, global_clock,
+    label priority) → NEXT edges with time/clock deltas."""
+    prio = with_priority(actions, "action_type", ACTION_PRIORITY, default=9)
+    chained = chain_next(
+        prio.withColumn("t_us", F.unix_micros(F.col("time").cast("timestamp"))),
+        partition_by=["game_id", "period"],
+        order_by=[F.col("time"), F.col("global_clock"), F.col("priority"), F.col("action_id")],
+        next_cols={
+            "action_id": "next_action_id",
+            "t_us": "next_t_us",
+            "global_clock": "next_global_clock",
+        },
+    )
+    return chained.select(
+        "game_id",
+        "period",
+        "action_id",
+        "next_action_id",
+        ((F.col("next_t_us") - F.col("t_us")).cast("double") / 1e6).alias("time_delta_s"),
+        (F.col("next_global_clock") - F.col("global_clock")).alias("clock_delta_s"),
+    )

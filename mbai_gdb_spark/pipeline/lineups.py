@@ -1,0 +1,190 @@
+"""Lineup reconstruction kernel (W11 — the one genuinely procedural
+operator; reference src/managers/game.py:139-199).
+
+Semantics (re-derived, not ported): per (game, team), walk substitution
+events in period/clock order maintaining the 5-man on-court set.
+Period 1 starts from the boxscore starters; later periods carry the
+previous period's closing lineup.  Substitutions at the period-start
+clock replace members *before* the period's opening stint is emitted
+(the reference's start_mask branch); mid-period changes close the
+current stint and open a new one.  A stint is emitted only when the
+lineup actually changes (emit-on-change, reference game.py:183-193).
+
+Spark shape: ``groupBy(game_id, team_id).applyInPandas`` — bounded state
+(one game's substitutions ≈ dozens of rows per key), Arrow-batched, and
+embarrassingly parallel across the (game, team) key space: the layout
+that holds at a 100 TB season corpus.  Everything downstream of this
+kernel is pure column algebra again.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mbai_gdb_spark.pipeline.periods import (
+    clock_seconds_remaining,
+    period_global_offset,
+    period_len,
+)
+
+LINEUP_STINT_SCHEMA = T.StructType(
+    [
+        T.StructField("game_id", T.LongType()),
+        T.StructField("team_id", T.LongType()),
+        T.StructField("period", T.IntegerType()),
+        T.StructField("stint_seq", T.IntegerType()),
+        T.StructField("lineup_id", T.StringType()),
+        T.StructField("player_ids", T.ArrayType(T.LongType())),
+        T.StructField("local_start", T.DoubleType()),
+    ]
+)
+
+
+def _reconstruct(key, pdf):
+    """Grouped-map kernel: one (game, team)'s starters + substitutions →
+    lineup-change events (stint openings)."""
+    game_id, team_id = int(key[0]), int(key[1])
+    starters = sorted(int(p) for p in pdf.loc[pdf.kind == "starter", "player_id"])
+    subs = pdf[pdf.kind == "sub"].sort_values(
+        ["period", "elapsed", "action_id"], kind="mergesort"
+    )
+    periods = sorted(pdf.loc[pdf.kind == "period", "period"].unique())
+
+    out_rows = []
+    on_court = set(starters)
+    for period in periods:
+        period_subs = subs[subs.period == period]
+        # Apply period-start substitutions (elapsed == 0) before emitting
+        # the opening stint.
+        at_start = period_subs[period_subs.elapsed == 0.0]
+        for _, r in at_start.iterrows():
+            if r.sub_type == "out":
+                on_court.discard(int(r.player_id))
+            else:
+                on_court.add(int(r.player_id))
+        seq = 0
+        current = tuple(sorted(on_court))
+        if len(current) == 5:
+            out_rows.append((game_id, team_id, int(period), seq, current, 0.0))
+        # Mid-period changes: emit a new stint whenever the set is full
+        # and different from the last emitted lineup.
+        mid = period_subs[period_subs.elapsed > 0.0]
+        for elapsed, grp in mid.groupby("elapsed", sort=True):
+            for _, r in grp.iterrows():
+                if r.sub_type == "out":
+                    on_court.discard(int(r.player_id))
+                else:
+                    on_court.add(int(r.player_id))
+            nxt = tuple(sorted(on_court))
+            if len(nxt) == 5 and nxt != current:
+                seq += 1
+                out_rows.append(
+                    (game_id, team_id, int(period), seq, nxt, float(elapsed))
+                )
+                current = nxt
+    return pd.DataFrame(
+        [
+            {
+                "game_id": g,
+                "team_id": t,
+                "period": p,
+                "stint_seq": s,
+                "lineup_id": "_".join(str(x) for x in ids),
+                "player_ids": list(ids),
+                "local_start": e,
+            }
+            for (g, t, p, s, ids, e) in out_rows
+        ],
+        columns=[f.name for f in LINEUP_STINT_SCHEMA.fields],
+    )
+
+
+def lineup_change_events(pbp: DataFrame, starters: DataFrame) -> DataFrame:
+    """Run the W11 kernel; returns stint-opening events
+    (game_id, team_id, period, stint_seq, lineup_id, player_ids,
+    local_start)."""
+    plen = period_len(F.col("period"))
+    subs = pbp.filter(F.col("actionType") == "substitution").select(
+        "game_id",
+        F.col("teamId").alias("team_id"),
+        "period",
+        F.col("action_id"),
+        (plen - clock_seconds_remaining(F.col("clock"))).alias("elapsed"),
+        F.col("subType").alias("sub_type"),
+        F.col("personId").alias("player_id"),
+        F.lit("sub").alias("kind"),
+    )
+    # One 'period' row per (team, period) so the kernel knows the period
+    # roster carries over even with no subs.
+    period_rows = (
+        pbp.filter(F.col("actionType") == "period")
+        .select("game_id", "period")
+        .distinct()
+        .crossJoin(starters.select(F.col("TEAM_ID").alias("team_id")).distinct())
+        .select(
+            "game_id",
+            "team_id",
+            "period",
+            F.lit(None).cast("long").alias("action_id"),
+            F.lit(None).cast("double").alias("elapsed"),
+            F.lit(None).cast("string").alias("sub_type"),
+            F.lit(None).cast("long").alias("player_id"),
+            F.lit("period").alias("kind"),
+        )
+    )
+    starter_rows = starters.filter(F.col("START_POSITION") != "").select(
+        "game_id",
+        F.col("TEAM_ID").alias("team_id"),
+        F.lit(1).cast("int").alias("period"),
+        F.lit(None).cast("long").alias("action_id"),
+        F.lit(None).cast("double").alias("elapsed"),
+        F.lit(None).cast("string").alias("sub_type"),
+        F.col("PLAYER_ID").alias("player_id"),
+        F.lit("starter").alias("kind"),
+    )
+    unioned = subs.unionByName(period_rows).unionByName(starter_rows)
+    return unioned.groupBy("game_id", "team_id").applyInPandas(
+        _reconstruct, LINEUP_STINT_SCHEMA
+    )
+
+
+def build_lineup_stints(pbp: DataFrame, starters: DataFrame) -> DataFrame:
+    """Full lineup-stint table: change events + lead() window for end
+    times and durations (W3 — successor-derived durations with period-end
+    coalesce, reference src/queries/game.py:99-125)."""
+    from pyspark.sql import Window
+
+    events = lineup_change_events(pbp, starters)
+    w = Window.partitionBy("game_id", "team_id", "period").orderBy("local_start")
+    plen = period_len(F.col("period"))
+    out = (
+        events.withColumn("local_end", F.coalesce(F.lead("local_start").over(w), plen))
+        .withColumn("clock_duration", F.col("local_end") - F.col("local_start"))
+        .withColumn("global_start", period_global_offset(F.col("period")) + F.col("local_start"))
+        .withColumn("global_end", period_global_offset(F.col("period")) + F.col("local_end"))
+        .withColumn(
+            "stint_id",
+            F.concat_ws(
+                "_", "game_id", "team_id", "period", F.col("stint_seq").cast("string")
+            ),
+        )
+    )
+    return out
+
+
+def on_court_next_edges(lineup_stints: DataFrame) -> DataFrame:
+    """W4: consecutive lineup stints within a period → NEXT edges."""
+    from mbai_gdb_spark.ops.chain import chain_next
+
+    return chain_next(
+        lineup_stints,
+        partition_by=["game_id", "team_id", "period"],
+        order_by=["local_start"],
+        next_cols={"stint_id": "next_stint_id"},
+    ).select("game_id", "team_id", "period", "stint_id", "next_stint_id")
