@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+import mbai_gdb_spark.queries_nba  # noqa: F401  (registers NBA-domain parity queries)
 import mbai_gdb_spark.queries_north  # noqa: F401  (registers north-star queries)
 from mbai_gdb_spark.queries import ORACLES, QUERIES
 

@@ -1,0 +1,335 @@
+"""Driver-visible NBA-domain queries (reference-parity evidence).
+
+These run the game pipeline on the deterministic fixture from
+``pipeline.fixtures`` (the driver's generic tables carry no play-by-play
+data, so the fixture IS the input — ``sf_dir`` is ignored).  For the
+SQL-expressible stages the oracle inlines the SAME fixture rows as a
+VALUES CTE, so the t2 gate checks real pipeline semantics end-to-end:
+
+- nba_score_chain         — W8 running game/period scores (full oracle)
+- nba_action_next_chain   — W7 priority-ordered NEXT chain (full oracle)
+- nba_rebound_attribution — J7/J8 as-of + claim-once (full oracle)
+- nba_season_next_game    — W1 per-team schedule chain (full oracle)
+- nba_lineup_plus_minus   — needs the procedural lineup kernel (W11,
+                            applyInPandas) → rows-only check
+- nba_player_stints       — same reason → rows-only check
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.pipeline.fixtures import make_game
+from mbai_gdb_spark.queries import query
+
+GAME_ID, HOME, AWAY = 1001, 10, 20
+
+
+def _fixture(spark):
+    from mbai_gdb_spark.pipeline.fixtures import fixture_frames
+
+    return fixture_frames(spark, game_id=GAME_ID, home_team=HOME, away_team=AWAY, n_ot=1)
+
+
+def _home_df(spark):
+    return spark.createDataFrame([(GAME_ID, HOME)], "game_id long, home_team_id long")
+
+
+def _sql_literal(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if hasattr(v, "isoformat"):  # datetime
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    return repr(v)
+
+
+def _fixture_pbp_cte() -> str:
+    """The fixture's play-by-play as a VALUES CTE (exactly the rows the
+    Spark side builds via createDataFrame — same generator, same seed)."""
+    pbp, _ = make_game(game_id=GAME_ID, home_team=HOME, away_team=AWAY, n_ot=1)
+    cols = (
+        "action_id",
+        "timeActual",
+        "period",
+        "clock",
+        "actionType",
+        "subType",
+        "shotResult",
+        "teamId",
+        "personId",
+    )
+    rows = ",\n        ".join(
+        "(" + ", ".join(_sql_literal(r[c]) for c in cols) + ")" for r in pbp
+    )
+    return f"""
+    pbp(action_id, time, period, clock, action_type, sub_type, shot_result,
+        team_id, person_id) AS (VALUES
+        {rows}
+    )"""
+
+
+# Shared SQL fragments mirroring pipeline.periods / pipeline.actions.
+_SQL_PLEN = "(CASE WHEN period <= 4 THEN 720.0 ELSE 300.0 END)"
+_SQL_OFFSET = (
+    "(CASE WHEN period <= 4 THEN (period - 1) * 720.0"
+    " ELSE 2880.0 + (period - 5) * 300.0 END)"
+)
+_SQL_LOCAL = (
+    f"({_SQL_PLEN} - (CAST(regexp_extract(clock, 'PT(\\d+)M', 1) AS DOUBLE) * 60"
+    " + CAST(regexp_extract(clock, 'M([\\d.]+)S', 1) AS DOUBLE))"
+    " + (CASE WHEN action_type = 'freethrow'"
+    "      THEN CAST(string_split(sub_type, ' ')[1] AS DOUBLE) * 0.1 ELSE 0.0 END))"
+)
+_SQL_GLOBAL = f"({_SQL_OFFSET} + {_SQL_LOCAL})"
+_SQL_POINTS = (
+    "(CASE WHEN action_type = '2pt' AND shot_result = 'Made' THEN 2"
+    " WHEN action_type = '3pt' AND shot_result = 'Made' THEN 3"
+    " WHEN action_type = 'freethrow' AND shot_result = 'Made' THEN 1"
+    " ELSE 0 END)"
+)
+
+
+def _sql_actions_cte() -> str:
+    return f"""
+    actions AS (
+        SELECT action_id, time, period, team_id, person_id, action_type,
+               shot_result,
+               {_SQL_GLOBAL} AS global_clock,
+               {_SQL_POINTS} AS points
+        FROM pbp WHERE action_type NOT IN ('period', 'substitution')
+    )"""
+
+
+@query(
+    "nba_score_chain",
+    f"""
+    WITH {_fixture_pbp_cte()},
+    {_sql_actions_cte()},
+    scoring AS (
+        SELECT period, action_id AS score_action_id, global_clock,
+               CASE WHEN team_id = {HOME} THEN points ELSE 0 END AS home_pts,
+               CASE WHEN team_id = {AWAY} THEN points ELSE 0 END AS away_pts
+        FROM actions WHERE points > 0
+    )
+    SELECT period, score_action_id, global_clock,
+           CAST(SUM(home_pts) OVER w AS BIGINT) AS home_score,
+           CAST(SUM(away_pts) OVER w AS BIGINT) AS away_score,
+           CAST(SUM(home_pts) OVER w - SUM(away_pts) OVER w AS BIGINT) AS margin,
+           CAST(SUM(home_pts) OVER wp AS BIGINT) AS period_home_score,
+           CAST(SUM(away_pts) OVER wp AS BIGINT) AS period_away_score,
+           CAST(SUM(home_pts) OVER wp - SUM(away_pts) OVER wp AS BIGINT)
+               AS period_margin
+    FROM scoring
+    WINDOW w AS (ORDER BY global_clock, score_action_id ROWS UNBOUNDED PRECEDING),
+           wp AS (PARTITION BY period ORDER BY global_clock, score_action_id
+                  ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def nba_score_chain(spark, sf_dir):
+    """W8 on the real domain: running game + period scores from shaped
+    play-by-play (reference MERGE_SCORES, src/queries/game.py:628-707)."""
+    from mbai_gdb_spark.pipeline.actions import shape_actions
+    from mbai_gdb_spark.pipeline.scores import build_score_chain
+
+    pbp, _ = _fixture(spark)
+    scores = build_score_chain(shape_actions(pbp), _home_df(spark))
+    return scores.select(
+        "period",
+        "score_action_id",
+        "global_clock",
+        "home_score",
+        "away_score",
+        "margin",
+        "period_home_score",
+        "period_away_score",
+        "period_margin",
+    )
+
+
+@query(
+    "nba_action_next_chain",
+    f"""
+    WITH {_fixture_pbp_cte()},
+    {_sql_actions_cte()},
+    prio AS (
+        SELECT *,
+               CASE action_type
+                    WHEN 'jumpball' THEN 1 WHEN 'violation' THEN 2
+                    WHEN 'foul' THEN 3 WHEN '2pt' THEN 4 WHEN '3pt' THEN 4
+                    WHEN 'freethrow' THEN 5 WHEN 'rebound' THEN 6
+                    WHEN 'turnover' THEN 7 WHEN 'substitution' THEN 8
+                    WHEN 'timeout' THEN 9 ELSE 9 END AS priority
+        FROM actions
+    )
+    SELECT period, action_id, next_action_id, time_delta_us, clock_delta_s FROM (
+        SELECT period, action_id,
+               LEAD(action_id) OVER w AS next_action_id,
+               LEAD(epoch_us(time)) OVER w - epoch_us(time) AS time_delta_us,
+               LEAD(global_clock) OVER w - global_clock AS clock_delta_s
+        FROM prio
+        WINDOW w AS (PARTITION BY period
+                     ORDER BY time, global_clock, priority, action_id)
+    ) WHERE next_action_id IS NOT NULL
+    """,
+)
+def nba_action_next_chain(spark, sf_dir):
+    """W7 on the real domain: per-period global action ordering with
+    label-priority tie-break (reference MERGE_NEXT_ACTION,
+    src/queries/game.py:744-769)."""
+    from mbai_gdb_spark.ops.chain import chain_next, with_priority
+    from mbai_gdb_spark.pipeline.actions import ACTION_PRIORITY, shape_actions
+
+    pbp, _ = _fixture(spark)
+    actions = shape_actions(pbp)
+    prio = with_priority(actions, "action_type", ACTION_PRIORITY, default=9)
+    chained = chain_next(
+        prio.withColumn("t_us", F.unix_micros(F.col("time").cast("timestamp"))),
+        partition_by=["game_id", "period"],
+        order_by=[F.col("time"), F.col("global_clock"), F.col("priority"), F.col("action_id")],
+        next_cols={
+            "action_id": "next_action_id",
+            "t_us": "next_t_us",
+            "global_clock": "next_global_clock",
+        },
+    )
+    return chained.select(
+        "period",
+        "action_id",
+        "next_action_id",
+        (F.col("next_t_us") - F.col("t_us")).alias("time_delta_us"),
+        (F.col("next_global_clock") - F.col("global_clock")).alias("clock_delta_s"),
+    )
+
+
+@query(
+    "nba_rebound_attribution",
+    f"""
+    WITH {_fixture_pbp_cte()},
+    {_sql_actions_cte()},
+    rebounds AS (
+        SELECT action_id AS rebound_id, global_clock
+        FROM actions WHERE action_type = 'rebound'
+    ),
+    missed AS (
+        SELECT action_id AS shot_id, global_clock AS shot_clock
+        FROM actions
+        WHERE action_type IN ('2pt', '3pt') AND shot_result = 'Missed'
+    ),
+    matched AS (
+        SELECT r.rebound_id, r.global_clock, m.shot_id
+        FROM rebounds r
+        JOIN LATERAL (
+            SELECT shot_id FROM missed m
+            WHERE m.shot_clock <= r.global_clock
+              AND r.global_clock - m.shot_clock <= 10.0
+            ORDER BY m.shot_clock DESC, m.shot_id DESC LIMIT 1
+        ) m ON TRUE
+    )
+    SELECT rebound_id, shot_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY shot_id
+                                     ORDER BY global_clock, rebound_id) AS rn
+        FROM matched
+    ) WHERE rn = 1
+    """,
+)
+def nba_rebound_attribution(spark, sf_dir):
+    """J7/J8 on the real domain: rebound → latest missed shot within 10 s,
+    each shot claimed once (intended semantics of the reference's broken
+    MERGE_REBOUNDS, src/queries/game.py:506-513 / SURVEY §2.11)."""
+    from mbai_gdb_spark.pipeline.actions import attribute_rebounds, shape_actions
+
+    pbp, _ = _fixture(spark)
+    return attribute_rebounds(shape_actions(pbp)).select("rebound_id", "shot_id")
+
+
+_SCHEDULE = [
+    (2001, "2024-01-01 19:00:00", 10, 20),
+    (2002, "2024-01-03 19:00:00", 20, 30),
+    (2003, "2024-01-05 19:00:00", 30, 10),
+    (2004, "2024-01-08 19:00:00", 10, 30),
+    (2005, "2024-01-09 19:00:00", 20, 10),
+    (2006, "2024-01-12 19:00:00", 30, 20),
+]
+
+
+@query(
+    "nba_season_next_game",
+    f"""
+    WITH schedule(game_id, datetime, home_team_id, away_team_id) AS (VALUES
+        {", ".join(f"({g}, TIMESTAMP '{d}', {h}, {a})" for g, d, h, a in _SCHEDULE)}
+    ),
+    team_games AS (
+        SELECT home_team_id AS team_id, game_id, datetime FROM schedule
+        UNION ALL
+        SELECT away_team_id AS team_id, game_id, datetime FROM schedule
+    )
+    SELECT team_id, game_id, next_game_id, rest_micros FROM (
+        SELECT team_id, game_id,
+               LEAD(game_id) OVER w AS next_game_id,
+               LEAD(epoch_us(datetime)) OVER w - epoch_us(datetime) AS rest_micros
+        FROM team_games
+        WINDOW w AS (PARTITION BY team_id ORDER BY datetime, game_id)
+    ) WHERE next_game_id IS NOT NULL
+    """,
+)
+def nba_season_next_game(spark, sf_dir):
+    """W1 on the real domain: per-team NEXT-game chain with rest gaps
+    (reference MERGE_SEASON, src/queries/season.py:18-27)."""
+    from mbai_gdb_spark.pipeline.season import build_games, team_next_game_chain
+
+    schedule = spark.createDataFrame(
+        _SCHEDULE, "game_id long, datetime string, home_team_id long, away_team_id long"
+    )
+    return team_next_game_chain(build_games(schedule, season_id="2023-24")).select(
+        "team_id", "game_id", "next_game_id", "rest_micros"
+    )
+
+
+@query("nba_lineup_plus_minus")  # no oracle: needs the procedural W11 kernel
+def nba_lineup_plus_minus(spark, sf_dir):
+    """Flagship analytic end-to-end: lineup stints (applyInPandas kernel)
+    → containment-joined scoring events → plus-minus ledger.  Not ANSI-
+    SQL-expressible (stateful kernel) → driver records rows-only; the
+    exact-reconciliation invariant (Σ plus_minus = final margin) is
+    asserted in tests/test_pipeline_game.py."""
+    from mbai_gdb_spark.pipeline.lineups import build_lineup_stints
+    from mbai_gdb_spark.pipeline.actions import shape_actions
+    from mbai_gdb_spark.pipeline.plus_minus import lineup_plus_minus
+
+    pbp, starters = _fixture(spark)
+    pm = lineup_plus_minus(shape_actions(pbp), build_lineup_stints(pbp, starters))
+    return pm.select(
+        "game_id",
+        "team_id",
+        "stint_id",
+        "lineup_id",
+        "period",
+        "local_start",
+        "clock_duration",
+        "points_scored",
+        "points_conceded",
+        "plus_minus",
+    )
+
+
+@query("nba_player_stints")  # no oracle: needs the procedural W11 kernel
+def nba_player_stints(spark, sf_dir):
+    """Player stints via gaps-and-islands over kernel output (W5/W6)."""
+    from mbai_gdb_spark.pipeline.lineups import build_lineup_stints
+    from mbai_gdb_spark.pipeline.stints import build_player_stints
+
+    pbp, starters = _fixture(spark)
+    ps = build_player_stints(build_lineup_stints(pbp, starters))
+    return ps.select(
+        "game_id",
+        "team_id",
+        "player_id",
+        "player_stint_id",
+        "global_start",
+        "global_end",
+        "clock_duration",
+        "first_period",
+        "last_period",
+    )
