@@ -1,0 +1,115 @@
+"""Heterogeneous-graph tensor export (reference GameManager.to_pyg,
+src/managers/game.py:324-656).
+
+The reference reads each node/edge type over Bolt, builds Python dicts
+mapping natural ids → dense indices, and assembles torch tensors.  Here
+the dense index map is computed IN Spark (row_number over the node
+frame — reference game.py:360-397 does this driver-side per type) and
+only the final, already-dense arrays cross to the driver.  torch is an
+optional dependency — absent (as in this container) the export emits
+numpy arrays with identical shapes/dtypes, so the tensor step is a
+zero-copy ``torch.from_numpy`` away.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+try:  # optional heavy dependency — absent in this environment
+    import torch  # type: ignore
+except Exception:  # pragma: no cover
+    torch = None
+
+
+def dense_index(nodes: DataFrame, id_col: str) -> DataFrame:
+    """(id → 0-based dense index), deterministic by id order.
+
+    row_number over an id-ordered window: one pass, no driver dict.
+    For billion-node types swap for zipWithIndex-style partition offsets;
+    per-game node counts make the single window fine here."""
+    w = Window.orderBy(id_col)
+    return nodes.select(id_col).distinct().withColumn(
+        "dense_idx", F.row_number().over(w) - 1
+    )
+
+
+def edge_index(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    src_index: DataFrame,
+    dst_index: DataFrame,
+) -> np.ndarray:
+    """[2, E] edge-index array in dense coordinates (the PyG contract,
+    reference src/managers/game.py:435-457)."""
+    s = src_index.withColumnRenamed("dense_idx", "__src_idx__")
+    d = dst_index.withColumnRenamed("dense_idx", "__dst_idx__")
+    resolved = (
+        edges.join(s, edges[src_col] == s[s.columns[0]])
+        .join(d, edges[dst_col] == d[d.columns[0]])
+        .select("__src_idx__", "__dst_idx__")
+        .toPandas()
+    )
+    return resolved.to_numpy().T.astype(np.int64)
+
+
+def node_features(
+    nodes: DataFrame, id_col: str, feature_cols: list[str], index: DataFrame
+) -> np.ndarray:
+    """[N, F] float feature matrix aligned with the dense index."""
+    pdf = (
+        nodes.join(index, id_col)
+        .orderBy("dense_idx")
+        .select(*feature_cols)
+        .toPandas()
+    )
+    return pdf.to_numpy().astype(np.float64)
+
+
+def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
+    """Assemble a HeteroData-shaped dict from the game-pipeline tables:
+    node types with features + typed edge indices.  Returns numpy arrays
+    (or torch tensors when torch is importable)."""
+    lineup_stints = tables["lineup_stints"]
+    player_stints = tables["player_stints"]
+    edges = tables["stint_edges"]
+
+    ls_idx = dense_index(lineup_stints, "stint_id")
+    ps_idx = dense_index(player_stints, "player_stint_id")
+
+    out = {
+        "lineup_stint": {
+            "x": node_features(
+                tables["lineup_plus_minus"],
+                "stint_id",
+                ["clock_duration", "points_scored", "points_conceded", "plus_minus"],
+                ls_idx,
+            ),
+            "num_nodes": lineup_stints.count(),
+        },
+        "player_stint": {
+            "x": node_features(
+                player_stints, "player_stint_id", ["clock_duration"], ps_idx
+            ),
+            "num_nodes": player_stints.count(),
+        },
+        ("player_stint", "on_court_with", "lineup_stint"): edge_index(
+            edges, "player_stint_id", "stint_id", ps_idx, ls_idx
+        ),
+    }
+    if torch is not None:  # pragma: no cover
+        out = {
+            k: (
+                {
+                    kk: (torch.from_numpy(vv) if isinstance(vv, np.ndarray) else vv)
+                    for kk, vv in v.items()
+                }
+                if isinstance(v, dict)
+                else torch.from_numpy(v)
+            )
+            for k, v in out.items()
+        }
+    return out

@@ -1,0 +1,67 @@
+"""Streaming sessionization equivalence + tensor export tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.io import read_table
+from mbai_gdb_spark.ops.intervals import sessionize
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_sessionize_matches_batch(spark, tmp_path):
+    """availableNow file-stream sessions ≈ batch gaps-and-islands: same
+    session count and event total per user.  (Boundary semantics differ
+    only when a gap equals EXACTLY the threshold — measure-zero on
+    microsecond data.)"""
+    from mbai_gdb_spark.streaming.sessions import run_sessionize_available_now
+
+    batch_events = read_table(spark, SF_DIR, "events")
+    # File stream sources consume directories; stage the fixture there
+    # (micro-batch per file).
+    src_dir = str(tmp_path / "events_stream")
+    batch_events.write.parquet(src_dir)
+    streamed = run_sessionize_available_now(
+        spark, src_dir, batch_events.schema, gap="30 minutes"
+    )
+    batch = sessionize(
+        batch_events, ["user_id"], "ts", 1800.0, tie_break=["event_id"]
+    ).groupBy("user_id", "session_id").count()
+
+    s_counts = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in streamed.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    b_counts = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"), F.sum("count").alias("n_events"))
+        .collect()
+    }
+    assert s_counts == b_counts
+
+
+def test_hetero_tensor_export(spark):
+    from mbai_gdb_spark.export.pyg import to_hetero_tensors
+    from mbai_gdb_spark.pipeline.fixtures import fixture_frames
+    from mbai_gdb_spark.pipeline.plus_minus import game_pipeline
+
+    pbp, starters = fixture_frames(spark, game_id=1001, home_team=10, away_team=20)
+    home = spark.createDataFrame([(1001, 10)], "game_id long, home_team_id long")
+    tables = game_pipeline(pbp, starters, home)
+    out = to_hetero_tensors(tables)
+
+    n_ls = out["lineup_stint"]["num_nodes"]
+    n_ps = out["player_stint"]["num_nodes"]
+    assert out["lineup_stint"]["x"].shape == (n_ls, 4)
+    assert out["player_stint"]["x"].shape == (n_ps, 1)
+    ei = out[("player_stint", "on_court_with", "lineup_stint")]
+    assert ei.shape[0] == 2 and ei.dtype == np.int64
+    assert ei[0].max() < n_ps and ei[1].max() < n_ls
+    assert ei[0].min() >= 0 and ei[1].min() >= 0
+    # every lineup stint is on-court-with at least one player stint
+    assert len(set(ei[1].tolist())) == n_ls
