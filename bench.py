@@ -31,6 +31,32 @@ HEADLINE = [
 ]
 
 
+def _bench_nba_pipeline(spark, n_games: int) -> float:
+    """Time the full EP2 game pipeline (periods → lineup kernel → stints →
+    actions → scores → plus-minus) across a multi-game corpus."""
+    import time as _time
+
+    from mbai_gdb_spark.pipeline.fixtures import PBP_DDL, STARTERS_DDL, make_game
+    from mbai_gdb_spark.pipeline.plus_minus import game_pipeline
+
+    pbp_rows, starter_rows, home_rows = [], [], []
+    for i in range(n_games):
+        gid = 9000 + i
+        pbp, st = make_game(game_id=gid, home_team=10, away_team=20, n_ot=i % 2, seed=i)
+        pbp_rows += pbp
+        starter_rows += st
+        home_rows.append((gid, 10))
+    pbp_df = spark.createDataFrame(pbp_rows, PBP_DDL)
+    st_df = spark.createDataFrame(starter_rows, STARTERS_DDL)
+    home_df = spark.createDataFrame(home_rows, "game_id long, home_team_id long")
+
+    t0 = _time.perf_counter()
+    tables = game_pipeline(pbp_df, st_df, home_df)
+    for name in ("lineup_plus_minus", "player_plus_minus", "scores", "action_next"):
+        tables[name].write.format("noop").mode("overwrite").save()
+    return _time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -55,6 +81,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    timings["nba_game_pipeline_20"] = round(_bench_nba_pipeline(spark, n_games=20), 3)
 
     total = round(sum(timings.values()), 3)
     print(

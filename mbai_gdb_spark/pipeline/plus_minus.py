@@ -87,9 +87,20 @@ def player_plus_minus(
     )
 
 
-def game_pipeline(pbp: DataFrame, starters: DataFrame, home_teams: DataFrame) -> dict:
+def game_pipeline(
+    pbp: DataFrame,
+    starters: DataFrame,
+    home_teams: DataFrame,
+    persist_intermediates: bool = True,
+) -> dict:
     """EP2 end-to-end: periods → lineups → stints → actions → scores →
-    plus-minus.  Returns the full table set (lazy DataFrames)."""
+    plus-minus.  Returns the full table set (lazy DataFrames).
+
+    ``persist_intermediates`` caches the two fan-out points every
+    downstream table reuses — the lineup-kernel output and the shaped
+    actions — so materializing N outputs runs the kernel once, not N
+    times.  (At cluster scale the same role is played by checkpointing
+    or writing these two tables; the DAG shape is identical.)"""
     from mbai_gdb_spark.pipeline.actions import (
         action_next_chain,
         attribute_rebounds,
@@ -107,9 +118,12 @@ def game_pipeline(pbp: DataFrame, starters: DataFrame, home_teams: DataFrame) ->
 
     periods = build_periods(pbp)
     lineup_stints = build_lineup_stints(pbp, starters)
+    actions = shape_actions(pbp)
+    if persist_intermediates:
+        lineup_stints = lineup_stints.persist()
+        actions = actions.persist()
     player_stints = build_player_stints(lineup_stints)
     edges = player_stint_lineup_edges(player_stints)
-    actions = shape_actions(pbp)
     attributed = join_actions_to_stints(actions, lineup_stints)
     rebounds = attribute_rebounds(actions)
     next_actions = action_next_chain(actions)
