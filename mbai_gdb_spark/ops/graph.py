@@ -1,0 +1,163 @@
+"""Graph analytics over typed vertex/edge DataFrames.
+
+The engine models the property graph as one DataFrame per node type and
+per edge type (SURVEY §1.6).  This module supplies the GraphFrames-style
+analytics layer on that representation — motif chaining (J10 multi-hop
+pattern joins, reference export reads src/managers/game.py:346-358,
+463-481), aggregateMessages (edge-vertex join + groupBy), and the two
+classic iterative algorithms (PageRank, connected components) as
+driver-iterated DataFrame loops.
+
+Scale notes: one iteration = one join + one shuffle on vertex id; lineage
+is truncated every ``checkpoint_every`` iterations via localCheckpoint
+(at cluster scale use reliable checkpointing) so plans stay bounded.
+That is exactly how GraphFrames/GraphX execute Pregel-style steps —
+nothing here is driver-side per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def motif_chain(edges: list[tuple[DataFrame, str, str]], start_alias: str = "v0") -> DataFrame:
+    """Multi-hop pattern join: chain edge tables (df, src_col, dst_col)
+    into paths.  Hop i's dst equi-joins hop i+1's src — a J10 5-way
+    MATCH pattern is 4 chained hash joins Catalyst can reorder.
+
+    Output columns: ``v0, v1, ..., vN`` (the path's vertex ids) plus any
+    payload columns of each edge table prefixed ``e{i}_``.
+    """
+    out = None
+    for i, (df, src, dst) in enumerate(edges):
+        payload = [c for c in df.columns if c not in (src, dst)]
+        sel = df.select(
+            F.col(src).alias(f"v{i}"),
+            F.col(dst).alias(f"v{i + 1}"),
+            *[F.col(c).alias(f"e{i}_{c}") for c in payload],
+        )
+        out = sel if out is None else out.join(sel, f"v{i}")
+    return out
+
+
+def aggregate_messages(
+    vertices: DataFrame,
+    edges: DataFrame,
+    msg,
+    agg,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    to_dst: bool = True,
+) -> DataFrame:
+    """GraphX aggregateMessages as a join+groupBy: each edge sends
+    ``msg`` (a Column over src-vertex attrs joined on the edge) to its
+    dst (or src), aggregated by ``agg`` per receiving vertex."""
+    sender, receiver = (src_col, dst_col) if to_dst else (dst_col, src_col)
+    sv = vertices.select(
+        F.col(id_col).alias("__sender__"),
+        *[c for c in vertices.columns if c != id_col],
+    )
+    triplets = edges.join(sv, edges[sender] == sv["__sender__"])
+    return (
+        triplets.select(F.col(receiver).alias(id_col), msg.alias("__msg__"))
+        .groupBy(id_col)
+        .agg(agg(F.col("__msg__")).alias("agg_msg"))
+    )
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    reset: float = 0.15,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank.  Dangling mass is redistributed
+    uniformly; returns (id, pagerank) summing to ~|V|."""
+    v = vertices.select(id_col).distinct()
+    n = v.count()
+    out_deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg__"))
+    ranks = v.withColumn("rank", F.lit(1.0))
+    for i in range(n_iter):
+        contrib_src = (
+            ranks.join(out_deg, ranks[id_col] == out_deg[src_col], "left")
+            .select(
+                ranks[id_col].alias("__vid__"),
+                (F.col("rank") / F.col("__deg__")).alias("__share__"),
+                F.when(F.col("__deg__").isNull(), F.col("rank")).otherwise(0.0).alias(
+                    "__dangling__"
+                ),
+            )
+        )
+        dangling = contrib_src.agg(F.sum("__dangling__")).collect()[0][0] or 0.0
+        msgs = (
+            edges.join(contrib_src, edges[src_col] == F.col("__vid__"))
+            .groupBy(dst_col)
+            .agg(F.sum("__share__").alias("__in__"))
+        )
+        ranks = (
+            v.join(msgs, v[id_col] == msgs[dst_col], "left")
+            .select(
+                v[id_col],
+                (
+                    F.lit(reset)
+                    + F.lit(1 - reset)
+                    * (F.coalesce(F.col("__in__"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.withColumnRenamed("rank", "pagerank")
+
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 20,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Min-label propagation until fixpoint (or max_iter): each vertex
+    adopts the smallest component id among itself and its neighbours.
+    Returns (id, component)."""
+    sym = edges.select(src_col, dst_col).unionByName(
+        edges.select(F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col))
+    )
+    comp = vertices.select(F.col(id_col), F.col(id_col).alias("component"))
+    for i in range(max_iter):
+        nbr_min = (
+            sym.join(comp, sym[src_col] == comp[id_col])
+            .groupBy(dst_col)
+            .agg(F.min("component").alias("__nbr_min__"))
+        )
+        new_comp = (
+            comp.join(nbr_min, comp[id_col] == nbr_min[dst_col], "left")
+            .select(
+                comp[id_col],
+                F.least(
+                    F.col("component"), F.coalesce(F.col("__nbr_min__"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_comp = new_comp.localCheckpoint(eager=True)
+            changed = (
+                new_comp.alias("n")
+                .join(comp.alias("o"), F.col(f"n.{id_col}") == F.col(f"o.{id_col}"))
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            comp = new_comp
+            if changed == 0:
+                break
+        else:
+            comp = new_comp
+    return comp

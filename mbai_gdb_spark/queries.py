@@ -843,3 +843,57 @@ def flagship_session_attribution(spark, sf_dir):
         F.col("purchase_revenue").desc(), F.col("session_id")
     )
     return per_session.withColumn("revenue_rank", F.row_number().over(w))
+
+
+@query(
+    "f_json_event_props",
+    """
+    SELECT event_id,
+           CAST(props->>'k' AS BIGINT) AS prop_k,
+           CASE WHEN CAST(props->>'k' AS BIGINT) >= 50 THEN 'high' ELSE 'low' END
+               AS k_band
+    FROM events
+    """,
+)
+def f_json_event_props(spark, sf_dir):
+    """JSON extraction family (reference §2.8: JSON parsing at source,
+    src/fetcher.py:101-102 — here as a column-level from_json/path
+    extraction that Catalyst can prune)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select(
+        "event_id",
+        k.alias("prop_k"),
+        F.when(k >= 50, F.lit("high")).otherwise(F.lit("low")).alias("k_band"),
+    )
+
+
+@query(
+    "j10_motif_customer_supplier_nation",
+    """
+    SELECT n.n_nationkey, n.n_name, COUNT(*) AS n_pairs
+    FROM customer c
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+)
+def j10_motif_customer_supplier_nation(spark, sf_dir):
+    """Multi-hop motif join (reference J10: 5-way MATCH patterns in the
+    export reads, src/managers/game.py:346-358) via the graph layer's
+    motif_chain — chained equi-joins Catalyst reorders freely."""
+    from mbai_gdb_spark.ops.graph import motif_chain
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"), F.col("c_nationkey").alias("nat")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nat"), F.col("s_suppkey").alias("supp")
+    )
+    n = _t(spark, sf_dir, "nation")
+    paths = motif_chain([(c, "cust", "nat"), (s, "nat", "supp")])
+    return (
+        paths.join(F.broadcast(n), paths.v1 == n.n_nationkey)
+        .groupBy("n_nationkey", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

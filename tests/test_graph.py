@@ -1,0 +1,55 @@
+"""Graph analytics layer tests: motifs, aggregateMessages, PageRank,
+connected components — on tiny hand-checkable graphs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.graph import (
+    aggregate_messages,
+    connected_components,
+    motif_chain,
+    pagerank,
+)
+
+
+def test_motif_chain_two_hops(spark):
+    e1 = spark.createDataFrame([(1, 10), (2, 10), (3, 20)], "c long, n long")
+    e2 = spark.createDataFrame([(10, 100), (10, 200), (20, 300)], "n long, s long")
+    paths = motif_chain([(e1, "c", "n"), (e2, "n", "s")], start_alias="c")
+    # customers 1,2 reach suppliers 100,200 via nation 10; customer 3 → 300
+    got = {(r.v0, r.v2) for r in paths.collect()}
+    assert got == {(1, 100), (1, 200), (2, 100), (2, 200), (3, 300)}
+
+
+def test_aggregate_messages_in_degree_weighted(spark):
+    vertices = spark.createDataFrame([(1, 2.0), (2, 3.0), (3, 5.0)], "id long, w double")
+    edges = spark.createDataFrame([(1, 3), (2, 3), (3, 1)], "src long, dst long")
+    got = {
+        r.id: r.agg_msg
+        for r in aggregate_messages(
+            vertices, edges, msg=F.col("w"), agg=F.sum
+        ).collect()
+    }
+    # vertex 3 receives w(1)+w(2)=5; vertex 1 receives w(3)=5
+    assert got == {3: 5.0, 1: 5.0}
+
+
+def test_pagerank_star(spark):
+    # star: 1..4 all point to 0; 0 points nowhere (dangling)
+    vertices = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 5)], "src long, dst long")
+    pr = {r.id: r.pagerank for r in pagerank(vertices, edges, n_iter=20).collect()}
+    assert pr[0] == max(pr.values())
+    leaves = [pr[i] for i in range(1, 5)]
+    assert max(leaves) - min(leaves) < 1e-9  # symmetric leaves equal
+    assert sum(pr.values()) == pytest.approx(5.0, rel=1e-6)  # mass conserved
+
+
+def test_connected_components_two_islands(spark):
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 8, 9]], "id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8), (8, 9)], "src long, dst long")
+    comp = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == comp[9] == 7
