@@ -64,6 +64,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_WAREHOUSE"):
+        builder = builder.config(
+            "spark.sql.warehouse.dir", os.environ["SPARK_GRAFT_WAREHOUSE"]
+        )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
