@@ -897,3 +897,88 @@ def j10_motif_customer_supplier_nation(spark, sf_dir):
         .groupBy("n_nationkey", "n_name")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "a2_order_span_per_customer",
+    """
+    SELECT o_custkey,
+           MIN(o_orderdate) AS first_order_date,
+           MAX(o_orderdate) AS last_order_date,
+           MIN_BY(o_orderkey, CAST(epoch_us(o_orderdate) / 86400000000 AS BIGINT)
+                              * 10000000000 + o_orderkey) AS first_order_key,
+           MAX_BY(o_orderkey, CAST(epoch_us(o_orderdate) / 86400000000 AS BIGINT)
+                              * 10000000000 + o_orderkey) AS last_order_key,
+           date_diff('day', CAST(MIN(o_orderdate) AS DATE), CAST(MAX(o_orderdate) AS DATE))
+               AS span_days
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a2_order_span_per_customer(spark, sf_dir):
+    """First/last element per group (reference A2: period start/end from
+    first/second marker row, src/managers/game.py:129-132) via
+    min/max and deterministic min_by/max_by on a composite key."""
+    o = _t(spark, sf_dir, "orders")
+    comp = (
+        (epoch_us("o_orderdate") / F.lit(86400000000)).cast("long") * F.lit(10000000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_order_date"),
+        F.max("o_orderdate").alias("last_order_date"),
+        F.min_by("o_orderkey", comp).alias("first_order_key"),
+        F.max_by("o_orderkey", comp).alias("last_order_key"),
+        F.datediff(
+            F.max("o_orderdate").cast("date"), F.min("o_orderdate").cast("date")
+        ).alias("span_days"),
+    )
+
+
+@query(
+    "f_array_ops",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               list(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    ORDER BY epoch_us(o_orderdate), o_orderkey) AS cents_arr
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           len(cents_arr) AS n_orders,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), cents_arr), (a, x) -> a + x)
+               AS total_cents,
+           cents_arr[1] AS first_cents,
+           cents_arr[-1] AS last_cents,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), cents_arr[1:3]), (a, x) -> a + x)
+               AS first3_cents
+    FROM per_cust
+    """,
+)
+def f_array_ops(spark, sf_dir):
+    """Array/higher-order function family (reference §2.8: collect / size
+    / head / last / slice / index / reduce, src/queries/game.py:44-47,
+    101-108,142-167,630-707) — ordered collect, slice, element_at, and a
+    sequential aggregate fold."""
+    o = _t(spark, sf_dir, "orders")
+    arr = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    epoch_us("o_orderdate").alias("k1"),
+                    F.col("o_orderkey").alias("k2"),
+                    scaled_long(F.col("o_totalprice"), 100).alias("cents"),
+                )
+            )
+        ),
+        lambda s: s["cents"],
+    )
+    per_cust = o.groupBy("o_custkey").agg(arr.alias("cents_arr"))
+    fold = lambda a: F.aggregate(a, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return per_cust.select(
+        "o_custkey",
+        F.size("cents_arr").alias("n_orders"),
+        fold(F.col("cents_arr")).alias("total_cents"),
+        F.element_at("cents_arr", 1).alias("first_cents"),
+        F.element_at("cents_arr", -1).alias("last_cents"),
+        fold(F.slice("cents_arr", 1, 3)).alias("first3_cents"),
+    )

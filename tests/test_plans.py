@@ -1,0 +1,52 @@
+"""Physical-plan property tests: the scale guarantees the engine relies
+on must survive refactors — pushdown reaching the scans, dims broadcast,
+window pipelines on a single shuffle, top-k without a global sort."""
+
+from __future__ import annotations
+
+import mbai_gdb_spark.queries_north  # noqa: F401
+from mbai_gdb_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "j7_asof_click_to_view")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(spark, "a1_pricing_summary")
+    # only the 5 needed lineitem columns are read (no shipdate, keys, ...)
+    assert "ReadSchema" in plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_shipdate" not in read and "l_orderkey" not in read
+
+
+def test_dims_are_broadcast(spark):
+    plan = _plan(spark, "j1_region_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # at fixture scale everything broadcasts
+
+
+def test_window_pipeline_single_shuffle(spark):
+    plan = _plan(spark, "w8_running_total_reset")
+    # both window sums share the user_id partitioning: exactly one Exchange
+    n_exchange = sum(
+        1
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l and "Reused" not in l
+    )
+    assert n_exchange == 1, plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = _plan(spark, "o3_top10_customers_by_revenue")
+    assert "TakeOrderedAndProject" in plan
