@@ -359,3 +359,32 @@ def mm_binary_metadata(spark, sf_dir):
     in for image/audio codecs — see ops.multimodal)."""
     docs = with_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
     return binary_metadata(docs, "doc_id", "payload")
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
+           / ({_SQL_NORM.format(v="a.ve")} * {_SQL_NORM.format(v="b.ve")}) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
+          / ({_SQL_NORM.format(v="a.ve")} * {_SQL_NORM.format(v="b.ve")}) >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (brute-force correctness
+    baseline; the LSH-bucketed scale path is ``sim_lsh_neighbors``).
+    Same sequential accumulation chains as the oracle → raw doubles
+    hash-equal."""
+    from mbai_gdb_spark.ops.similarity import as_double, cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("__va__"))
+    b = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("__vb__"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cosine_sim")
+    )
+    return scored.filter(F.col("cosine_sim") >= 0.5)
