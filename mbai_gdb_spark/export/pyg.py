@@ -100,6 +100,42 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
             edges, "player_stint_id", "stint_id", ps_idx, ls_idx
         ),
     }
+
+    # Action node type + one typed edge tensor per relationship label
+    # (reference export builds per-edge-type index tensors,
+    # src/managers/game.py:435-457).
+    if "actions" in tables and "action_edges" in tables:
+        actions = tables["actions"]
+        a_idx = dense_index(actions, "action_id")
+        out["action"] = {
+            "x": node_features(
+                actions.withColumn("made_f", F.col("is_made").cast("double")),
+                "action_id",
+                ["points", "local_clock", "global_clock", "made_f"],
+                a_idx,
+            ),
+            "num_nodes": actions.count(),
+        }
+        action_edges = tables["action_edges"]
+        labels = [
+            r.edge_type
+            for r in action_edges.select("edge_type").distinct().collect()
+        ]
+        for label in sorted(labels):
+            sub = action_edges.filter(
+                (F.col("edge_type") == label) & (F.col("src_kind") == "player_stint")
+            )
+            if sub.head(1):
+                out[("player_stint", label.lower(), "action")] = edge_index(
+                    sub, "src_id", "action_id", ps_idx, a_idx
+                )
+            sub_l = action_edges.filter(
+                (F.col("edge_type") == label) & (F.col("src_kind") == "lineup_stint")
+            )
+            if sub_l.head(1):
+                out[("lineup_stint", label.lower(), "action")] = edge_index(
+                    sub_l, "src_id", "action_id", ls_idx, a_idx
+                )
     if torch is not None:  # pragma: no cover
         out = {
             k: (

@@ -211,3 +211,121 @@ def action_next_chain(actions: DataFrame) -> DataFrame:
         ((F.col("next_t_us") - F.col("t_us")).cast("double") / 1e6).alias("time_delta_s"),
         (F.col("next_global_clock") - F.col("global_clock")).alias("clock_delta_s"),
     )
+
+
+# Edge-type mapping: actionType → primary-actor edge label (reference
+# relationship inventory, SURVEY §1.3 / src/queries/game.py:237-591).
+PRIMARY_EDGE_TYPES = {
+    "2pt": "TOOK_SHOT",
+    "3pt": "TOOK_SHOT",
+    "freethrow": "TOOK_SHOT",
+    "foul": "COMMITTED_FOUL",
+    "rebound": "REBOUNDED",
+    "turnover": "LOST_BALL",
+    "violation": "COMMITTED_VIOLATION",
+    "jumpball": "RECOVERED_JUMPBALL",
+}
+
+# (column, edge label) for secondary actors.  Assists are same-team;
+# blocks/steals/drawn fouls credit the OPPONENT's player (J5 —
+# reference src/queries/game.py:346-357, 417-427, 557-567).
+SECONDARY_EDGE_COLS = [
+    ("assist_player_id", "ASSISTED"),
+    ("block_player_id", "BLOCKED"),
+    ("steal_player_id", "STOLE_BALL"),
+    ("foul_drawn_player_id", "DREW_FOUL"),
+]
+
+
+def resolve_player_stint_at(
+    events: DataFrame, player_col: str, player_stints: DataFrame, out_col: str
+) -> DataFrame:
+    """Attach the player-stint containing each event's global clock for
+    the player named in ``player_col`` (equi keys game+player, residual
+    [start, end) range — a J3-shaped hash join, works for EITHER team's
+    players so opponent attribution needs no special casing)."""
+    ps = player_stints.select(
+        "game_id",
+        F.col("player_id").alias(player_col),
+        F.col("player_stint_id").alias(out_col),
+        F.col("global_start").alias("__ps_start__"),
+        F.col("global_end").alias("__ps_end__"),
+    )
+    resolved = (
+        events.join(ps, ["game_id", player_col])
+        .filter(
+            (F.col("global_clock") >= F.col("__ps_start__"))
+            & (F.col("global_clock") < F.col("__ps_end__"))
+        )
+        .drop("__ps_start__", "__ps_end__")
+    )
+    # Preserve LEFT semantics: events whose player has no containing
+    # stint (or a null player) come back with a null resolution.
+    unresolved = events.join(
+        resolved.select("action_id"), "action_id", "left_anti"
+    ).withColumn(out_col, F.lit(None).cast("string"))
+    return resolved.unionByName(unresolved)
+
+
+def build_action_edges(
+    actions: DataFrame, lineup_stints: DataFrame, player_stints: DataFrame
+) -> DataFrame:
+    """The full typed edge table set in long format:
+    (game_id, edge_type, src_kind, src_id, action_id).
+
+    - primary actor → PlayerStint edge per action type; when the action
+      has no personId (team-level: timeouts, team rebounds/turnovers)
+      the edge falls back to the team's LineUpStint (J6 OPTIONAL MATCH
+      fallback, reference src/queries/game.py:237-259);
+    - secondary actors (assist / block / steal / drawn foul) resolve via
+      their own player-stint containment — including opponent players.
+    """
+    mapping = F.create_map(
+        *[F.lit(x) for kv in PRIMARY_EDGE_TYPES.items() for x in kv]
+    )
+    attributed = join_actions_to_stints(actions, lineup_stints)
+    with_actor = resolve_player_stint_at(
+        attributed.filter(F.col("action_type") != "timeout"),
+        "player_id",
+        player_stints,
+        "actor_stint_id",
+    )
+    primary_player = with_actor.filter(F.col("actor_stint_id").isNotNull()).select(
+        "game_id",
+        mapping[F.col("action_type")].alias("edge_type"),
+        F.lit("player_stint").alias("src_kind"),
+        F.col("actor_stint_id").alias("src_id"),
+        "action_id",
+    )
+    # team-level fallback: no resolvable player → lineup-stint edge
+    primary_team = with_actor.filter(F.col("actor_stint_id").isNull()).select(
+        "game_id",
+        mapping[F.col("action_type")].alias("edge_type"),
+        F.lit("lineup_stint").alias("src_kind"),
+        F.col("stint_id").alias("src_id"),
+        "action_id",
+    )
+    timeouts = attributed.filter(F.col("action_type") == "timeout").select(
+        "game_id",
+        F.lit("CALLED_TIMEOUT").alias("edge_type"),
+        F.lit("lineup_stint").alias("src_kind"),
+        F.col("stint_id").alias("src_id"),
+        "action_id",
+    )
+    edges = primary_player.unionByName(primary_team).unionByName(timeouts)
+
+    for col, label in SECONDARY_EDGE_COLS:
+        sub = actions.filter(F.col(col).isNotNull()).select(
+            "game_id", "action_id", "global_clock", col
+        )
+        resolved = resolve_player_stint_at(sub, col, player_stints, "sec_stint_id")
+        edges = edges.unionByName(
+            resolved.filter(F.col("sec_stint_id").isNotNull()).select(
+                "game_id",
+                F.lit(label).alias("edge_type"),
+                F.lit("player_stint").alias("src_kind"),
+                F.col("sec_stint_id").alias("src_id"),
+                "action_id",
+            )
+        )
+    return edges

@@ -104,6 +104,7 @@ def game_pipeline(
     from mbai_gdb_spark.pipeline.actions import (
         action_next_chain,
         attribute_rebounds,
+        build_action_edges,
         join_actions_to_stints,
         shape_actions,
     )
@@ -140,6 +141,7 @@ def game_pipeline(
         "stint_next": cross_period_next_chain(lineup_stints, player_stints),
         "actions": actions,
         "actions_attributed": attributed,
+        "action_edges": build_action_edges(actions, lineup_stints, player_stints),
         "rebound_attribution": rebounds,
         "action_next": next_actions,
         "scores": scores,

@@ -65,3 +65,20 @@ def test_hetero_tensor_export(spark):
     assert ei[0].min() >= 0 and ei[1].min() >= 0
     # every lineup stint is on-court-with at least one player stint
     assert len(set(ei[1].tolist())) == n_ls
+
+
+def test_hetero_tensor_export_action_edges(spark):
+    from mbai_gdb_spark.export.pyg import to_hetero_tensors
+    from mbai_gdb_spark.pipeline.fixtures import fixture_frames
+    from mbai_gdb_spark.pipeline.plus_minus import game_pipeline
+
+    pbp, starters = fixture_frames(spark, game_id=1001, home_team=10, away_team=20)
+    home = spark.createDataFrame([(1001, 10)], "game_id long, home_team_id long")
+    out = to_hetero_tensors(game_pipeline(pbp, starters, home))
+
+    n_act = out["action"]["num_nodes"]
+    assert out["action"]["x"].shape == (n_act, 4)
+    shot_edges = out[("player_stint", "took_shot", "action")]
+    assert shot_edges.shape[0] == 2 and shot_edges.shape[1] > 0
+    assert shot_edges[1].max() < n_act
+    assert ("lineup_stint", "called_timeout", "action") in out
