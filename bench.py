@@ -28,6 +28,8 @@ HEADLINE = [
     "w5_sessionize_events",
     "w8_running_total_reset",
     "o3_top10_customers_by_revenue",
+    "sim_cosine_top5",
+    "text_fingerprint",
 ]
 
 
@@ -62,6 +64,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    import mbai_gdb_spark.queries_north  # noqa: F401  (registers north-star queries)
     from mbai_gdb_spark.queries import QUERIES
     from mbai_gdb_spark.session import get_spark
 

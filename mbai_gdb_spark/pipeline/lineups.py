@@ -105,10 +105,10 @@ def _reconstruct(key, pdf):
     )
 
 
-def lineup_change_events(pbp: DataFrame, starters: DataFrame) -> DataFrame:
-    """Run the W11 kernel; returns stint-opening events
-    (game_id, team_id, period, stint_seq, lineup_id, player_ids,
-    local_start)."""
+def kernel_input(pbp: DataFrame, starters: DataFrame) -> DataFrame:
+    """The W11 kernel's input relation: starters + substitutions +
+    per-(team, period) marker rows, one schema (shared by the batch
+    applyInPandas kernel and the streaming stateful engine)."""
     plen = period_len(F.col("period"))
     subs = pbp.filter(F.col("actionType") == "substitution").select(
         "game_id",
@@ -148,8 +148,14 @@ def lineup_change_events(pbp: DataFrame, starters: DataFrame) -> DataFrame:
         F.col("PLAYER_ID").alias("player_id"),
         F.lit("starter").alias("kind"),
     )
-    unioned = subs.unionByName(period_rows).unionByName(starter_rows)
-    return unioned.groupBy("game_id", "team_id").applyInPandas(
+    return subs.unionByName(period_rows).unionByName(starter_rows)
+
+
+def lineup_change_events(pbp: DataFrame, starters: DataFrame) -> DataFrame:
+    """Run the W11 kernel; returns stint-opening events
+    (game_id, team_id, period, stint_seq, lineup_id, player_ids,
+    local_start)."""
+    return kernel_input(pbp, starters).groupBy("game_id", "team_id").applyInPandas(
         _reconstruct, LINEUP_STINT_SCHEMA
     )
 

@@ -982,3 +982,58 @@ def f_array_ops(spark, sf_dir):
         F.element_at("cents_arr", -1).alias("last_cents"),
         fold(F.slice("cents_arr", 1, 3)).alias("first3_cents"),
     )
+
+
+@query(
+    "a10_rollup_revenue",
+    """
+    SELECT COALESCE(l_returnflag, '__ALL__') AS returnflag,
+           COALESCE(l_linestatus, '__ALL__') AS linestatus,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100
+               AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a10_rollup_revenue(spark, sf_dir):
+    """Hierarchical ROLLUP aggregation (beyond the reference's surface —
+    SURVEY §2.4 notes grouping sets absent there but free in Spark).
+    Null grouping markers normalized to '__ALL__' for hash stability."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_extendedprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("linestatus"),
+            "revenue",
+            "n_rows",
+        )
+    )
+
+
+@query(
+    "a13_order_count_distribution",
+    """
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def a13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13-style double aggregation: distribution of customers by
+    order count (including zero via the left join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
