@@ -329,3 +329,43 @@ def build_action_edges(
             )
         )
     return edges
+
+
+def derive_possessions(actions: DataFrame) -> DataFrame:
+    """Possession segmentation — implements the node type the reference
+    declares but never creates (constraints at src/queries/setup.py:18,
+    32-33; SURVEY §1.2 roadmap stub).
+
+    A possession ends at: a turnover, a made field goal, a defensive
+    rebound, or the final made free throw of a trip ('2 of 2').  The
+    possession index is a running count of ENDED possessions strictly
+    before each action (so the ending action still belongs to its
+    possession) — one window over the game partition.
+    """
+    ends = (
+        (F.col("action_type") == "turnover")
+        | (F.col("action_type").isin("2pt", "3pt") & F.col("is_made"))
+        | ((F.col("action_type") == "rebound") & (F.col("sub_type") == "defensive"))
+        | (
+            (F.col("action_type") == "freethrow")
+            & F.col("is_made")
+            & (F.col("sub_type") == "2 of 2")
+        )
+    ).cast("int")
+    prio = with_priority(actions, "action_type", ACTION_PRIORITY, default=9)
+    order = [F.col("global_clock"), F.col("priority"), F.col("action_id")]
+    w_prev = (
+        Window.partitionBy("game_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = prio.withColumn("__ends__", ends).withColumn(
+        "possession_seq",
+        (F.coalesce(F.sum("__ends__").over(w_prev), F.lit(0)) + 1).cast("long"),
+    )
+    return tagged.groupBy("game_id", "possession_seq").agg(
+        F.min("global_clock").alias("start_clock"),
+        F.max("global_clock").alias("end_clock"),
+        F.count(F.lit(1)).alias("n_actions"),
+        F.sum("points").alias("points"),
+    )

@@ -1037,3 +1037,28 @@ def a13_order_count_distribution(spark, sf_dir):
         .agg(F.count("o_orderkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "a11_quantity_percentiles",
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS p25_qty,
+           quantile_cont(l_quantity, 0.5)  AS median_qty,
+           quantile_cont(l_quantity, 0.75) AS p75_qty,
+           quantile_cont(l_quantity, 0.95) AS p95_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a11_quantity_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (beyond the reference's surface —
+    SURVEY §2.4 notes these absent there, free in Spark).  Computed on
+    integral quantities so the interpolation arithmetic is
+    engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
+        F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
+    )

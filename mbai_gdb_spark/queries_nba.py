@@ -333,3 +333,57 @@ def nba_player_stints(spark, sf_dir):
         "first_period",
         "last_period",
     )
+
+
+@query(
+    "nba_possessions",
+    f"""
+    WITH {_fixture_pbp_cte()},
+    actions AS (
+        SELECT action_id, time, period, team_id, person_id, action_type,
+               sub_type, shot_result,
+               {_SQL_GLOBAL} AS global_clock,
+               {_SQL_POINTS} AS points,
+               CASE action_type
+                    WHEN 'jumpball' THEN 1 WHEN 'violation' THEN 2
+                    WHEN 'foul' THEN 3 WHEN '2pt' THEN 4 WHEN '3pt' THEN 4
+                    WHEN 'freethrow' THEN 5 WHEN 'rebound' THEN 6
+                    WHEN 'turnover' THEN 7 WHEN 'substitution' THEN 8
+                    WHEN 'timeout' THEN 9 ELSE 9 END AS priority
+        FROM pbp WHERE action_type NOT IN ('period', 'substitution')
+    ),
+    tagged AS (
+        SELECT *,
+               CASE WHEN action_type = 'turnover'
+                      OR (action_type IN ('2pt', '3pt') AND shot_result = 'Made')
+                      OR (action_type = 'rebound' AND sub_type = 'defensive')
+                      OR (action_type = 'freethrow' AND shot_result = 'Made'
+                          AND sub_type = '2 of 2')
+                    THEN 1 ELSE 0 END AS ends
+        FROM actions
+    )
+    SELECT possession_seq,
+           MIN(global_clock) AS start_clock,
+           MAX(global_clock) AS end_clock,
+           COUNT(*) AS n_actions,
+           CAST(SUM(points) AS BIGINT) AS points
+    FROM (
+        SELECT *,
+               CAST(COALESCE(SUM(ends) OVER (ORDER BY global_clock, priority, action_id
+                                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING), 0) + 1 AS BIGINT)
+                   AS possession_seq
+        FROM tagged
+    ) GROUP BY possession_seq
+    """,
+)
+def nba_possessions(spark, sf_dir):
+    """Possession segmentation — the operator the reference declares in
+    its schema but never implements (setup.py:18,32-33); derived here
+    with a single running-count window (full oracle)."""
+    from mbai_gdb_spark.pipeline.actions import derive_possessions, shape_actions
+
+    pbp, _ = _fixture(spark)
+    return derive_possessions(shape_actions(pbp)).select(
+        "possession_seq", "start_clock", "end_clock", "n_actions", "points"
+    )
