@@ -147,3 +147,89 @@ def lsh_candidate_neighbors(
     if min_cosine is not None:
         pairs = pairs.filter(F.col("cosine_sim") >= min_cosine)
     return pairs
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: each vector → nearest centroid by cosine
+    (ties → smallest centroid id).  Centroids broadcast; assignment is a
+    map-side scan — the partitioned inverted-file layout at scale."""
+    c = centroids.select(
+        F.col(id_col).alias(centroid_id_col), as_double(F.col(vec_col)).alias("__cv__")
+    )
+    v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__vv__"))
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col,
+        centroid_id_col,
+        cosine(F.col("__vv__"), F.col("__cv__")).alias("__sim__"),
+    )
+    return topk_per_key(
+        scored, [id_col], [F.col("__sim__").desc(), F.col(centroid_id_col)], 1
+    ).select(id_col, centroid_id_col)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse centroids (every
+    ``centroid_stride``-th vector — a production system would k-means;
+    fixed seeds keep this oracle-reproducible), nearest-centroid
+    inverted lists, query probes its ``n_probe`` closest lists, exact
+    cosine re-rank inside them.
+
+    Scale shape: centroids broadcast; the corpus is PARTITIONED BY
+    centroid_id (the inverted file); a query touches n_probe/K of the
+    data — the classic recall/cost dial."""
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    lists = corpus.join(assignment, id_col)
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qraw__")
+    )
+    q_probes = topk_per_key(
+        q.crossJoin(
+            F.broadcast(
+                centroids.select(
+                    F.col(id_col).alias("centroid_id"),
+                    as_double(F.col(vec_col)).alias("__cv__"),
+                )
+            )
+        ).select(
+            query_id_col,
+            "__qraw__",
+            "centroid_id",
+            cosine(as_double(F.col("__qraw__")), F.col("__cv__")).alias("__csim__"),
+        ),
+        [query_id_col],
+        [F.col("__csim__").desc(), F.col("centroid_id")],
+        n_probe,
+    ).select(query_id_col, "__qraw__", "centroid_id")
+
+    candidates = q_probes.join(
+        lists.select(id_col, F.col(vec_col).alias("__craw__"), "centroid_id"),
+        "centroid_id",
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    scored = candidates.select(
+        query_id_col,
+        id_col,
+        cosine(as_double(F.col("__qraw__")), as_double(F.col("__craw__"))).alias(
+            "cosine_sim"
+        ),
+    ).dropDuplicates([query_id_col, id_col])
+    return topk_per_key(
+        scored, [query_id_col], [F.col("cosine_sim").desc(), F.col(id_col)], k,
+        rank_alias="rank",
+    )

@@ -388,3 +388,58 @@ def dedup_embedding_cosine(spark, sf_dir):
         "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cosine_sim")
     )
     return scored.filter(F.col("cosine_sim") >= 0.5)
+
+
+_SQL_COS = (
+    _SQL_DOT.format(products="list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i])")
+    + " / (" + _SQL_NORM.format(v="{a}") + " * " + _SQL_NORM.format(v="{b}") + ")"
+)
+
+
+@query(
+    "sim_ivf_top5",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, ve AS cv FROM v WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_SQL_COS.format(a="v.ve", b="c.cv")} DESC,
+                                               c.centroid_id) AS rn
+            FROM v, cent c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, qv, centroid_id FROM (
+            SELECT q.query_id, q.qv, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_SQL_COS.format(a="q.qv", b="c.cv")} DESC,
+                                               c.centroid_id) AS rn
+            FROM q, cent c
+        ) WHERE rn <= 2
+    ),
+    cands AS (
+        SELECT DISTINCT p.query_id, l.vec_id,
+               {_SQL_COS.format(a="p.qv", b="l.ve")} AS cosine_sim
+        FROM probes p
+        JOIN assign a ON a.centroid_id = p.centroid_id
+        JOIN v l ON l.vec_id = a.vec_id
+        WHERE l.vec_id != p.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM cands
+    ) WHERE rn <= 5
+    """,
+)
+def sim_ivf_top5(spark, sf_dir):
+    """IVF-flat ANN (deterministic coarse quantizer, 2-probe, exact
+    re-rank) — the partitioned inverted-file scale path beside LSH."""
+    from mbai_gdb_spark.ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, n_probe=2, centroid_stride=50)

@@ -53,3 +53,26 @@ def test_connected_components_two_islands(spark):
     comp = {r.id: r.component for r in connected_components(vertices, edges).collect()}
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[7] == comp[8] == comp[9] == 7
+
+
+def test_ivf_recall_against_brute_force(spark):
+    """IVF probing half the lists must beat the probed fraction on
+    recall@5 (the fixture embeddings are unclustered random vectors, so
+    this is a wiring/recall-dial sanity check, not an ANN benchmark —
+    real corpora cluster and recall rises accordingly)."""
+    from mbai_gdb_spark.io import read_table
+    from mbai_gdb_spark.ops.similarity import cosine_topk, ivf_topk
+    from pyspark.sql import functions as F2
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F2.col("vec_id") < 5)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, k=5, n_probe=5, centroid_stride=50).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.5, recall
