@@ -443,3 +443,29 @@ def sim_ivf_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries_df, k=5, n_probe=2, centroid_stride=50)
+
+
+@query(
+    "text_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpe_tokens,
+           len(list_filter(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                           x -> regexp_matches(x, '^[0-9]+$'))) AS n_numeric_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer counts (GPT-2-style alpha/digit/punct split
+    regex) beside the whitespace count — the brief's two token-counting
+    modes, both pure column regex (JVM-side)."""
+    docs = _t(spark, sf_dir, "documents")
+    bpe = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
+    return docs.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.filter(bpe, lambda x: x.rlike("^[0-9]+$"))).alias("n_numeric_tokens"),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+    )
