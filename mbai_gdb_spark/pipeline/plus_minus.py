@@ -124,6 +124,8 @@ def game_pipeline(
         lineup_stints = lineup_stints.persist()
         actions = actions.persist()
     player_stints = build_player_stints(lineup_stints)
+    if persist_intermediates:
+        player_stints = player_stints.persist()
     edges = player_stint_lineup_edges(player_stints)
     attributed = join_actions_to_stints(actions, lineup_stints)
     rebounds = attribute_rebounds(actions)

@@ -1062,3 +1062,48 @@ def a11_quantity_percentiles(spark, sf_dir):
         F.expr("percentile(l_quantity, 0.75)").alias("p75_qty"),
         F.expr("percentile(l_quantity, 0.95)").alias("p95_qty"),
     )
+
+
+@query(
+    "q7_nation_trade_volume",
+    """
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           year(l.l_shipdate) AS ship_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000
+               AS volume,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_nationkey <> sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7-style cross-nation volume: the same dimension table
+    joined twice under different roles plus an inequality residual —
+    exercises Catalyst's self-join aliasing and join reordering."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("c_nk") != F.col("s_nk"))
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            money_sum(disc_price, 10000).alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
