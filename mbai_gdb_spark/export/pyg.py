@@ -45,11 +45,17 @@ def edge_index(
 ) -> np.ndarray:
     """[2, E] edge-index array in dense coordinates (the PyG contract,
     reference src/managers/game.py:435-457)."""
-    s = src_index.withColumnRenamed("dense_idx", "__src_idx__")
-    d = dst_index.withColumnRenamed("dense_idx", "__dst_idx__")
+    s = src_index.select(
+        F.col(src_index.columns[0]).alias("__src_key__"),
+        F.col("dense_idx").alias("__src_idx__"),
+    )
+    d = dst_index.select(
+        F.col(dst_index.columns[0]).alias("__dst_key__"),
+        F.col("dense_idx").alias("__dst_idx__"),
+    )
     resolved = (
-        edges.join(s, edges[src_col] == s[s.columns[0]])
-        .join(d, edges[dst_col] == d[d.columns[0]])
+        edges.join(s, edges[src_col] == F.col("__src_key__"))
+        .join(d, edges[dst_col] == F.col("__dst_key__"))
         .select("__src_idx__", "__dst_idx__")
         .toPandas()
     )
@@ -136,6 +142,40 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
                 out[("lineup_stint", label.lower(), "action")] = edge_index(
                     sub_l, "src_id", "action_id", ls_idx, a_idx
                 )
+    # Score node type + GENERATED_SCORE / NEXT edges (reference
+    # MERGE_SCORES export path, src/queries/game.py:716-740).
+    if "scores" in tables:
+        scores = tables["scores"]
+        s_idx = dense_index(scores, "score_action_id")
+        out["score"] = {
+            "x": node_features(
+                scores,
+                "score_action_id",
+                ["home_score", "away_score", "margin", "global_clock"],
+                s_idx,
+            ),
+            "num_nodes": scores.count(),
+        }
+        if "action" in out:
+            out[("action", "generated_score", "score")] = edge_index(
+                scores.select(
+                    F.col("score_action_id").alias("__a__"),
+                    F.col("score_action_id").alias("__s__"),
+                ),
+                "__a__",
+                "__s__",
+                dense_index(tables["actions"], "action_id"),
+                s_idx,
+            )
+        if "score_next" in tables:
+            out[("score", "next", "score")] = edge_index(
+                tables["score_next"],
+                "score_action_id",
+                "next_score_action_id",
+                s_idx,
+                s_idx,
+            )
+
     if torch is not None:  # pragma: no cover
         out = {
             k: (

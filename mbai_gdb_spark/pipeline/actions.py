@@ -81,13 +81,21 @@ def shape_actions(pbp: DataFrame) -> DataFrame:
             F.col("shotResult"),
         )
     )
+    # Jumpball rows name the recoverer via their own column (source feed's
+    # "Recoverd" spelling, FIXTURES.md §4); treat them as the acting player.
+    actor = F.when(
+        F.col("actionType") == "jumpball",
+        F.coalesce(F.col("jumpBallRecoverdPersonId"), F.col("personId")),
+    ).otherwise(F.col("personId"))
     return a.select(
         "game_id",
         F.col("action_id"),
         F.col("timeActual").alias("time"),
         "period",
         F.col("teamId").alias("team_id"),
-        F.col("personId").alias("player_id"),
+        actor.alias("player_id"),
+        F.col("jumpBallWonPersonId").alias("jump_won_player_id"),
+        F.col("jumpBallLostPersonId").alias("jump_lost_player_id"),
         F.col("assistPersonId").alias("assist_player_id"),
         F.col("blockPersonId").alias("block_player_id"),
         F.col("stealPersonId").alias("steal_player_id"),
@@ -234,6 +242,8 @@ SECONDARY_EDGE_COLS = [
     ("block_player_id", "BLOCKED"),
     ("steal_player_id", "STOLE_BALL"),
     ("foul_drawn_player_id", "DREW_FOUL"),
+    ("jump_won_player_id", "WON_JUMPBALL"),
+    ("jump_lost_player_id", "LOST_JUMPBALL"),
 ]
 
 

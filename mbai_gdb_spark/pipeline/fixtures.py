@@ -87,6 +87,10 @@ def make_game(
             "blockPersonId": kw.get("blockPersonId"),
             "stealPersonId": kw.get("stealPersonId"),
             "foulDrawnPersonId": kw.get("foulDrawnPersonId"),
+            "jumpBallWonPersonId": kw.get("jumpBallWonPersonId"),
+            "jumpBallLostPersonId": kw.get("jumpBallLostPersonId"),
+            # source feed's spelling (FIXTURES.md: "Recoverd")
+            "jumpBallRecoverdPersonId": kw.get("jumpBallRecoverdPersonId"),
         }
         pbp.append(row)
         return row
@@ -110,6 +114,22 @@ def make_game(
                     emit(period, 0.0, "substitution", subType="out", teamId=tm, personId=out_p)
                     emit(period, 0.0, "substitution", subType="in", teamId=tm, personId=in_p)
                     on_court[tm] = [p for p in on_court[tm] if p != out_p] + [in_p]
+
+        # Opening jumpball (periods 1 and OT in the real feed; every
+        # period here to exercise the attribution joins).
+        jb_winner = rng.choice((home_team, away_team))
+        jb_loser = away_team if jb_winner == home_team else home_team
+        wall[0] += timedelta(seconds=2)
+        emit(
+            period,
+            0.0,
+            "jumpball",
+            subType="recovered",
+            teamId=jb_winner,
+            jumpBallWonPersonId=rng.choice(on_court[jb_winner]),
+            jumpBallLostPersonId=rng.choice(on_court[jb_loser]),
+            jumpBallRecoverdPersonId=rng.choice(on_court[jb_winner]),
+        )
 
         elapsed = 0.0
         while elapsed < plen - 60:
@@ -232,7 +252,8 @@ PBP_DDL = """
     clock string, actionType string, subType string, descriptor string,
     x double, y double, shotDistance double, shotResult string,
     teamId long, personId long, assistPersonId long, blockPersonId long,
-    stealPersonId long, foulDrawnPersonId long
+    stealPersonId long, foulDrawnPersonId long, jumpBallWonPersonId long,
+    jumpBallLostPersonId long, jumpBallRecoverdPersonId long
 """
 
 STARTERS_DDL = "game_id long, PLAYER_ID long, TEAM_ID long, START_POSITION string"

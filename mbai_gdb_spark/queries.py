@@ -1107,3 +1107,58 @@ def q7_nation_trade_volume(spark, sf_dir):
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@query(
+    "w12_hourly_time_buckets",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100 AS bucket_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def w12_hourly_time_buckets(spark, sf_dir):
+    """Tumbling time-window aggregation (the batch twin of the streaming
+    windowed agg — F.window buckets align with DuckDB time_bucket on
+    UTC epochs)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window(F.col("ts"), "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("bucket_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            "bucket_value",
+        )
+    )
+
+
+@query(
+    "a12_pivot_event_counts",
+    """
+    SELECT user_id,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END)    AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END)     AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END)   AS signup,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END)    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def a12_pivot_event_counts(spark, sf_dir):
+    """PIVOT: wide per-type counts via Spark's pivot operator (explicit
+    value list → no extra distinct pass)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )

@@ -55,10 +55,13 @@ def test_secondary_edges_resolve_to_correct_team(edge_ctx):
     }
     act = {r.action_id: r for r in actions.collect()}
     sec = edges.filter(
-        F.col("edge_type").isin("ASSISTED", "BLOCKED", "STOLE_BALL", "DREW_FOUL")
+        F.col("edge_type").isin(
+            "ASSISTED", "BLOCKED", "STOLE_BALL", "DREW_FOUL",
+            "WON_JUMPBALL", "LOST_JUMPBALL",
+        )
     ).collect()
     assert len(sec) > 0
-    same_team = {"ASSISTED"}
+    same_team = {"ASSISTED", "WON_JUMPBALL"}
     for e in sec:
         acting_team = act[e.action_id].team_id
         resolved_team = team_of_stint[e.src_id]
@@ -75,6 +78,8 @@ def test_all_secondary_actors_resolved(edge_ctx):
         ("block_player_id", "BLOCKED"),
         ("steal_player_id", "STOLE_BALL"),
         ("foul_drawn_player_id", "DREW_FOUL"),
+        ("jump_won_player_id", "WON_JUMPBALL"),
+        ("jump_lost_player_id", "LOST_JUMPBALL"),
     ]:
         n_expected = actions.filter(F.col(col).isNotNull()).count()
         n_edges = edges.filter(F.col("edge_type") == label).count()

@@ -82,3 +82,20 @@ def test_hetero_tensor_export_action_edges(spark):
     assert shot_edges.shape[0] == 2 and shot_edges.shape[1] > 0
     assert shot_edges[1].max() < n_act
     assert ("lineup_stint", "called_timeout", "action") in out
+
+
+def test_hetero_tensor_export_scores(spark):
+    from mbai_gdb_spark.export.pyg import to_hetero_tensors
+    from mbai_gdb_spark.pipeline.fixtures import fixture_frames
+    from mbai_gdb_spark.pipeline.plus_minus import game_pipeline
+
+    pbp, starters = fixture_frames(spark, game_id=1001, home_team=10, away_team=20)
+    home = spark.createDataFrame([(1001, 10)], "game_id long, home_team_id long")
+    out = to_hetero_tensors(game_pipeline(pbp, starters, home))
+
+    n_s = out["score"]["num_nodes"]
+    assert out["score"]["x"].shape == (n_s, 4)
+    gen = out[("action", "generated_score", "score")]
+    assert gen.shape == (2, n_s)  # one score state per scoring action
+    nxt = out[("score", "next", "score")]
+    assert nxt.shape[1] == n_s - 1  # a total order over score states
