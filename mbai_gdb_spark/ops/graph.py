@@ -161,3 +161,48 @@ def connected_components(
         else:
             comp = new_comp
     return comp
+
+
+def bfs(
+    vertices: DataFrame,
+    edges: DataFrame,
+    sources,
+    max_hops: int = 5,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Breadth-first shortest hop counts from a set of source vertex ids.
+
+    Frontier expansion: one join + groupBy-min per hop (the GraphFrames
+    bfs shape).  Returns (id, hops) for reached vertices only; sources
+    have hops = 0.  State per iteration is the visited set — partitioned
+    on vertex id, lineage truncated per hop."""
+    e = edges.select(src_col, dst_col)
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col)
+            )
+        )
+    visited = (
+        vertices.select(id_col)
+        .filter(F.col(id_col).isin(list(sources)))
+        .withColumn("hops", F.lit(0))
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(frontier.select(F.col(id_col).alias("__f__")), e[src_col] == F.col("__f__"))
+            .select(F.col(dst_col).alias(id_col))
+            .distinct()
+            .join(visited.select(id_col), id_col, "left_anti")
+            .withColumn("hops", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if not nxt.head(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -76,3 +76,20 @@ def test_ivf_recall_against_brute_force(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.5, recall
+
+
+def test_bfs_hop_counts(spark):
+    from mbai_gdb_spark.ops.graph import bfs
+
+    vertices = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    # chain 0→1→2→3, branch 1→4, island 5→6
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (5, 6)], "src long, dst long"
+    )
+    got = {r.id: r.hops for r in bfs(vertices, edges, sources=[0]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 4: 2, 3: 3}
+    undirected = {
+        r.id: r.hops
+        for r in bfs(vertices, edges, sources=[3], directed=False).collect()
+    }
+    assert undirected == {3: 0, 2: 1, 1: 2, 0: 3, 4: 3}
