@@ -387,3 +387,53 @@ def nba_possessions(spark, sf_dir):
     return derive_possessions(shape_actions(pbp)).select(
         "possession_seq", "start_clock", "end_clock", "n_actions", "points"
     )
+
+
+_TEAMS = [
+    (10, "Springfield Hoops", "SPH", "Springfield", "IL", "Hoop Arena"),
+    (20, "Rivertown Giants", "RTG", "Rivertown", "OH", "Giant Dome"),
+    (30, "Lakeside Comets", "LSC", "Lakeside", "MI", "Comet Center"),
+    (40, "Hillview Foxes", "HVF", "Hillview", "OH", "Fox Den"),
+]
+
+
+@query(
+    "nba_team_graph",
+    f"""
+    WITH teams(id, full_name, abbreviation, city, state, arena) AS (VALUES
+        {", ".join("(" + ", ".join([str(t[0])] + [f"'{x}'" for x in t[1:]]) + ")" for t in _TEAMS)}
+    )
+    SELECT t.id AS team_id, t.abbreviation, t.arena AS arena_name,
+           t.city AS city_name, t.state AS state_name,
+           COUNT(*) OVER (PARTITION BY t.state) AS teams_in_state
+    FROM teams t
+    """,
+)
+def nba_team_graph(spark, sf_dir):
+    """Static team-dimension graph (reference MERGE_TEAM,
+    src/queries/team.py:3-13): node/edge frames re-joined into a flat
+    team summary with a per-state window (proves the edge tables carry
+    the same information as the reference's graph)."""
+    from pyspark.sql import Window
+
+    from mbai_gdb_spark.pipeline.teams import build_team_graph
+
+    teams = spark.createDataFrame(
+        _TEAMS, "id long, full_name string, abbreviation string, city string, state string, arena string"
+    )
+    g = build_team_graph(teams)
+    flat = (
+        g["teams"]
+        .join(g["home_arena"], g["teams"].id == g["home_arena"].team_id)
+        .join(g["in_city"], "team_id")
+        .join(g["city_in_state"], "city_name")
+    )
+    w = Window.partitionBy("state_name")
+    return flat.select(
+        "team_id",
+        "abbreviation",
+        "arena_name",
+        "city_name",
+        "state_name",
+        F.count(F.lit(1)).over(w).alias("teams_in_state"),
+    )
