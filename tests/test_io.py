@@ -28,3 +28,37 @@ def test_write_insert_if_absent_is_idempotent(spark, tmp_path):
     # full replay is a no-op
     write_insert_if_absent(df2, path, ["id"], spark)
     assert spark.read.parquet(path).count() == 3
+
+
+def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+    from mbai_gdb_spark.io import merge_upsert
+
+    path = str(tmp_path / "dim")
+    merge_upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        path, ["id"], spark,
+    )
+    merge_upsert(
+        spark.createDataFrame([(2, "B2"), (3, "c")], "id long, v string"),
+        path, ["id"], spark,
+    )
+    rows = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c"}  # 2 updated, 3 inserted, 1 kept
+
+
+def test_partitioned_layout_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from mbai_gdb_spark.io import write_partitioned
+
+    path = str(tmp_path / "facts")
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 10).alias("game_id"),
+        F.col("id").alias("clock"),
+        (F.col("id") * 2).alias("v"),
+    )
+    write_partitioned(df, path, ["game_id"], sort_cols=["clock"])
+
+    read = spark.read.parquet(path).filter(F.col("game_id") == 3)
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(game_id" in plan, plan
+    assert read.count() == 100
