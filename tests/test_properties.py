@@ -67,3 +67,97 @@ def test_running_sum_prefix_property(spark, events):
     for r in out.collect():
         acc[r.k] = acc.get(r.k, 0) + r.v
         assert r.total == acc[r.k]
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left events: (key, offset_s)
+        st.tuples(st.integers(1, 2), st.floats(0, 600, allow_nan=False)),
+        min_size=1, max_size=20,
+    ),
+    st.lists(  # right events
+        st.tuples(st.integers(1, 2), st.floats(0, 600, allow_nan=False)),
+        min_size=1, max_size=20,
+    ),
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(asof_strategy)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    """Our union-timeline as-of join must agree with pandas.merge_asof
+    (backward, 30 s tolerance) on arbitrary timelines."""
+    import pandas as pd
+
+    from mbai_gdb_spark.ops.intervals import asof_join
+
+    left_rows, right_rows = data
+    left = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=off), i) for i, (k, off) in enumerate(left_rows)],
+        "k long, t timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, BASE + timedelta(seconds=off), 100 + i) for i, (k, off) in enumerate(right_rows)],
+        "k long, t timestamp, rid long",
+    )
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            left, right, ["k"], "t", "t", ["rid"], tolerance_seconds=30.0
+        ).collect()
+    }
+
+    lp = left.toPandas().sort_values(["t", "lid"], kind="mergesort")
+    rp = right.toPandas().sort_values(["t", "rid"], kind="mergesort")
+    want_all = {}
+    for k in lp.k.unique():
+        lk = lp[lp.k == k]
+        rk = rp[rp.k == k]
+        if rk.empty:
+            continue
+        m = pd.merge_asof(
+            lk, rk, on="t", direction="backward", tolerance=pd.Timedelta(seconds=30)
+        )
+        for _, row in m.iterrows():
+            if pd.notna(row.rid):
+                want_all[int(row.lid)] = int(row.rid)
+    # merge_asof ties: when multiple right rows share the match timestamp,
+    # pandas takes the LAST in sort order; ours takes the last in
+    # (t, arrival) order too — both deterministic.  Compare matched keys
+    # and timestamps rather than exact rid on ties.
+    assert set(got) == set(want_all)
+    rid_ts = {
+        100 + i: off for i, (_, off) in enumerate(right_rows)
+    }
+    for lid, rid in got.items():
+        assert abs(rid_ts[rid] - rid_ts[want_all[lid]]) < 1e-9
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.integers(1, 2), st.floats(0, 100, allow_nan=False)), min_size=1, max_size=15),
+    st.lists(
+        st.tuples(st.integers(1, 2), st.floats(0, 100, allow_nan=False), st.floats(0, 50, allow_nan=False)),
+        min_size=1, max_size=10,
+    ),
+)
+def test_interval_join_matches_brute_force(spark, points, spans):
+    from mbai_gdb_spark.ops.intervals import interval_join
+
+    events = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(points)], "k long, t double, eid long"
+    )
+    intervals = spark.createDataFrame(
+        [(k, lo, lo + w, 100 + i) for i, (k, lo, w) in enumerate(spans)],
+        "k long, lo double, hi double, iid long",
+    )
+    got = {
+        (r.eid, r.iid)
+        for r in interval_join(events, intervals, ["k"], "t", "lo", "hi", closed="left").collect()
+    }
+    want = {
+        (eid, 100 + j)
+        for eid, (k, t) in enumerate(points)
+        for j, (ik, lo, w) in enumerate(spans)
+        if k == ik and lo <= t < lo + w
+    }
+    assert got == want
