@@ -82,3 +82,33 @@ def test_plus_minus_reconciles_per_game(spark):
     for gid, _ in GAMES:
         assert pm[(gid, 10)] == finals[gid]
         assert pm[(gid, 20)] == -finals[gid]
+
+
+def test_partitioned_storage_roundtrip_with_pruning(spark, tmp_path):
+    """The production storage path: play-by-play written partitioned by
+    game_id (sorted by time within partitions), pipeline run over a
+    pruned subset — the plan must read only the selected partitions and
+    the results must match the in-memory pipeline."""
+    from mbai_gdb_spark.io import write_partitioned
+
+    pbp, starters, home = _corpus(spark)
+    path = str(tmp_path / "pbp_store")
+    write_partitioned(pbp, path, ["game_id"], sort_cols=["timeActual"])
+
+    stored = spark.read.parquet(path).filter(F.col("game_id") == 3001)
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(game_id" in plan
+
+    t_disk = game_pipeline(
+        stored,
+        starters.filter(F.col("game_id") == 3001),
+        home.filter(F.col("game_id") == 3001),
+    )
+    t_mem = game_pipeline(
+        pbp.filter(F.col("game_id") == 3001),
+        starters.filter(F.col("game_id") == 3001),
+        home.filter(F.col("game_id") == 3001),
+    )
+    got = sorted(map(tuple, t_disk["lineup_plus_minus"].collect()))
+    want = sorted(map(tuple, t_mem["lineup_plus_minus"].collect()))
+    assert got == want
