@@ -1162,3 +1162,120 @@ def a12_pivot_event_counts(spark, sf_dir):
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@query(
+    "q4_order_priority_check",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority_check(spark, sf_dir):
+    """TPC-H Q4 adaptation: orders with at least one late-shipped line —
+    correlated EXISTS planned as a semi-join before aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000
+               AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_shipdate >= TIMESTAMP '2024-01-01'
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 adaptation: pure filter + aggregate — the pushdown
+    showcase (all three predicates reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+            & (F.col("l_shipdate") >= F.lit("2024-01-01").cast("timestamp"))
+        )
+        .agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue_share",
+    """
+    SELECT ROUND(
+             CAST(SUM(CASE WHEN contains(p.p_type, 'PROMO')
+                       THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) * 10000
+             / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+           ) / 100 AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """,
+)
+def q14_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 adaptation: promo revenue share — conditional over total
+    with exact fixed-point numerators (single deterministic division)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    disc4 = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    promo = F.sum(
+        F.when(F.col("p_type").contains("PROMO"), disc4).otherwise(F.lit(0))
+    ).cast("double")
+    total = F.sum(disc4).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg((F.round(promo * F.lit(10000) / total, 0) / F.lit(100)).alias("promo_share_pct"))
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) AS BIGINT) / 100
+               AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    HAVING SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT)) > 150 * 100
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 adaptation: large-volume orders — groupBy + HAVING on an
+    exact fixed-point sum."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    qty_cents = scaled_long(F.col("l_quantity"), 100)
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            (F.sum(qty_cents) / F.lit(100)).alias("total_qty"),
+            F.sum(qty_cents).alias("__qc__"),
+        )
+        .filter(F.col("__qc__") > 150 * 100)
+        .drop("__qc__")
+    )

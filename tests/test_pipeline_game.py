@@ -187,3 +187,27 @@ def test_kernel_deterministic(spark):
     a1, _ = make_game(seed=7)
     a2, _ = make_game(seed=7)
     assert a1 == a2
+
+
+def test_pipeline_handles_scoreless_game(spark):
+    """Robustness: a game with only period markers and substitutions —
+    no scoring events — must flow through every stage without errors,
+    yielding empty score/possession frames and an all-zero ledger."""
+    from mbai_gdb_spark.pipeline.fixtures import PBP_DDL, STARTERS_DDL, make_game
+
+    pbp_rows, starters = make_game(game_id=7777, home_team=10, away_team=20, n_ot=0)
+    quiet = [
+        r
+        for r in pbp_rows
+        if r["actionType"] in ("period", "substitution")
+    ]
+    pbp = spark.createDataFrame(quiet, PBP_DDL)
+    st = spark.createDataFrame(starters, STARTERS_DDL)
+    home = spark.createDataFrame([(7777, 10)], "game_id long, home_team_id long")
+    t = game_pipeline(pbp, st, home)
+    assert t["scores"].count() == 0
+    assert t["score_next"].count() == 0
+    assert t["actions"].count() == 0
+    assert t["lineup_stints"].count() > 0  # stints still reconstructed
+    pm = t["lineup_plus_minus"]
+    assert pm.filter((pm.points_scored != 0) | (pm.points_conceded != 0)).count() == 0
