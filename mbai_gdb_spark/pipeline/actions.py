@@ -255,26 +255,25 @@ def resolve_player_stint_at(
     [start, end) range — a J3-shaped hash join, works for EITHER team's
     players so opponent attribution needs no special casing)."""
     ps = player_stints.select(
-        "game_id",
-        F.col("player_id").alias(player_col),
+        F.col("game_id").alias("__ps_game__"),
+        F.col("player_id").alias("__ps_player__"),
         F.col("player_stint_id").alias(out_col),
         F.col("global_start").alias("__ps_start__"),
         F.col("global_end").alias("__ps_end__"),
     )
-    resolved = (
-        events.join(ps, ["game_id", player_col])
-        .filter(
-            (F.col("global_clock") >= F.col("__ps_start__"))
-            & (F.col("global_clock") < F.col("__ps_end__"))
-        )
-        .drop("__ps_start__", "__ps_end__")
+    # Single-pass LEFT join with the range residual inside the join
+    # condition: events whose player has no containing stint (or a null
+    # player) keep their row with a null resolution.  Stints partition a
+    # player's time, so at most one interval matches — no fan-out.
+    cond = (
+        (F.col("game_id") == F.col("__ps_game__"))
+        & (F.col(player_col) == F.col("__ps_player__"))
+        & (F.col("global_clock") >= F.col("__ps_start__"))
+        & (F.col("global_clock") < F.col("__ps_end__"))
     )
-    # Preserve LEFT semantics: events whose player has no containing
-    # stint (or a null player) come back with a null resolution.
-    unresolved = events.join(
-        resolved.select("action_id"), "action_id", "left_anti"
-    ).withColumn(out_col, F.lit(None).cast("string"))
-    return resolved.unionByName(unresolved)
+    return events.join(ps, cond, "left").drop(
+        "__ps_game__", "__ps_player__", "__ps_start__", "__ps_end__"
+    )
 
 
 def build_action_edges(
@@ -324,21 +323,32 @@ def build_action_edges(
     )
     edges = primary_player.unionByName(primary_team).unionByName(timeouts)
 
-    for col, label in SECONDARY_EDGE_COLS:
-        sub = actions.filter(F.col(col).isNotNull()).select(
-            "game_id", "action_id", "global_clock", col
-        )
-        resolved = resolve_player_stint_at(sub, col, player_stints, "sec_stint_id")
-        edges = edges.unionByName(
-            resolved.filter(F.col("sec_stint_id").isNotNull()).select(
-                "game_id",
-                F.lit(label).alias("edge_type"),
-                F.lit("player_stint").alias("src_kind"),
-                F.col("sec_stint_id").alias("src_id"),
-                "action_id",
-            )
-        )
-    return edges
+    # Secondary actors: melt the six columns to long format and resolve
+    # with ONE containment join over a single pass of the actions source
+    # (the per-column loop re-read the events frame 6×).
+    stack_args = ", ".join(
+        f"'{label}', {col}" for col, label in SECONDARY_EDGE_COLS
+    )
+    melted = actions.select(
+        "game_id",
+        "action_id",
+        "global_clock",
+        F.expr(
+            f"stack({len(SECONDARY_EDGE_COLS)}, {stack_args})"
+            " AS (edge_type, sec_player_id)"
+        ),
+    ).filter(F.col("sec_player_id").isNotNull())
+    resolved = resolve_player_stint_at(
+        melted, "sec_player_id", player_stints, "sec_stint_id"
+    )
+    secondary = resolved.filter(F.col("sec_stint_id").isNotNull()).select(
+        "game_id",
+        "edge_type",
+        F.lit("player_stint").alias("src_kind"),
+        F.col("sec_stint_id").alias("src_id"),
+        "action_id",
+    )
+    return edges.unionByName(secondary)
 
 
 def derive_possessions(actions: DataFrame) -> DataFrame:

@@ -47,7 +47,13 @@ def test_per_game_results_unchanged_by_concatenation(spark):
         single = game_pipeline(
             pbp1, st1, spark.createDataFrame([(gid, 10)], "game_id long, home_team_id long")
         )
-        for table in ("lineup_plus_minus", "scores", "rebound_attribution"):
+        for table in (
+            "lineup_plus_minus",
+            "scores",
+            "rebound_attribution",
+            "action_edges",
+            "stint_next",
+        ):
             got = sorted(
                 map(tuple, combined[table].filter(F.col("game_id") == gid).collect())
             )
