@@ -287,13 +287,57 @@ def nba_season_next_game(spark, sf_dir):
     )
 
 
-@query("nba_lineup_plus_minus")  # no oracle: needs the procedural W11 kernel
+def _w11_oracle(cte_name: str, cols: list[str], rows, float_cols: set[str]) -> str:
+    """Golden-VALUES oracle: SELECT the pinned expected rows, casting the
+    float columns to DOUBLE (DuckDB types bare decimal literals as
+    DECIMAL, which would break the driver's %.10g float hashing)."""
+    from mbai_gdb_spark.pipeline.w11_gold import values_cte
+
+    select = ", ".join(
+        f"CAST({c} AS DOUBLE) AS {c}" if c in float_cols else c for c in cols
+    )
+    return f"WITH {values_cte(cte_name, cols, rows)}\n    SELECT {select} FROM {cte_name}"
+
+
+def _lineup_pm_oracle() -> str:
+    from mbai_gdb_spark.pipeline.w11_gold import _LINEUP_PM_GOLD
+
+    return _w11_oracle(
+        "expected_pm",
+        [
+            "game_id", "team_id", "stint_id", "lineup_id", "period",
+            "local_start", "clock_duration", "points_scored",
+            "points_conceded", "plus_minus",
+        ],
+        _LINEUP_PM_GOLD,
+        {"local_start", "clock_duration"},
+    )
+
+
+def _player_stints_oracle() -> str:
+    from mbai_gdb_spark.pipeline.w11_gold import _PLAYER_STINT_GOLD
+
+    return _w11_oracle(
+        "expected_ps",
+        [
+            "game_id", "team_id", "player_id", "player_stint_id",
+            "global_start", "global_end", "clock_duration",
+            "first_period", "last_period",
+        ],
+        _PLAYER_STINT_GOLD,
+        {"global_start", "global_end", "clock_duration"},
+    )
+
+
+@query("nba_lineup_plus_minus", _lineup_pm_oracle())
 def nba_lineup_plus_minus(spark, sf_dir):
     """Flagship analytic end-to-end: lineup stints (applyInPandas kernel)
-    → containment-joined scoring events → plus-minus ledger.  Not ANSI-
-    SQL-expressible (stateful kernel) → driver records rows-only; the
-    exact-reconciliation invariant (Σ plus_minus = final margin) is
-    asserted in tests/test_pipeline_game.py."""
+    → containment-joined scoring events → plus-minus ledger.  The kernel
+    itself is procedural (not SQL-expressible) but the fixture is
+    deterministic, so the oracle pins the expected OUTPUT as a golden
+    VALUES table (mbai_gdb_spark/pipeline/w11_gold.py) — validated
+    independently by the reconciliation invariants in
+    tests/test_pipeline_game.py (Σ plus_minus = final margin)."""
     from mbai_gdb_spark.pipeline.lineups import build_lineup_stints
     from mbai_gdb_spark.pipeline.actions import shape_actions
     from mbai_gdb_spark.pipeline.plus_minus import lineup_plus_minus
@@ -314,9 +358,12 @@ def nba_lineup_plus_minus(spark, sf_dir):
     )
 
 
-@query("nba_player_stints")  # no oracle: needs the procedural W11 kernel
+@query("nba_player_stints", _player_stints_oracle())
 def nba_player_stints(spark, sf_dir):
-    """Player stints via gaps-and-islands over kernel output (W5/W6)."""
+    """Player stints via gaps-and-islands over kernel output (W5/W6).
+    Oracle = golden VALUES snapshot of the deterministic fixture (see
+    nba_lineup_plus_minus / pipeline/w11_gold.py; stint-partition
+    invariants guard the snapshot in tests/test_pipeline_game.py)."""
     from mbai_gdb_spark.pipeline.lineups import build_lineup_stints
     from mbai_gdb_spark.pipeline.stints import build_player_stints
 
