@@ -108,6 +108,48 @@ def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Every per-document text feature — token stats, quality ratios,
+    language-ID — in ONE map-only select over ONE scan (the separate
+    ``token_stats``/``quality_score``/``lang_id`` helpers each re-scan
+    the corpus; at 100 TB you want the fused single pass)."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col), t.alias("__text__"), tokens(text_col).alias("__toks__")
+    )
+    n_tok = F.size("__toks__")
+    stop_cnt = _count_in("__toks__", STOPWORDS)
+    n_chars = F.length("__text__")
+    alpha_chars = F.length(F.regexp_replace("__text__", r"[^A-Za-z]", ""))
+    mean_len = (
+        F.aggregate(
+            F.col("__toks__"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / n_tok
+    )
+    langs = list(LANG_MARKERS)
+    scores = {
+        lang: _count_in("__toks__", words) for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties → apply last
+        pred = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return base.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(F.col("__toks__"))).alias("n_distinct_tokens"),
+        mean_len.alias("mean_token_len"),
+        n_chars.alias("n_chars"),
+        stop_cnt.alias("n_stopwords"),
+        (stop_cnt.cast("double") / n_tok).alias("stopword_ratio"),
+        (alpha_chars.cast("double") / n_chars).alias("alpha_ratio"),
+        ((n_tok >= 5) & (stop_cnt > 0)).cast("int").alias("passes_quality"),
+        *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        pred.alias("pred_lang"),
+    )
+
+
 def fingerprint(
     token_ids: DataFrame,
     id_col: str = "doc_id",

@@ -1165,51 +1165,67 @@ def a12_pivot_event_counts(spark, sf_dir):
 
 
 @query(
-    "q4_order_priority_check",
+    "tpch_scalar_suite",
     """
-    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    SELECT 'q4_orders_' || o.o_orderpriority AS metric,
+           CAST(COUNT(*) AS DOUBLE) AS value
     FROM orders o
     WHERE EXISTS (
         SELECT 1 FROM lineitem l
         WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
     )
     GROUP BY o.o_orderpriority
+    UNION ALL
+    SELECT 'q6_revenue' AS metric,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000
+               AS value
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_shipdate >= TIMESTAMP '2024-01-01'
+    UNION ALL
+    SELECT 'q6_n_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_shipdate >= TIMESTAMP '2024-01-01'
+    UNION ALL
+    SELECT 'q14_promo_share_pct' AS metric,
+           ROUND(
+             CAST(SUM(CASE WHEN contains(p.p_type, 'PROMO')
+                       THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                       ELSE 0 END) AS DOUBLE) * 10000
+             / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+           ) / 100 AS value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     """,
 )
-def q4_order_priority_check(spark, sf_dir):
-    """TPC-H Q4 adaptation: orders with at least one late-shipped line —
-    correlated EXISTS planned as a semi-join before aggregation."""
+def tpch_scalar_suite(spark, sf_dir):
+    """TPC-H Q4 + Q6 + Q14 adaptations fused into one labeled
+    (metric, value) suite — one driver slot for three plan shapes:
+    correlated-EXISTS semi-join before aggregation (Q4), pure
+    filter+aggregate with full scan-level pushdown (Q6), and a
+    conditional-over-total share with exact fixed-point numerators
+    (Q14).  Each branch keeps its round-1 physical plan; results are
+    unioned as labeled scalars."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+
     late = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .filter(F.col("l_shipdate") > F.col("o_orderdate"))
         .select("l_orderkey")
         .distinct()
     )
-    return (
+    q4 = (
         o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
+        .select(
+            F.concat(F.lit("q4_orders_"), F.col("o_orderpriority")).alias("metric"),
+            F.col("order_count").cast("double").alias("value"),
+        )
     )
-
-
-@query(
-    "q6_forecast_revenue",
-    """
-    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 10000) AS BIGINT)) AS BIGINT) / 10000
-               AS revenue,
-           COUNT(*) AS n_rows
-    FROM lineitem
-    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
-      AND l_shipdate >= TIMESTAMP '2024-01-01'
-    """,
-)
-def q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 adaptation: pure filter + aggregate — the pushdown
-    showcase (all three predicates reach the parquet scan)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
+    q6 = (
         li.filter(
             F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
@@ -1219,37 +1235,26 @@ def q6_forecast_revenue(spark, sf_dir):
             money_sum(F.col("l_extendedprice") * F.col("l_discount"), 10000).alias(
                 "revenue"
             ),
-            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.lit(1)).cast("double").alias("n_rows"),
+        )
+        .select(
+            F.expr(
+                "stack(2, 'q6_revenue', revenue, 'q6_n_rows', n_rows)"
+                " AS (metric, value)"
+            )
         )
     )
-
-
-@query(
-    "q14_promo_revenue_share",
-    """
-    SELECT ROUND(
-             CAST(SUM(CASE WHEN contains(p.p_type, 'PROMO')
-                       THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
-                       ELSE 0 END) AS DOUBLE) * 10000
-             / CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS DOUBLE)
-           ) / 100 AS promo_share_pct
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    """,
-)
-def q14_promo_revenue_share(spark, sf_dir):
-    """TPC-H Q14 adaptation: promo revenue share — conditional over total
-    with exact fixed-point numerators (single deterministic division)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part")
     disc4 = scaled_long(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
     promo = F.sum(
         F.when(F.col("p_type").contains("PROMO"), disc4).otherwise(F.lit(0))
     ).cast("double")
     total = F.sum(disc4).cast("double")
-    return (
+    q14 = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg((F.round(promo * F.lit(10000) / total, 0) / F.lit(100)).alias("promo_share_pct"))
+        .agg((F.round(promo * F.lit(10000) / total, 0) / F.lit(100)).alias("value"))
+        .select(F.lit("q14_promo_share_pct").alias("metric"), "value")
     )
+    return q4.unionByName(q6).unionByName(q14)
 
 
 @query(

@@ -29,7 +29,8 @@ from mbai_gdb_spark.ops.dedup import (
 )
 from mbai_gdb_spark.ops.multimodal import binary_metadata, with_binary_payload
 from mbai_gdb_spark.ops.similarity import cosine_topk, lsh_candidate_neighbors
-from mbai_gdb_spark.ops.text import fingerprint, lang_id, quality_score, token_stats, tokens
+from mbai_gdb_spark.ops.text import fingerprint, tokens
+from mbai_gdb_spark.ops.text import text_profile as text_profile_op
 from mbai_gdb_spark.queries import _t, query
 
 # Shared DuckDB SQL fragments ------------------------------------------------
@@ -65,59 +66,35 @@ def _sql_doc_tokens() -> str:
 
 
 @query(
-    "text_token_stats",
-    f"""
-    SELECT doc_id,
-           len(toks) AS n_tokens,
-           len(list_distinct(toks)) AS n_distinct_tokens,
-           CAST({_SQL_SUM_INT.format(lst="list_transform(toks, x -> length(x))")} AS DOUBLE)
-               / len(toks) AS mean_token_len
-    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-    """,
-)
-def text_token_stats(spark, sf_dir):
-    """Token counting (whitespace tokenizer) — map-only column algebra."""
-    return token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@query(
-    "text_quality_score",
+    "text_profile",
     """
-    SELECT doc_id,
-           length(text) AS n_chars,
-           len(toks)    AS n_tokens,
-           len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','it')))
-               AS n_stopwords,
-           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','it'))) AS DOUBLE)
-               / len(toks) AS stopword_ratio,
-           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
-               / length(text) AS alpha_ratio,
-           CASE WHEN len(toks) >= 5
-                 AND len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','it'))) > 0
-                THEN 1 ELSE 0 END AS passes_quality
-    FROM (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
-          FROM documents)
-    """,
-)
-def text_quality_score(spark, sf_dir):
-    """Quality scoring: length / stopword / alpha ratios (exact-integer
-    divisions — engine-identical doubles)."""
-    return quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
-
-
-@query(
-    "text_lang_id",
-    """
-    WITH scored AS (
-        SELECT doc_id,
+    WITH base AS (
+        SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, text, toks,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','in','to','is','it')))
+                   AS n_stopwords,
                len(list_filter(toks, x -> x IN ('the','and','of','is','a')))    AS score_en,
                len(list_filter(toks, x -> x IN ('el','la','de','que','y')))     AS score_es,
                len(list_filter(toks, x -> x IN ('der','die','und','das','ist'))) AS score_de,
                len(list_filter(toks, x -> x IN ('le','la','et','les','des')))   AS score_fr
-        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-              FROM documents)
+        FROM base
     )
-    SELECT doc_id, score_en, score_es, score_de, score_fr,
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                            (a, x) -> a + x) AS DOUBLE) / len(toks) AS mean_token_len,
+           length(text) AS n_chars,
+           n_stopwords,
+           CAST(n_stopwords AS DOUBLE) / len(toks) AS stopword_ratio,
+           CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text) AS alpha_ratio,
+           CASE WHEN len(toks) >= 5 AND n_stopwords > 0 THEN 1 ELSE 0 END
+               AS passes_quality,
+           score_en, score_es, score_de, score_fr,
            CASE WHEN greatest(score_en, score_es, score_de, score_fr) = 0 THEN 'und'
                 WHEN score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
                 WHEN score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
@@ -126,9 +103,14 @@ def text_quality_score(spark, sf_dir):
     FROM scored
     """,
 )
-def text_lang_id(spark, sf_dir):
-    """Marker-word language heuristic with fixed-priority argmax."""
-    return lang_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+def text_profile(spark, sf_dir):
+    """Fused per-document text profile — token stats + quality ratios +
+    language-ID in ONE map-only pass over ONE scan of the corpus
+    (replaces the three separate round-1 queries text_token_stats /
+    text_quality_score / text_lang_id; the individual operators remain
+    in ops.text).  All ratios are exact-integer divisions —
+    engine-identical doubles."""
+    return text_profile_op(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(
