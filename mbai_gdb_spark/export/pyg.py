@@ -24,50 +24,103 @@ except Exception:  # pragma: no cover
     torch = None
 
 
-def dense_index(nodes: DataFrame, id_col: str) -> DataFrame:
-    """(id → 0-based dense index), deterministic by id order.
+def _as_list(cols: str | list[str]) -> list[str]:
+    return [cols] if isinstance(cols, str) else list(cols)
 
-    row_number over an id-ordered window: one pass, no driver dict.
-    For billion-node types swap for zipWithIndex-style partition offsets;
-    per-game node counts make the single window fine here."""
-    w = Window.orderBy(id_col)
-    return nodes.select(id_col).distinct().withColumn(
-        "dense_idx", F.row_number().over(w) - 1
+
+def dense_index(
+    nodes: DataFrame,
+    id_cols: str | list[str],
+    partition_col: str | None = None,
+) -> DataFrame:
+    """(key → 0-based dense index), deterministic by (partition, id)
+    order.  ``id_cols`` may be composite — required for ids that are
+    only unique per game (action_id, score_action_id): indexing those
+    alone would collapse distinct nodes across games in a multi-game
+    export.
+
+    With ``partition_col`` (game_id) the rank window is partitioned and
+    shifted by per-partition offsets (one driver-side count per game —
+    the zipWithIndex recipe, same as ops.dedup.token_dictionary); no
+    global single-partition sort at any node count."""
+    ids = _as_list(id_cols)
+    keys = ([partition_col] if partition_col and partition_col not in ids else []) + ids
+    distinct = nodes.select(*keys).distinct()
+    if partition_col is None:
+        w = Window.orderBy(*ids)
+        return distinct.withColumn("dense_idx", F.row_number().over(w) - 1)
+    counts = sorted(
+        (r[0], r[1])
+        for r in distinct.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
     )
+    offsets, acc = [], 0
+    for p, n in counts:
+        offsets.append((p, acc))
+        acc += n
+    spark = nodes.sparkSession
+    off_df = spark.createDataFrame(offsets, [partition_col, "__off__"])
+    order = [c for c in ids if c != partition_col]
+    w = Window.partitionBy(partition_col).orderBy(*order)
+    return (
+        distinct.join(F.broadcast(off_df), partition_col)
+        .withColumn("dense_idx", F.row_number().over(w) - 1 + F.col("__off__"))
+        .drop("__off__")
+    )
+
+
+def _keyed(index: DataFrame, prefix: str) -> tuple[DataFrame, list[str]]:
+    keys = [c for c in index.columns if c != "dense_idx"]
+    renamed = index.select(
+        *[F.col(k).alias(f"{prefix}{i}") for i, k in enumerate(keys)],
+        F.col("dense_idx").alias(f"{prefix}idx"),
+    )
+    return renamed, [f"{prefix}{i}" for i in range(len(keys))]
 
 
 def edge_index(
     edges: DataFrame,
-    src_col: str,
-    dst_col: str,
+    src_cols: str | list[str],
+    dst_cols: str | list[str],
     src_index: DataFrame,
     dst_index: DataFrame,
 ) -> np.ndarray:
     """[2, E] edge-index array in dense coordinates (the PyG contract,
-    reference src/managers/game.py:435-457)."""
-    s = src_index.select(
-        F.col(src_index.columns[0]).alias("__src_key__"),
-        F.col("dense_idx").alias("__src_idx__"),
-    )
-    d = dst_index.select(
-        F.col(dst_index.columns[0]).alias("__dst_key__"),
-        F.col("dense_idx").alias("__dst_idx__"),
-    )
+    reference src/managers/game.py:435-457).  ``src_cols``/``dst_cols``
+    pair positionally with the index's key columns (composite keys for
+    per-game ids)."""
+    src_cols, dst_cols = _as_list(src_cols), _as_list(dst_cols)
+    s, s_keys = _keyed(src_index, "__s")
+    d, d_keys = _keyed(dst_index, "__d")
+    s_cond = [edges[c] == F.col(k) for c, k in zip(src_cols, s_keys)]
+    d_cond = [edges[c] == F.col(k) for c, k in zip(dst_cols, d_keys)]
     resolved = (
-        edges.join(s, edges[src_col] == F.col("__src_key__"))
-        .join(d, edges[dst_col] == F.col("__dst_key__"))
-        .select("__src_idx__", "__dst_idx__")
+        edges.join(s, on=_and_all(s_cond))
+        .join(d, on=_and_all(d_cond))
+        .select("__sidx", "__didx")
         .toPandas()
     )
     return resolved.to_numpy().T.astype(np.int64)
 
 
+def _and_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
 def node_features(
-    nodes: DataFrame, id_col: str, feature_cols: list[str], index: DataFrame
+    nodes: DataFrame,
+    id_cols: str | list[str],
+    feature_cols: list[str],
+    index: DataFrame,
 ) -> np.ndarray:
     """[N, F] float feature matrix aligned with the dense index."""
+    join_cols = [c for c in index.columns if c != "dense_idx"]
     pdf = (
-        nodes.join(index, id_col)
+        nodes.join(index, join_cols)
         .orderBy("dense_idx")
         .select(*feature_cols)
         .toPandas()
@@ -83,14 +136,19 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
     player_stints = tables["player_stints"]
     edges = tables["stint_edges"]
 
-    ls_idx = dense_index(lineup_stints, "stint_id")
-    ps_idx = dense_index(player_stints, "player_stint_id")
+    # Stint ids are game-prefixed strings (globally unique) but
+    # action_id / score_action_id restart at 1 per game — every index is
+    # therefore built on a composite (game_id, id) key with a
+    # per-game-partitioned rank window, so multi-game table sets export
+    # without node collapse and without a global single-partition sort.
+    ls_idx = dense_index(lineup_stints, "stint_id", partition_col="game_id")
+    ps_idx = dense_index(player_stints, "player_stint_id", partition_col="game_id")
 
     out = {
         "lineup_stint": {
             "x": node_features(
                 tables["lineup_plus_minus"],
-                "stint_id",
+                ["game_id", "stint_id"],
                 ["clock_duration", "points_scored", "points_conceded", "plus_minus"],
                 ls_idx,
             ),
@@ -98,12 +156,19 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
         },
         "player_stint": {
             "x": node_features(
-                player_stints, "player_stint_id", ["clock_duration"], ps_idx
+                player_stints,
+                ["game_id", "player_stint_id"],
+                ["clock_duration"],
+                ps_idx,
             ),
             "num_nodes": player_stints.count(),
         },
         ("player_stint", "on_court_with", "lineup_stint"): edge_index(
-            edges, "player_stint_id", "stint_id", ps_idx, ls_idx
+            edges,
+            ["game_id", "player_stint_id"],
+            ["game_id", "stint_id"],
+            ps_idx,
+            ls_idx,
         ),
     }
 
@@ -112,11 +177,11 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
     # src/managers/game.py:435-457).
     if "actions" in tables and "action_edges" in tables:
         actions = tables["actions"]
-        a_idx = dense_index(actions, "action_id")
+        a_idx = dense_index(actions, "action_id", partition_col="game_id")
         out["action"] = {
             "x": node_features(
                 actions.withColumn("made_f", F.col("is_made").cast("double")),
-                "action_id",
+                ["game_id", "action_id"],
                 ["points", "local_clock", "global_clock", "made_f"],
                 a_idx,
             ),
@@ -133,24 +198,32 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
             )
             if sub.head(1):
                 out[("player_stint", label.lower(), "action")] = edge_index(
-                    sub, "src_id", "action_id", ps_idx, a_idx
+                    sub,
+                    ["game_id", "src_id"],
+                    ["game_id", "action_id"],
+                    ps_idx,
+                    a_idx,
                 )
             sub_l = action_edges.filter(
                 (F.col("edge_type") == label) & (F.col("src_kind") == "lineup_stint")
             )
             if sub_l.head(1):
                 out[("lineup_stint", label.lower(), "action")] = edge_index(
-                    sub_l, "src_id", "action_id", ls_idx, a_idx
+                    sub_l,
+                    ["game_id", "src_id"],
+                    ["game_id", "action_id"],
+                    ls_idx,
+                    a_idx,
                 )
     # Score node type + GENERATED_SCORE / NEXT edges (reference
     # MERGE_SCORES export path, src/queries/game.py:716-740).
     if "scores" in tables:
         scores = tables["scores"]
-        s_idx = dense_index(scores, "score_action_id")
+        s_idx = dense_index(scores, "score_action_id", partition_col="game_id")
         out["score"] = {
             "x": node_features(
                 scores,
-                "score_action_id",
+                ["game_id", "score_action_id"],
                 ["home_score", "away_score", "margin", "global_clock"],
                 s_idx,
             ),
@@ -159,19 +232,20 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
         if "action" in out:
             out[("action", "generated_score", "score")] = edge_index(
                 scores.select(
+                    "game_id",
                     F.col("score_action_id").alias("__a__"),
                     F.col("score_action_id").alias("__s__"),
                 ),
-                "__a__",
-                "__s__",
-                dense_index(tables["actions"], "action_id"),
+                ["game_id", "__a__"],
+                ["game_id", "__s__"],
+                a_idx,
                 s_idx,
             )
         if "score_next" in tables:
             out[("score", "next", "score")] = edge_index(
                 tables["score_next"],
-                "score_action_id",
-                "next_score_action_id",
+                ["game_id", "score_action_id"],
+                ["game_id", "next_score_action_id"],
                 s_idx,
                 s_idx,
             )

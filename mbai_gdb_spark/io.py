@@ -124,12 +124,21 @@ def merge_upsert(
         keep = existing.join(batch.select(*key_cols), key_cols, "left_anti")
         merged = keep.unionByName(batch)
         # Write to a staging dir (cannot overwrite files being read),
-        # then atomically swap — distributed end to end, no collect.
+        # then swap via rename-aside: the old dataset is moved out of
+        # the way before the staging dir takes its place, so a crash at
+        # any point leaves either the old or the new data recoverable
+        # on disk (a rmtree-then-rename window would lose everything).
+        # Local-filesystem semantics only — on an object store / HDFS
+        # use a lakehouse format's MERGE INTO instead.
         staging = path.rstrip("/") + "__staging"
         merged.write.mode("overwrite").parquet(staging)
         import shutil
 
-        shutil.rmtree(path)
+        old = path.rstrip("/") + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.replace(path, old)
         os.replace(staging, path)
+        shutil.rmtree(old)
     else:
         batch.write.mode("append").parquet(path)

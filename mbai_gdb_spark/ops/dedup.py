@@ -99,17 +99,49 @@ def jaccard_pairs(
     )
 
 
-def token_dictionary(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
-    """Deterministic global token ids: dense_rank over sorted distinct
-    tokens (binary/ASCII collation in both Spark and DuckDB).
+def _prefix_bucket(token_col: str) -> Column:
+    """Order-preserving bucket from a token's first two chars: if
+    a < b (binary collation) then bucket(a) <= bucket(b).  Pure function
+    of the data — deterministic across jobs, unlike sampled
+    repartitionByRange boundaries."""
+    c1 = F.ascii(F.substring(F.col(token_col), 1, 1))
+    c2 = F.least(F.ascii(F.substring(F.col(token_col), 2, 1)), F.lit(1023))
+    return (c1.cast("long") * 1024 + c2).alias("__bkt__")
 
-    ORACLE-REPRODUCIBLE but involves a global sort of the (small,
-    deduplicated) vocabulary.  At 100 TB use ``hashed_token_ids`` —
-    identical downstream pipeline, no dictionary.
+
+def token_dictionary(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
+    """Deterministic global token ids == dense_rank over the sorted
+    distinct vocabulary (binary/ASCII collation in both Spark and
+    DuckDB) — WITHOUT a global single-partition sort.
+
+    Recipe: distinct tokens → order-preserving prefix bucket (first two
+    chars) → per-bucket rank (window partitioned by bucket) + bucket
+    offset (tiny per-bucket counts, one row per occupied bucket,
+    computed in a driver-side pass — the zipWithIndex recipe).
+    Parallelism = #occupied buckets instead of 1; ids are identical to
+    the old formulation, so the DuckDB oracles are unchanged.  At
+    100 TB the stateless alternative is ``hashed_token_ids`` (map-only,
+    no dictionary at all).
     """
-    distinct = tokens_df.select(token_col).distinct()
-    w = Window.orderBy(token_col)
-    return distinct.withColumn("tok_id", F.dense_rank().over(w))
+    spark = tokens_df.sparkSession
+    distinct = tokens_df.select(token_col).distinct().withColumn(
+        "__bkt__", _prefix_bucket(token_col)
+    )
+    counts = sorted(
+        (r["__bkt__"], r["n"])
+        for r in distinct.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = [], 0
+    for bkt, n in counts:
+        offsets.append((bkt, acc))
+        acc += n
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "__bkt__ long, __off__ long")
+    w = Window.partitionBy("__bkt__").orderBy(token_col)
+    return (
+        distinct.join(F.broadcast(off_df), "__bkt__")
+        .withColumn("tok_id", (F.row_number().over(w) + F.col("__off__")).cast("long"))
+        .select(token_col, "tok_id")
+    )
 
 
 def hashed_token_ids(tokens_df: DataFrame, token_col: str = "token") -> DataFrame:
@@ -151,9 +183,18 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any full band of the signature become a
-    candidate pair.  Equi-join on (band, bucket-key) — no cross join."""
+    candidate pair.  Equi-join on (band, bucket-key) — no cross join.
+
+    ``max_bucket_size`` caps the quadratic hazard: a (band, bucket)
+    holding b docs emits O(b²) pairs, so one hot bucket (e.g. a
+    boilerplate cluster) can dominate the whole job.  Buckets larger
+    than the cap are dropped from pair generation — the standard df-cut;
+    such clusters are exact-duplicate-shaped and belong to
+    ``exact_dedup`` / a dedicated sub-sharding pass, not the pair join.
+    """
     banded = signatures.withColumn(
         "band", F.expr(f"hash_idx div {rows_per_band}")
     )
@@ -166,6 +207,15 @@ def lsh_candidate_pairs(
             ),
         ).alias("bucket")
     )
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__bsz__")
+        )
+        buckets = buckets.join(
+            sizes.filter(F.col("__bsz__") <= max_bucket_size).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (

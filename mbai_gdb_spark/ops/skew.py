@@ -29,12 +29,25 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the skewed side salted and the other side
     replicated across all salt values.  Semantics identical to
-    ``skewed.join(other, on, how)``; physical keys are (on..., salt).
+    ``skewed.join(other, on, how)`` for the supported ``how`` values;
+    physical keys are (on..., salt).
+
+    Only inner/left/left_semi/left_anti are supported: the non-skewed
+    side is exploded n_salts times, so right/full flavors would emit
+    each unmatched ``other`` row once per salt (and right_semi/anti are
+    wrong the same way) — use AQE skew handling for those.
 
     Deterministic salting (hash of a unique expression would also work):
     monotonically spread via spark_partition_id + row-local randomness is
     NOT reproducible, so we hash the full row of the skewed side — stable
     across retries, which matters for task re-execution at scale."""
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}: "
+            "replicating the non-skewed side would duplicate its unmatched rows"
+        )
     salt = (F.abs(F.xxhash64(*[F.col(c) for c in skewed.columns])) % n_salts).alias(
         "__salt__"
     )

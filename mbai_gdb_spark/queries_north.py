@@ -201,22 +201,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
         SELECT doc_id, hash_idx // 4 AS band,
                string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
         FROM sigs GROUP BY doc_id, hash_idx // 4
+    ),
+    kept AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+            FROM buckets
+        ) WHERE bsz <= 50
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM buckets a
-    JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-                  AND a.doc_id < b.doc_id
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash (16 perms) + LSH banding (4 bands × 4 rows) candidate
-    pairs.  Equi-join on (band, bucket) — linear in corpus size."""
+    pairs.  Equi-join on (band, bucket) — linear in corpus size — with a
+    hot-bucket cap of 50 (a bucket holding b docs emits O(b²) pairs;
+    oversized buckets are boilerplate-cluster-shaped and are excluded
+    from pair generation — see ops.dedup.lsh_candidate_pairs)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     dictionary = token_dictionary(toks, "token")
     doc_set = toks.join(dictionary, "token").select("doc_id", "tok_id").distinct()
     sigs = minhash_signatures(doc_set, "doc_id", "tok_id", n_hashes=16)
-    return lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4)
+    return lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=50)
 
 
 @query(
@@ -285,10 +294,17 @@ def sim_cosine_top5(spark, sf_dir):
     return cosine_topk(emb, queries_df, k=5)
 
 
-@query(
-    "sim_lsh_neighbors",
-    f"""
-    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+def _sql_lsh_pairs(threshold: float) -> str:
+    """Shared oracle prefix: hyperplane-LSH buckets (8 LCG planes) →
+    within-bucket exact-cosine pairs at ``threshold`` (CTE ``pairs``)."""
+    cos = (
+        _SQL_DOT.format(
+            products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])"
+        )
+        + " / (" + _SQL_NORM.format(v="a.ve") + " * " + _SQL_NORM.format(v="b.ve") + ")"
+    )
+    return f"""
+    v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
     sig AS (
         SELECT vec_id, ve,
                list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -302,13 +318,20 @@ def sim_cosine_top5(spark, sf_dir):
                        THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END)),
                    (a, x) -> a + x) AS lsh_bucket
         FROM v
-    )
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
-           / ({_SQL_NORM.format(v="a.ve")} * {_SQL_NORM.format(v="b.ve")}) AS cosine_sim
-    FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
-    WHERE {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
-          / ({_SQL_NORM.format(v="a.ve")} * {_SQL_NORM.format(v="b.ve")}) >= 0.2
+    ),
+    pairs AS (
+        SELECT * FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
+            FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+        ) WHERE cosine_sim >= {threshold}
+    )"""
+
+
+@query(
+    "sim_lsh_neighbors",
+    f"""
+    WITH {_sql_lsh_pairs(0.2)}
+    SELECT id_a, id_b, cosine_sim FROM pairs
     """,
 )
 def sim_lsh_neighbors(spark, sf_dir):
@@ -346,30 +369,32 @@ def mm_binary_metadata(spark, sf_dir):
 @query(
     "dedup_embedding_cosine",
     f"""
-    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
-           / ({_SQL_NORM.format(v="a.ve")} * {_SQL_NORM.format(v="b.ve")}) AS cosine_sim
-    FROM v a JOIN v b ON a.vec_id < b.vec_id
-    WHERE {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
-          / ({_SQL_NORM.format(v="a.ve")} * {_SQL_NORM.format(v="b.ve")}) >= 0.5
+    WITH {_sql_lsh_pairs(0.3)}
+    SELECT id_b AS vec_id,
+           MIN(id_a) AS dup_of,
+           COUNT(*) AS n_dup_candidates,
+           MAX(cosine_sim) AS best_cosine
+    FROM pairs GROUP BY id_b
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (brute-force correctness
-    baseline; the LSH-bucketed scale path is ``sim_lsh_neighbors``).
-    Same sequential accumulation chains as the oracle → raw doubles
-    hash-equal."""
-    from mbai_gdb_spark.ops.similarity import as_double, cosine
+    """Embedding-cosine near-dup dedup decision at 100 TB shape: LSH
+    buckets (8 hyperplanes) → within-bucket exact cosine ≥ 0.3 → greedy
+    canonical pick (each vector marked dup_of its lowest-id match).
+    No corpus×corpus crossJoin anywhere in the plan — candidate pairs
+    come from the (band, bucket) equi-join, identical in Spark and the
+    oracle.  (Round 1 shipped an all-pairs brute force here; the exact
+    variant remains available as ops.similarity.cosine for test-time
+    recall measurement.)"""
+    from mbai_gdb_spark.ops.similarity import lsh_candidate_neighbors
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), as_double(F.col("embedding")).alias("__va__"))
-    b = emb.select(F.col("vec_id").alias("id_b"), as_double(F.col("embedding")).alias("__vb__"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", cosine(F.col("__va__"), F.col("__vb__")).alias("cosine_sim")
+    pairs = lsh_candidate_neighbors(emb, n_planes=8, min_cosine=0.3)
+    return pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_dup_candidates"),
+        F.max("cosine_sim").alias("best_cosine"),
     )
-    return scored.filter(F.col("cosine_sim") >= 0.5)
 
 
 _SQL_COS = (

@@ -49,7 +49,10 @@ def _update_totals(
     n, cents = state.get if state.exists else (0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        cents += int(round(pdf["value"].sum() * 100))
+        # Round per ROW before summing (the queries.py fixed-point
+        # convention): rounding a float batch-sum once per micro-batch
+        # would make the running total depend on trigger boundaries.
+        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]}

@@ -1,0 +1,97 @@
+"""Scale-shape guarantees for the dedup/similarity north-star operators.
+
+Round-2 hardening (VERDICT items 3-5): no corpus×corpus cross join in
+any declared dedup query, bounded LSH candidate generation under a
+degenerate (all-identical) corpus, and a token dictionary that matches
+global dense_rank WITHOUT a single-partition global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.dedup import (
+    hashed_token_ids,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    token_dictionary,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_token_dictionary_matches_dense_rank(spark):
+    vocab = ["zebra", "apple", "ant", "a", "Zoo", "banana", "b", "ba", "!", "~x"]
+    rows = [(t,) for t in vocab for _ in range(2)]  # duplicates collapse
+    toks = spark.createDataFrame(rows, "token string")
+    got = {r["token"]: r["tok_id"] for r in token_dictionary(toks).collect()}
+    expected = {t: i + 1 for i, t in enumerate(sorted(set(vocab)))}
+    assert got == expected
+
+
+def test_token_dictionary_plan_has_no_single_partition_sort(spark):
+    toks = spark.createDataFrame([(t,) for t in ("aa", "ab", "zz")], "token string")
+    plan = _plan(token_dictionary(toks))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # per-bucket rank window, partitioned by __bkt__
+
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_corpus(spark):
+    # 60 identical documents: every band collides, so uncapped banding
+    # emits the full quadratic 60*59/2 pair set; the cap drops the hot
+    # buckets entirely (such clusters belong to exact dedup).
+    n = 60
+    doc_tokens = spark.createDataFrame(
+        [(i, t) for i in range(n) for t in (11, 23, 37, 53)],
+        "doc_id long, tok_id long",
+    )
+    sigs = minhash_signatures(doc_tokens, "doc_id", "tok_id", n_hashes=8)
+    uncapped = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4)
+    capped = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=10)
+    assert uncapped.count() == n * (n - 1) // 2
+    assert capped.count() == 0
+
+
+def test_lsh_cap_keeps_small_buckets(spark):
+    # Two near-dup pairs with disjoint vocab + unique-background docs:
+    # the cap must not disturb small buckets.
+    rows = []
+    for i, toks in ((0, [1, 2, 3, 4]), (1, [1, 2, 3, 4]),
+                    (2, [9, 10, 11, 12]), (3, [9, 10, 11, 12])):
+        rows += [(i, t) for t in toks]
+    for i in range(4, 20):  # background: unique token sets
+        rows += [(i, 1000 + 10 * i + j) for j in range(4)]
+    doc_tokens = spark.createDataFrame(rows, "doc_id long, tok_id long")
+    sigs = minhash_signatures(doc_tokens, "doc_id", "tok_id", n_hashes=8)
+    capped = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert {(0, 1), (2, 3)} <= got
+
+
+def test_declared_dedup_sim_queries_never_cross_join(spark):
+    """No declared dedup/similarity query may plan a cartesian product
+    or a partitionless single-partition window over the corpus."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in (
+        "dedup_embedding_cosine",
+        "dedup_minhash_lsh",
+        "dedup_ngram_jaccard",
+        "dedup_simhash",
+        "sim_lsh_neighbors",
+        "text_fingerprint",
+    ):
+        plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in plan, name
+        assert "SinglePartition" not in plan, name
+
+
+def test_hashed_token_ids_stable_and_bounded(spark):
+    toks = spark.createDataFrame([("alpha",), ("beta",)], "token string")
+    a = {r["token"]: r["tok_id"] for r in hashed_token_ids(toks).collect()}
+    b = {r["token"]: r["tok_id"] for r in hashed_token_ids(toks).collect()}
+    assert a == b
+    assert all(0 <= v < 2_147_483_647 for v in a.values())

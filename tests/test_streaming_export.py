@@ -99,3 +99,44 @@ def test_hetero_tensor_export_scores(spark):
     assert gen.shape == (2, n_s)  # one score state per scoring action
     nxt = out[("score", "next", "score")]
     assert nxt.shape[1] == n_s - 1  # a total order over score states
+
+
+def test_hetero_tensor_export_multigame_no_collapse(spark):
+    """action_id / score_action_id restart at 1 per game: a multi-game
+    export must keep those nodes distinct (composite (game_id, id)
+    dense indices) and wire every edge inside its own game."""
+    from mbai_gdb_spark.export.pyg import to_hetero_tensors
+    from mbai_gdb_spark.pipeline.fixtures import fixture_frames
+    from mbai_gdb_spark.pipeline.plus_minus import game_pipeline
+
+    games = [(4001, 5), (4002, 17)]
+    pbp = starters = None
+    for gid, seed in games:
+        p, s = fixture_frames(
+            spark, game_id=gid, home_team=10, away_team=20, seed=seed
+        )
+        pbp = p if pbp is None else pbp.unionByName(p)
+        starters = s if starters is None else starters.unionByName(s)
+    home = spark.createDataFrame(
+        [(g, 10) for g, _ in games], "game_id long, home_team_id long"
+    )
+    tables = game_pipeline(pbp, starters, home)
+    out = to_hetero_tensors(tables)
+
+    # node counts are the SUM over games (no cross-game id collapse)
+    n_act = out["action"]["num_nodes"]
+    per_game = {
+        r.game_id: r.n
+        for r in tables["actions"]
+        .groupBy("game_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert n_act == sum(per_game.values())
+    assert out["action"]["x"].shape == (n_act, 4)
+    n_s = out["score"]["num_nodes"]
+    gen = out[("action", "generated_score", "score")]
+    assert gen.shape == (2, n_s)  # exactly one edge per score state
+    # dense indices form one contiguous 0..N-1 space across both games
+    nxt = out[("score", "next", "score")]
+    assert nxt.shape[1] == n_s - len(games)  # per-game total orders
