@@ -30,6 +30,10 @@ HEADLINE = [
     "o3_top10_customers_by_revenue",
     "sim_cosine_top5",
     "text_fingerprint",
+    # Round-2 north-star breadth (regression gate on the dedup/ANN path)
+    "dedup_minhash_lsh",
+    "sim_ivf_top5",
+    "text_profile",
 ]
 
 
@@ -86,6 +90,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     timings["nba_game_pipeline_20"] = round(_bench_nba_pipeline(spark, n_games=20), 3)
+    timings["nba_game_pipeline_200"] = round(
+        _bench_nba_pipeline(spark, n_games=200), 3
+    )
 
     total = round(sum(timings.values()), 3)
     print(

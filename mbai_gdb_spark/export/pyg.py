@@ -172,6 +172,29 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
         ),
     }
 
+    # Player node type + (Player)-[:ON_COURT]->(PlayerStint) edges
+    # (reference export includes Player nodes in the stint topology
+    # read, src/managers/game.py:346-358).  Bio features attach when a
+    # players dimension table is supplied (S3); otherwise the node
+    # carries height/weight-free unit features.
+    p_idx = dense_index(player_stints, "player_id")
+    if "players" in tables:
+        out["player"] = {
+            "x": node_features(
+                tables["players"], "player_id", ["height_in", "weight_lb"], p_idx
+            ),
+            "num_nodes": p_idx.count(),
+        }
+    else:
+        out["player"] = {"num_nodes": p_idx.count()}
+    out[("player", "on_court", "player_stint")] = edge_index(
+        player_stints,
+        "player_id",
+        ["game_id", "player_stint_id"],
+        p_idx,
+        ps_idx,
+    )
+
     # Action node type + one typed edge tensor per relationship label
     # (reference export builds per-edge-type index tensors,
     # src/managers/game.py:435-457).

@@ -42,6 +42,7 @@ LINEUP_STINT_SCHEMA = T.StructType(
         T.StructField("lineup_id", T.StringType()),
         T.StructField("player_ids", T.ArrayType(T.LongType())),
         T.StructField("local_start", T.DoubleType()),
+        T.StructField("start_time", T.TimestampType()),
     ]
 )
 
@@ -54,7 +55,11 @@ def _reconstruct(key, pdf):
     subs = pdf[pdf.kind == "sub"].sort_values(
         ["period", "elapsed", "action_id"], kind="mergesort"
     )
-    periods = sorted(pdf.loc[pdf.kind == "period", "period"].unique())
+    marker = pdf[pdf.kind == "period"]
+    periods = sorted(marker["period"].unique())
+    # Wall-clock period starts (reference stints carry start_time/
+    # end_time alongside the game clocks, src/queries/game.py:105-125).
+    period_start = {int(r.period): r.time for _, r in marker.iterrows()}
 
     out_rows = []
     on_court = set(starters)
@@ -71,21 +76,26 @@ def _reconstruct(key, pdf):
         seq = 0
         current = tuple(sorted(on_court))
         if len(current) == 5:
-            out_rows.append((game_id, team_id, int(period), seq, current, 0.0))
+            out_rows.append(
+                (game_id, team_id, int(period), seq, current, 0.0,
+                 period_start.get(int(period)))
+            )
         # Mid-period changes: emit a new stint whenever the set is full
         # and different from the last emitted lineup.
         mid = period_subs[period_subs.elapsed > 0.0]
         for elapsed, grp in mid.groupby("elapsed", sort=True):
+            wall = None
             for _, r in grp.iterrows():
                 if r.sub_type == "out":
                     on_court.discard(int(r.player_id))
                 else:
                     on_court.add(int(r.player_id))
+                wall = r.time
             nxt = tuple(sorted(on_court))
             if len(nxt) == 5 and nxt != current:
                 seq += 1
                 out_rows.append(
-                    (game_id, team_id, int(period), seq, nxt, float(elapsed))
+                    (game_id, team_id, int(period), seq, nxt, float(elapsed), wall)
                 )
                 current = nxt
     return pd.DataFrame(
@@ -98,8 +108,9 @@ def _reconstruct(key, pdf):
                 "lineup_id": "_".join(str(x) for x in ids),
                 "player_ids": list(ids),
                 "local_start": e,
+                "start_time": w,
             }
-            for (g, t, p, s, ids, e) in out_rows
+            for (g, t, p, s, ids, e, w) in out_rows
         ],
         columns=[f.name for f in LINEUP_STINT_SCHEMA.fields],
     )
@@ -118,15 +129,20 @@ def kernel_input(pbp: DataFrame, starters: DataFrame) -> DataFrame:
         (plen - clock_seconds_remaining(F.col("clock"))).alias("elapsed"),
         F.col("subType").alias("sub_type"),
         F.col("personId").alias("player_id"),
+        F.col("timeActual").alias("time"),
         F.lit("sub").alias("kind"),
     )
     # One 'period' row per (team, period) so the kernel knows the period
-    # roster carries over even with no subs.
+    # roster carries over even with no subs; carries the period's wall
+    # start time for stint start_time derivation.
     period_rows = (
         pbp.filter(F.col("actionType") == "period")
-        .select("game_id", "period")
-        .distinct()
-        .crossJoin(starters.select(F.col("TEAM_ID").alias("team_id")).distinct())
+        .groupBy("game_id", "period")
+        .agg(F.min("timeActual").alias("time"))
+        .join(
+            starters.select("game_id", F.col("TEAM_ID").alias("team_id")).distinct(),
+            "game_id",
+        )
         .select(
             "game_id",
             "team_id",
@@ -135,6 +151,7 @@ def kernel_input(pbp: DataFrame, starters: DataFrame) -> DataFrame:
             F.lit(None).cast("double").alias("elapsed"),
             F.lit(None).cast("string").alias("sub_type"),
             F.lit(None).cast("long").alias("player_id"),
+            "time",
             F.lit("period").alias("kind"),
         )
     )
@@ -146,6 +163,7 @@ def kernel_input(pbp: DataFrame, starters: DataFrame) -> DataFrame:
         F.lit(None).cast("double").alias("elapsed"),
         F.lit(None).cast("string").alias("sub_type"),
         F.col("PLAYER_ID").alias("player_id"),
+        F.lit(None).cast("timestamp").alias("time"),
         F.lit("starter").alias("kind"),
     )
     return subs.unionByName(period_rows).unionByName(starter_rows)
@@ -169,11 +187,31 @@ def build_lineup_stints(pbp: DataFrame, starters: DataFrame) -> DataFrame:
     events = lineup_change_events(pbp, starters)
     w = Window.partitionBy("game_id", "team_id", "period").orderBy("local_start")
     plen = period_len(F.col("period"))
+    # Wall-clock period ends close each period's last stint (reference
+    # end_time coalesce, src/queries/game.py:118-125).
+    period_ends = (
+        pbp.filter(F.col("actionType") == "period")
+        .groupBy("game_id", "period")
+        .agg(F.max("timeActual").alias("__period_end_time__"))
+    )
     out = (
         events.withColumn("local_end", F.coalesce(F.lead("local_start").over(w), plen))
         .withColumn("clock_duration", F.col("local_end") - F.col("local_start"))
         .withColumn("global_start", period_global_offset(F.col("period")) + F.col("local_start"))
         .withColumn("global_end", period_global_offset(F.col("period")) + F.col("local_end"))
+        .join(F.broadcast(period_ends), ["game_id", "period"])
+        .withColumn(
+            "end_time",
+            F.coalesce(F.lead("start_time").over(w), F.col("__period_end_time__")),
+        )
+        .withColumn(
+            "time_duration",
+            (
+                F.unix_micros(F.col("end_time")) - F.unix_micros(F.col("start_time"))
+            ).cast("double")
+            / 1e6,
+        )
+        .drop("__period_end_time__")
         .withColumn(
             "stint_id",
             F.concat_ws(

@@ -46,6 +46,13 @@ def build_periods(pbp: DataFrame) -> DataFrame:
     """(game_id, n, start, end, duration_s, global_offset) — one row per
     period, from the marker-row pair (A2: first/last timestamp)."""
     markers = pbp.filter(F.col("actionType") == "period")
+    # Multi-label taxonomy (reference :RegularTime/:OverTime/:Q1..Q4
+    # sub-labels, src/queries/game.py:21-31) as a labels array + the
+    # boolean hot column, mirroring the actions table's convention.
+    labels = F.when(
+        F.col("n") <= 4,
+        F.array(F.lit("RegularTime"), F.concat(F.lit("Q"), F.col("n"))),
+    ).otherwise(F.array(F.lit("OverTime")))
     return (
         markers.groupBy("game_id", F.col("period").alias("n"))
         .agg(F.min("timeActual").alias("start"), F.max("timeActual").alias("end"))
@@ -54,6 +61,8 @@ def build_periods(pbp: DataFrame) -> DataFrame:
         .withColumn(
             "period_id", F.concat_ws("_", F.col("game_id"), F.col("n"))
         )
+        .withColumn("labels", labels)
+        .withColumn("is_overtime", F.col("n") > 4)
     )
 
 

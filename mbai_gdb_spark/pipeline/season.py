@@ -28,6 +28,19 @@ def build_games(schedule: DataFrame, season_id: int | str) -> DataFrame:
     ).dropDuplicates(["game_id"])
 
 
+def game_arena_edges(games: DataFrame, home_arena: DataFrame) -> DataFrame:
+    """(Game)-[:AT]->(Arena) via the home team's arena (reference
+    MERGE_SEASON, src/queries/season.py:12-14: the schedule joins the
+    home team's HOME_ARENA edge before creating AT).  ``home_arena`` is
+    the (team_id, arena_name) edge table from pipeline.teams."""
+    return games.join(
+        F.broadcast(home_arena.select(
+            F.col("team_id").alias("home_team_id"), "arena_name"
+        )),
+        "home_team_id",
+    ).select("game_id", "arena_name")
+
+
 def team_game_edges(games: DataFrame) -> DataFrame:
     """(team, game, played_home) participation edges — the
     PLAYED_HOME/PLAYED_AWAY relationship table."""

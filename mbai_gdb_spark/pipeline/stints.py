@@ -29,6 +29,8 @@ def build_player_stints(lineup_stints: DataFrame) -> DataFrame:
         "global_start",
         "global_end",
         "clock_duration",
+        "start_time",
+        "end_time",
         F.explode("player_ids").alias("player_id"),
     )
     w = Window.partitionBy("game_id", "player_id").orderBy("global_start")
@@ -49,6 +51,8 @@ def build_player_stints(lineup_stints: DataFrame) -> DataFrame:
             F.min("global_start").alias("global_start"),
             F.max("global_end").alias("global_end"),
             F.sum("clock_duration").alias("clock_duration"),
+            F.min("start_time").alias("start_time"),
+            F.max("end_time").alias("end_time"),
             F.min("period").alias("first_period"),
             F.max("period").alias("last_period"),
             F.collect_set("stint_id").alias("lineup_stint_ids"),
@@ -83,6 +87,8 @@ def cross_period_next_chain(
         F.col("stint_id").alias("sid"),
         "global_start",
         "global_end",
+        "start_time",
+        "end_time",
     )
     ps = player_stints.select(
         "game_id",
@@ -90,18 +96,33 @@ def cross_period_next_chain(
         F.col("player_stint_id").alias("sid"),
         "global_start",
         "global_end",
+        "start_time",
+        "end_time",
     )
     unioned = ls.unionByName(ps)
     chained = chain_next(
         unioned,
         partition_by=["game_id", "entity_id"],
         order_by=["global_start"],
-        next_cols={"sid": "next_sid", "global_start": "next_start"},
+        next_cols={
+            "sid": "next_sid",
+            "global_start": "next_start",
+            "start_time": "next_start_time",
+        },
     )
+    # Edge props at reference parity (src/queries/game.py:202-206):
+    # clock_since = game-clock gap, time_since = wall-clock gap.
     return chained.select(
         "game_id",
         "entity_id",
         "sid",
         "next_sid",
         (F.col("next_start") - F.col("global_end")).alias("clock_since"),
+        (
+            (
+                F.unix_micros(F.col("next_start_time"))
+                - F.unix_micros(F.col("end_time"))
+            ).cast("double")
+            / 1e6
+        ).alias("time_since"),
     )

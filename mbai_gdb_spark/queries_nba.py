@@ -382,6 +382,199 @@ def nba_player_stints(spark, sf_dir):
     )
 
 
+def _player_dim_oracle() -> str:
+    from mbai_gdb_spark.pipeline.players import (
+        PLAYER_BIO_COLUMNS,
+        synthetic_player_bio,
+    )
+    from mbai_gdb_spark.pipeline.w11_gold import (
+        _LINEUP_PM_GOLD,
+        _PLAYER_STINT_GOLD,
+        values_cte,
+    )
+
+    pids = sorted({r[2] for r in _PLAYER_STINT_GOLD})
+    bio = values_cte("bio", PLAYER_BIO_COLUMNS, synthetic_player_bio(pids))
+    pm = values_cte(
+        "expected_pm",
+        [
+            "game_id", "team_id", "stint_id", "lineup_id", "period",
+            "local_start", "clock_duration", "points_scored",
+            "points_conceded", "plus_minus",
+        ],
+        _LINEUP_PM_GOLD,
+    )
+    ps = values_cte(
+        "expected_ps",
+        [
+            "game_id", "team_id", "player_id", "player_stint_id",
+            "global_start", "global_end", "clock_duration",
+            "first_period", "last_period",
+        ],
+        _PLAYER_STINT_GOLD,
+    )
+    return f"""
+    WITH {bio},
+    {pm},
+    {ps},
+    member AS (
+        SELECT DISTINCT CAST(t AS BIGINT) AS player_id, lineup_id
+        FROM (SELECT DISTINCT lineup_id FROM expected_pm),
+             UNNEST(string_split(lineup_id, '_')) AS u(t)
+    ),
+    nl AS (
+        SELECT player_id, COUNT(DISTINCT lineup_id) AS n_lineups
+        FROM member GROUP BY player_id
+    ),
+    play AS (
+        SELECT player_id, COUNT(*) AS n_stints,
+               CAST(SUM(CAST(ROUND(clock_duration * 100) AS BIGINT)) AS BIGINT)
+                   AS seconds_played_cs
+        FROM expected_ps GROUP BY player_id
+    )
+    SELECT b.player_id, b.first_name, b.last_name, b.birthdate, b.height_in,
+           b.weight_lb, b.position, b.school, b.country,
+           nl.n_lineups, play.n_stints, play.seconds_played_cs
+    FROM bio b
+    JOIN nl   ON nl.player_id = b.player_id
+    JOIN play ON play.player_id = b.player_id
+    """
+
+
+@query("nba_player_dimension", _player_dim_oracle())
+def nba_player_dimension(spark, sf_dir):
+    """S3 — the Player node type: 8-column bio projection (reference
+    fetch_player_info, src/fetcher.py:60-71) joined with MEMBER_OF
+    lineup membership (src/queries/game.py:73-77) and per-player court
+    time rolled up from the W11 player stints.  Bio rows are the
+    deterministic synthetic fixture (pipeline.players); court time uses
+    the exact fixed-point centisecond convention."""
+    from mbai_gdb_spark.pipeline.lineups import build_lineup_stints
+    from mbai_gdb_spark.pipeline.players import (
+        build_players,
+        member_of_edges,
+        player_bio_frame,
+    )
+    from mbai_gdb_spark.pipeline.stints import build_player_stints
+    from mbai_gdb_spark.pipeline.w11_gold import _PLAYER_STINT_GOLD
+
+    pbp, starters = _fixture(spark)
+    ls = build_lineup_stints(pbp, starters)
+    ps = build_player_stints(ls)
+    pids = sorted({r[2] for r in _PLAYER_STINT_GOLD})
+    players = build_players(player_bio_frame(spark, pids))
+    nl = (
+        member_of_edges(ls)
+        .groupBy("player_id")
+        .agg(F.countDistinct("lineup_id").alias("n_lineups"))
+    )
+    play = ps.groupBy("player_id").agg(
+        F.count(F.lit(1)).alias("n_stints"),
+        F.sum(F.round(F.col("clock_duration") * 100, 0).cast("long")).alias(
+            "seconds_played_cs"
+        ),
+    )
+    return players.join(F.broadcast(nl), "player_id").join(
+        F.broadcast(play), "player_id"
+    )
+
+
+def _export_ei_oracle() -> str:
+    from mbai_gdb_spark.pipeline.w11_gold import (
+        _LINEUP_PM_GOLD,
+        _PLAYER_STINT_GOLD,
+        values_cte,
+    )
+
+    pm = values_cte(
+        "expected_pm",
+        [
+            "game_id", "team_id", "stint_id", "lineup_id", "period",
+            "local_start", "clock_duration", "points_scored",
+            "points_conceded", "plus_minus",
+        ],
+        _LINEUP_PM_GOLD,
+    )
+    ps = values_cte(
+        "expected_ps",
+        [
+            "game_id", "team_id", "player_id", "player_stint_id",
+            "global_start", "global_end", "clock_duration",
+            "first_period", "last_period",
+        ],
+        _PLAYER_STINT_GOLD,
+    )
+    offset = (
+        "(CASE WHEN period <= 4 THEN (period - 1) * 720.0"
+        " ELSE 2880.0 + (period - 5) * 300.0 END)"
+    )
+    return f"""
+    WITH {pm},
+    {ps},
+    pm AS (
+        SELECT stint_id, lineup_id, team_id,
+               {offset} + local_start AS g_start,
+               {offset} + local_start + clock_duration AS g_end
+        FROM expected_pm
+    ),
+    edges AS (
+        SELECT p.player_stint_id, m.stint_id
+        FROM expected_ps p
+        JOIN pm m ON m.team_id = p.team_id
+               AND m.g_start >= p.global_start - 1e-6
+               AND m.g_end   <= p.global_end + 1e-6
+               AND list_contains(string_split(m.lineup_id, '_'),
+                                 CAST(p.player_id AS VARCHAR))
+    ),
+    ps_idx AS (
+        SELECT player_stint_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY player_stint_id) - 1 AS BIGINT)
+                   AS src_idx
+        FROM (SELECT DISTINCT player_stint_id FROM expected_ps)
+    ),
+    ls_idx AS (
+        SELECT stint_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY stint_id) - 1 AS BIGINT) AS dst_idx
+        FROM (SELECT DISTINCT stint_id FROM expected_pm)
+    )
+    SELECT e.player_stint_id, e.stint_id, i.src_idx, j.dst_idx
+    FROM edges e
+    JOIN ps_idx i ON i.player_stint_id = e.player_stint_id
+    JOIN ls_idx j ON j.stint_id = e.stint_id
+    """
+
+
+@query("nba_export_edge_index", _export_ei_oracle())
+def nba_export_edge_index(spark, sf_dir):
+    """S9 as a checkable query: the ON_COURT_WITH edge list in dense
+    export coordinates (the [2, E] tensor's rows, flattened with their
+    natural keys).  The oracle DERIVES the edges independently from the
+    two golden stint tables — a lineup stint belongs to a player stint
+    iff its interval is contained and its lineup includes the player —
+    and rebuilds the same rank-based dense indices in SQL (reference
+    export contract: src/managers/game.py:360-397, 435-457)."""
+    from mbai_gdb_spark.export.pyg import dense_index
+    from mbai_gdb_spark.pipeline.lineups import build_lineup_stints
+    from mbai_gdb_spark.pipeline.stints import (
+        build_player_stints,
+        player_stint_lineup_edges,
+    )
+
+    pbp, starters = _fixture(spark)
+    ls = build_lineup_stints(pbp, starters)
+    ps = build_player_stints(ls)
+    edges = player_stint_lineup_edges(ps)
+    ps_idx = dense_index(ps, "player_stint_id", partition_col="game_id")
+    ls_idx = dense_index(ls, "stint_id", partition_col="game_id")
+    return (
+        edges.join(ps_idx, ["game_id", "player_stint_id"])
+        .withColumnRenamed("dense_idx", "src_idx")
+        .join(ls_idx, ["game_id", "stint_id"])
+        .withColumnRenamed("dense_idx", "dst_idx")
+        .select("player_stint_id", "stint_id", "src_idx", "dst_idx")
+    )
+
+
 @query(
     "nba_possessions",
     f"""

@@ -61,9 +61,9 @@ def _update_lineups(
     subs = pdf[pdf.kind == "sub"].sort_values(
         ["period", "elapsed", "action_id"], kind="mergesort"
     )
-    periods = sorted(
-        set(pdf.loc[pdf.kind == "period", "period"]) | set(subs.period.unique())
-    )
+    marker = pdf[pdf.kind == "period"]
+    period_time = {int(r.period): r.time for _, r in marker.iterrows()}
+    periods = sorted(set(marker["period"]) | set(subs.period.unique()))
     for period in periods:
         if period < cur_period:
             continue  # stale replay — state already covers it
@@ -76,19 +76,24 @@ def _update_lineups(
         if seq == -1 and len(on_court) == 5:
             seq = 0
             last_emitted = _lineup_id(on_court)
-            out.append((period, seq, last_emitted, sorted(on_court), 0.0))
+            out.append(
+                (period, seq, last_emitted, sorted(on_court), 0.0,
+                 period_time.get(int(period)))
+            )
         for elapsed, grp in period_subs[period_subs.elapsed > 0.0].groupby(
             "elapsed", sort=True
         ):
+            wall = None
             for _, r in grp.iterrows():
                 (on_court.discard if r.sub_type == "out" else on_court.add)(
                     int(r.player_id)
                 )
+                wall = r.time
             lid = _lineup_id(on_court)
             if len(on_court) == 5 and lid != last_emitted:
                 seq += 1
                 last_emitted = lid
-                out.append((period, seq, lid, sorted(on_court), float(elapsed)))
+                out.append((period, seq, lid, sorted(on_court), float(elapsed), wall))
 
     state.update((_lineup_id(on_court), last_emitted, cur_period, seq))
     yield pd.DataFrame(
@@ -101,8 +106,9 @@ def _update_lineups(
                 "lineup_id": lid,
                 "player_ids": ids,
                 "local_start": e,
+                "start_time": w,
             }
-            for (p, s, lid, ids, e) in out
+            for (p, s, lid, ids, e, w) in out
         ],
         columns=[f.name for f in LINEUP_STINT_SCHEMA.fields],
     )
