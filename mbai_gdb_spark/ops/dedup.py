@@ -124,8 +124,15 @@ def token_dictionary(tokens_df: DataFrame, token_col: str = "token") -> DataFram
     no dictionary at all).
     """
     spark = tokens_df.sparkSession
-    distinct = tokens_df.select(token_col).distinct().withColumn(
-        "__bkt__", _prefix_bucket(token_col)
+    # Cached: the offsets pass below materializes the deduped vocabulary
+    # once and the caller's main job reuses it (without the cache the
+    # tokenize+distinct would run twice).  Vocabulary-sized, not
+    # corpus-sized.
+    distinct = (
+        tokens_df.select(token_col)
+        .distinct()
+        .withColumn("__bkt__", _prefix_bucket(token_col))
+        .persist()
     )
     counts = sorted(
         (r["__bkt__"], r["n"])
@@ -149,6 +156,31 @@ def hashed_token_ids(tokens_df: DataFrame, token_col: str = "token") -> DataFram
     return tokens_df.withColumn(
         "tok_id", F.abs(F.xxhash64(F.col(token_col))) % F.lit(MERSENNE31)
     )
+
+
+def char_poly_id(token_col: str | Column, mod: int = MERSENNE31, mult: int = 31) -> Column:
+    """Stateless token id: polynomial rolling hash over the token's
+    code points, ``h = (h*mult + codepoint) % mod``.
+
+    THE 100 TB default for minhash/simhash/fingerprint ids: map-only
+    (no vocabulary dictionary, no shuffle, no driver pass), and — unlike
+    xxhash64 — bit-identically reproducible in plain SQL on any engine
+    with ascii()/list_reduce, so the DuckDB oracles need no dictionary
+    either.  Collisions (~|vocab|²/2³¹) are harmless for sketching."""
+    col = F.col(token_col) if isinstance(token_col, str) else token_col
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * mult + F.ascii(c)) % F.lit(mod),
+    )
+
+
+def char_poly_token_ids(
+    tokens_df: DataFrame, token_col: str = "token"
+) -> DataFrame:
+    """``char_poly_id`` attached as ``tok_id`` — drop-in replacement for
+    :func:`token_dictionary` (same output shape, no dictionary join)."""
+    return tokens_df.withColumn("tok_id", char_poly_id(token_col))
 
 
 def minhash_signatures(

@@ -5,9 +5,10 @@ search (brute-force cosine top-k / hyperplane-LSH), text analysis, and
 multimodal binary plumbing — each registered with a DuckDB oracle.
 
 Oracle reproducibility notes:
-- token ids come from a deterministic global dictionary (dense_rank over
-  sorted distinct tokens) — engine-identical; the xxhash64 scale path is
-  exposed in ops.dedup but not oracle-checked;
+- token ids are stateless char-polynomial hashes (ops.dedup.char_poly_id)
+  — map-only, no dictionary, and reproducible in plain SQL so the
+  oracles compute the same ids; the global dictionary (dense ids) and
+  xxhash64 variants remain in ops.dedup for pipelines that need them;
 - all floating point flows through IDENTICAL sequential op chains
   (zip_with/aggregate ↔ list_transform/list_reduce), so raw doubles are
   bit-equal and safe to hash;
@@ -19,13 +20,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mbai_gdb_spark.ops.dedup import (
+    char_poly_token_ids,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_set,
     simhash,
-    token_dictionary,
 )
 from mbai_gdb_spark.ops.multimodal import binary_metadata, with_binary_payload
 from mbai_gdb_spark.ops.similarity import cosine_topk, lsh_candidate_neighbors
@@ -43,19 +44,21 @@ _SQL_DOT = (
 
 
 def _sql_doc_tokens() -> str:
-    """CTE body: (doc_id, pos, tok) exploded tokens + global dictionary."""
+    """CTE body: (doc_id, pos, tok_id) exploded tokens with stateless
+    char-polynomial ids — mirrors ops.dedup.char_poly_id exactly (same
+    mult/mod, code-point arithmetic), so no dictionary CTE is needed."""
     return f"""
     tok_arrays AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
     toks AS (
         SELECT doc_id, t[i] AS tok, i AS pos
         FROM tok_arrays, UNNEST(generate_series(1, len(t))) AS u(i)
     ),
-    dict AS (
-        SELECT tok, CAST(dense_rank() OVER (ORDER BY tok) AS BIGINT) AS tok_id
-        FROM (SELECT DISTINCT tok FROM toks)
-    ),
     doc_tok_ids AS (
-        SELECT t.doc_id, t.pos, d.tok_id FROM toks t JOIN dict d ON d.tok = t.tok
+        SELECT doc_id, pos,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(tok, ''), c -> ascii(c))),
+                   (a, x) -> (a * 31 + x) % 2147483647) AS tok_id
+        FROM toks
     )
     """
 
@@ -127,13 +130,12 @@ def text_profile(spark, sf_dir):
     """,
 )
 def text_fingerprint(spark, sf_dir):
-    """Rolling-hash document fingerprint over dictionary token ids."""
+    """Rolling-hash document fingerprint over stateless char-poly token ids (map-only id derivation, one shuffle on doc_id)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
     ).withColumn("pos", F.col("pos0") + 1)
-    dictionary = token_dictionary(toks, "token")
-    doc_tok_ids = toks.join(dictionary, "token").select("doc_id", "pos", "tok_id")
+    doc_tok_ids = char_poly_token_ids(toks, "token").select("doc_id", "pos", "tok_id")
     return fingerprint(doc_tok_ids, "doc_id", "pos", "tok_id")
 
 
@@ -222,8 +224,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     from pair generation — see ops.dedup.lsh_candidate_pairs)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    dictionary = token_dictionary(toks, "token")
-    doc_set = toks.join(dictionary, "token").select("doc_id", "tok_id").distinct()
+    doc_set = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
     sigs = minhash_signatures(doc_set, "doc_id", "tok_id", n_hashes=16)
     return lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=50)
 
@@ -251,8 +252,7 @@ def dedup_simhash(spark, sf_dir):
     """16-bit SimHash fingerprints over the token-id set."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    dictionary = token_dictionary(toks, "token")
-    doc_set = toks.join(dictionary, "token").select("doc_id", "tok_id").distinct()
+    doc_set = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
     return simhash(doc_set, "doc_id", "tok_id", n_bits=16)
 
 
