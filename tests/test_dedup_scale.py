@@ -95,3 +95,37 @@ def test_hashed_token_ids_stable_and_bounded(spark):
     b = {r["token"]: r["tok_id"] for r in hashed_token_ids(toks).collect()}
     assert a == b
     assert all(0 <= v < 2_147_483_647 for v in a.values())
+
+
+def test_char_poly_ids_match_duckdb(spark):
+    import duckdb
+
+    from mbai_gdb_spark.ops.dedup import char_poly_token_ids
+
+    toks = ["the", "a", "Zürich", "hello-world", "", "x1", "naïve"]
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    got = {r["token"]: r["tok_id"] for r in char_poly_token_ids(df).collect()}
+    sql = """
+    SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''), c -> ascii(c))),
+             (a, x) -> (a * 31 + x) % 2147483647) AS tok_id
+    FROM (SELECT UNNEST(?) AS tok)
+    """
+    want = {r[0]: r[1] for r in duckdb.connect().execute(sql, [toks]).fetchall()}
+    assert got == want
+
+
+def test_salted_join_rejects_right_flavors(spark):
+    import pytest
+
+    from mbai_gdb_spark.ops.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(a, b, ["k"], n_salts=4, how=how)
+    # supported flavor sanity: inner result matches plain join
+    got = sorted(map(tuple, salted_join(a, b, ["k"], n_salts=4).collect()))
+    want = sorted(map(tuple, a.join(b, ["k"]).collect()))
+    assert got == want
