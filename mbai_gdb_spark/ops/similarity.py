@@ -117,25 +117,78 @@ def lsh_bucket_signature(
     return df.withColumn(sig_col, sig)
 
 
+def lsh_table_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    sig_col: str = "lsh_bucket",
+    table_col: str = "lsh_table",
+) -> DataFrame:
+    """Multi-table hyperplane signatures: one row per (input row, table),
+    table t's bucket built from planes ``t*n_planes .. t*n_planes+k-1``
+    (same LCG family, flattened plane index).  Map-only ×L expansion.
+
+    Single-table LSH has poor recall (a cos-0.9 pair agrees on all 8
+    planes only ~29% of the time); with L tables a pair is a candidate
+    if ANY table matches — recall 1-(1-p^k)^L ≈ 0.94 at cos 0.9 for
+    k=8, L=8, while distant pairs stay improbable (~3% at cos 0)."""
+    v = as_double(F.col(vec_col))
+    table = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias(table_col)
+    with_t = df.select("*", table)
+    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    bits = F.transform(
+        planes,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.sequence(F.lit(0), F.size(v) - 1),
+                    lambda x, j: x
+                    * _plane_component(F.col(table_col) * n_planes + p, j),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0)),
+    )
+    sig = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return with_t.withColumn(sig_col, sig)
+
+
 def lsh_candidate_neighbors(
     corpus: DataFrame,
     n_planes: int = 8,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_cosine: float | None = None,
 ) -> DataFrame:
-    """ANN candidate pairs: same LSH bucket → exact cosine re-rank.
-    Output (id_a, id_b, cosine_sim), id_a < id_b."""
-    sig = lsh_bucket_signature(corpus, vec_col, n_planes)
+    """ANN candidate pairs: same bucket in ANY of the L hash tables →
+    dedup → exact cosine re-rank.  Output (id_a, id_b, cosine_sim),
+    id_a < id_b.  Equi-join on (table, bucket) — never a cross join;
+    the pair set is deduped BEFORE the cosine so each surviving pair
+    pays the exact re-rank once."""
+    sig = lsh_table_signatures(corpus, vec_col, n_planes, n_tables)
     a = sig.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va__"), "lsh_bucket"
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va__"),
+        "lsh_table",
+        "lsh_bucket",
     )
     b = sig.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb__"), "lsh_bucket"
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb__"),
+        "lsh_table",
+        "lsh_bucket",
     )
     pairs = (
-        a.join(b, "lsh_bucket")
+        a.join(b, ["lsh_table", "lsh_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va__", "__vb__")
+        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",

@@ -294,9 +294,11 @@ def sim_cosine_top5(spark, sf_dir):
     return cosine_topk(emb, queries_df, k=5)
 
 
-def _sql_lsh_pairs(threshold: float) -> str:
-    """Shared oracle prefix: hyperplane-LSH buckets (8 LCG planes) →
-    within-bucket exact-cosine pairs at ``threshold`` (CTE ``pairs``)."""
+def _sql_lsh_pairs(threshold: float, n_planes: int = 8, n_tables: int = 8) -> str:
+    """Shared oracle prefix mirroring ops.similarity multi-table LSH:
+    L hash tables of k hyperplanes each (flattened LCG plane index
+    t*k+p), candidates = same (table, bucket) in ANY table, deduped,
+    then exact-cosine pairs at ``threshold`` (CTE ``pairs``)."""
     cos = (
         _SQL_DOT.format(
             products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])"
@@ -306,23 +308,30 @@ def _sql_lsh_pairs(threshold: float) -> str:
     return f"""
     v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
     sig AS (
-        SELECT vec_id, ve,
+        SELECT vec_id, ve, t.t AS lsh_table,
                list_reduce(list_prepend(CAST(0 AS BIGINT),
-                   list_transform(generate_series(0, 7), p ->
+                   list_transform(generate_series(0, {n_planes - 1}), p ->
                        CASE WHEN
                            list_reduce(list_prepend(0.0,
                                list_transform(generate_series(1, len(ve)), i ->
-                                   ve[i] * ((((p * 64 + (i - 1)) * 1103515245 + 12345) % 65536)
+                                   ve[i] * (((((t.t * {n_planes} + p) * 64 + (i - 1)) * 1103515245 + 12345) % 65536)
                                             / 65536.0 - 0.5))),
                                (a, x) -> a + x) >= 0
                        THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END)),
                    (a, x) -> a + x) AS lsh_bucket
-        FROM v
+        FROM v, UNNEST(generate_series(0, {n_tables - 1})) AS t(t)
     ),
     pairs AS (
         SELECT * FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine_sim
-            FROM sig a JOIN sig b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
+            SELECT id_a, id_b, {cos.replace("a.ve", "ave").replace("b.ve", "bve")} AS cosine_sim
+            FROM (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                       a.ve AS ave, b.ve AS bve
+                FROM sig a
+                JOIN sig b ON a.lsh_table = b.lsh_table
+                          AND a.lsh_bucket = b.lsh_bucket
+                          AND a.vec_id < b.vec_id
+            )
         ) WHERE cosine_sim >= {threshold}
     )"""
 
@@ -335,8 +344,9 @@ def _sql_lsh_pairs(threshold: float) -> str:
     """,
 )
 def sim_lsh_neighbors(spark, sf_dir):
-    """ANN scale path: 8-plane random-hyperplane LSH buckets (LCG planes,
-    SQL-reproducible) → exact cosine re-rank within buckets, ≥ 0.2."""
+    """ANN scale path: multi-table hyperplane LSH (8 tables x 8 LCG
+    planes, SQL-reproducible) → candidate if ANY table buckets a pair
+    together → exact cosine re-rank, >= 0.2."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_candidate_neighbors(emb, n_planes=8, min_cosine=0.2)
 
@@ -378,8 +388,8 @@ def mm_binary_metadata(spark, sf_dir):
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup dedup decision at 100 TB shape: LSH
-    buckets (8 hyperplanes) → within-bucket exact cosine ≥ 0.3 → greedy
+    """Embedding-cosine near-dup dedup decision at 100 TB shape: multi-
+    table LSH buckets (8 tables x 8 hyperplanes) → within-bucket exact cosine ≥ 0.3 → greedy
     canonical pick (each vector marked dup_of its lowest-id match).
     No corpus×corpus crossJoin anywhere in the plan — candidate pairs
     come from the (band, bucket) equi-join, identical in Spark and the

@@ -129,3 +129,33 @@ def test_salted_join_rejects_right_flavors(spark):
     got = sorted(map(tuple, salted_join(a, b, ["k"], n_salts=4).collect()))
     want = sorted(map(tuple, a.join(b, ["k"]).collect()))
     assert got == want
+
+
+def test_multi_table_lsh_recall_on_planted_near_dups(spark):
+    """Single-table LSH misses even cos-0.99 pairs ~70% of the time at
+    k=8; the multi-table scheme (any-of-L tables) must recover planted
+    near-duplicates with high recall while keeping the candidate set
+    far below all-pairs."""
+    import random
+
+    from mbai_gdb_spark.ops.similarity import lsh_candidate_neighbors
+
+    rng = random.Random(7)
+    dims, n_base = 32, 40
+    rows, planted, vid = [], [], 0
+    for _ in range(n_base):
+        v = [rng.gauss(0, 1) for _ in range(dims)]
+        rows.append((vid, v))
+        dup = [x + rng.gauss(0, 0.05) for x in v]  # cosine ~0.999
+        rows.append((vid + 1, dup))
+        planted.append((vid, vid + 1))
+        vid += 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = lsh_candidate_neighbors(df, n_planes=8, min_cosine=0.9)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    recall = len(set(planted) & got) / len(planted)
+    assert recall >= 0.9, f"recall {recall}"
+    # candidate generation stayed sub-quadratic: deduped candidate pairs
+    # (pre-threshold) bounded well below the 80*79/2 all-pairs count
+    all_cands = lsh_candidate_neighbors(df, n_planes=8).count()
+    assert all_cands < (vid * (vid - 1) // 2) * 0.5
