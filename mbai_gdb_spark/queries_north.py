@@ -160,11 +160,17 @@ def dedup_exact_documents(spark, sf_dir):
 @query(
     "dedup_ngram_jaccard",
     f"""
-    WITH tri AS (
+    WITH tri_all AS (
         SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
         FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
              UNNEST(generate_series(1, len(t) - 2)) AS u(i)
         WHERE len(t) >= 3
+    ),
+    tri AS (
+        SELECT doc_id, shingle FROM tri_all
+        WHERE shingle IN (
+            SELECT shingle FROM tri_all GROUP BY shingle HAVING count(*) <= 50
+        )
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
     pairs AS (
@@ -182,10 +188,13 @@ def dedup_exact_documents(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     """Near-dup pairs by 3-gram shingle Jaccard ≥ 0.5 via inverted-index
-    join (no document cross join)."""
+    join (no document cross join), with the standard df-cut: shingles
+    appearing in more than 50 documents are dropped from the index
+    (and from the Jaccard space) — the posting-list cap that keeps the
+    self-join linear when boilerplate shingles occur corpus-wide."""
     docs = _t(spark, sf_dir, "documents")
     sh = shingle_set(docs, "doc_id", "text", k=3)
-    return jaccard_pairs(sh, "doc_id", threshold=0.5)
+    return jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_freq=50)
 
 
 @query(

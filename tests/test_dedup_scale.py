@@ -159,3 +159,33 @@ def test_multi_table_lsh_recall_on_planted_near_dups(spark):
     # (pre-threshold) bounded well below the 80*79/2 all-pairs count
     all_cands = lsh_candidate_neighbors(df, n_planes=8).count()
     assert all_cands < (vid * (vid - 1) // 2) * 0.5
+
+
+def test_char_poly_ids_match_duckdb_randomized(spark):
+    """Randomized cross-engine agreement: 200 random unicode-ish tokens
+    hash identically in Spark and DuckDB (one batch, fixed seed)."""
+    import random
+
+    import duckdb
+
+    from mbai_gdb_spark.ops.dedup import char_poly_token_ids
+
+    rng = random.Random(123)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        "-_.,!?äöüßéèñç中日한"
+    )
+    toks = list({
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+        for _ in range(200)
+    })
+    df = spark.createDataFrame([(t,) for t in toks], "token string")
+    got = {r["token"]: r["tok_id"] for r in char_poly_token_ids(df).collect()}
+    sql = """
+    SELECT tok, list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(tok, ''), c -> ascii(c))),
+             (a, x) -> (a * 31 + x) % 2147483647) AS tok_id
+    FROM (SELECT UNNEST(?) AS tok)
+    """
+    want = {r[0]: r[1] for r in duckdb.connect().execute(sql, [toks]).fetchall()}
+    assert got == want
