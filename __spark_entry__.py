@@ -43,6 +43,7 @@ _DEFER_LAST = [
     "a13_order_count_distribution",  # outer-join distribution; j6 covers the join
     "w12_hourly_time_buckets",   # tumbling buckets; f_datetime + streaming tests cover
     "a12_pivot_event_counts",    # pivot — beyond-reference breadth
+    "a2_order_span_per_customer",  # min/max-per-group; a1 covers A1/A2, f_datetime the date math
 ]
 
 

@@ -900,6 +900,58 @@ def j10_motif_customer_supplier_nation(spark, sf_dir):
 
 
 @query(
+    "graph_bfs_trade_hops",
+    """
+    WITH RECURSIVE trade_edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    walk(id, hops) AS (
+        SELECT CAST(0 AS BIGINT) AS id, 0 AS hops
+        UNION
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN trade_edges e ON e.src = w.id
+        WHERE w.hops < 5
+    )
+    SELECT id AS nation_key, CAST(MIN(hops) AS INT) AS hops
+    FROM walk GROUP BY id
+    """,
+)
+def graph_bfs_trade_hops(spark, sf_dir):
+    """Iterative graph analytics with a full oracle: BFS shortest hop
+    counts from nation 0 over the directed supplier-nation →
+    customer-nation trade graph (edges = distinct nation pairs linked by
+    a lineitem).  Spark side runs ops.graph.bfs (frontier join +
+    left_anti visited set, localCheckpoint-truncated lineage per hop);
+    the oracle is a recursive CTE over the same edge list — hop counts
+    are integers, so the comparison is exact.  Upgrades the graph
+    family (PageRank/CC/BFS, tests in test_graph.py) to a driver-checked
+    row."""
+    from mbai_gdb_spark.ops.graph import bfs
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+    vertices = n.select(F.col("n_nationkey").alias("id"))
+    out = bfs(vertices, edges, [0], max_hops=5)
+    return out.select(
+        F.col("id").alias("nation_key"), F.col("hops").cast("int").alias("hops")
+    )
+
+
+@query(
     "a2_order_span_per_customer",
     """
     SELECT o_custkey,
