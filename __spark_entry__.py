@@ -44,6 +44,13 @@ _DEFER_LAST = [
     "w12_hourly_time_buckets",   # tumbling buckets; f_datetime + streaming tests cover
     "a12_pivot_event_counts",    # pivot — beyond-reference breadth
     "a2_order_span_per_customer",  # min/max-per-group; a1 covers A1/A2, f_datetime the date math
+    # Deferred to make cap room for the clustering/repetition/sketch/
+    # sampling families — each line below has an in-cap twin exercising
+    # the same SURVEY §2 operator row:
+    "w1_next_event_chain",       # W1 lead-chain; nba_season_next_game is the parity row
+    "w7_priority_ordered_chain",  # W7 priority chain; nba_action_next_chain covers it
+    "w8_running_total_reset",    # W8 running reset; nba_score_chain covers it
+    "a4_conditional_event_sums",  # A4 conditional sums; nba_lineup_plus_minus covers it
 ]
 
 

@@ -80,11 +80,20 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Each query runs twice; the reported figure is the SECOND run
+    # (steady state).  The first run pays one-off whole-stage-codegen
+    # compilation (~1-2 s), which at sf0.1 is the same order as the
+    # query itself and pure noise w.r.t. 100 TB throughput; cold times
+    # stay visible in "queries_cold" so the overhead is not hidden.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -102,6 +111,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

@@ -258,6 +258,53 @@ def lsh_candidate_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: connected components
+    over the pair graph, canonical = smallest id per component (the
+    standard MinHash-dedup endgame — pairs alone over-remove when A~B
+    and B~C but A≁C; the component is the dedup unit).
+
+    Scale shape: min-label propagation, one equi-join + groupBy-min per
+    iteration, lineage truncated via localCheckpoint (ops.graph).
+    Iterations needed = component diameter, which for near-dup clusters
+    is small; vertices are only ids that appear in some pair, so the
+    working set is the duplicate subset, not the corpus.
+
+    Output: (doc_id, canonical_doc_id, cluster_size, is_canonical).
+    """
+    from pyspark.sql import Window as W
+
+    from mbai_gdb_spark.ops.graph import connected_components
+
+    # Materialize the candidate pairs once: they seed the vertex set, the
+    # symmetric edge list, and every propagation join — without this the
+    # whole upstream sketch pipeline would re-run per derivation.
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).localCheckpoint(eager=True)
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(vertices, edges, max_iter=max_iter)
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("canonical_doc_id")
+        )
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(W.partitionBy("canonical_doc_id")),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("canonical_doc_id"))
+    )
+
+
 def simhash(
     doc_tokens: DataFrame,
     id_col: str = "doc_id",

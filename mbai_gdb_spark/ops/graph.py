@@ -79,8 +79,9 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration PageRank.  Dangling mass is redistributed
     uniformly; returns (id, pagerank) summing to ~|V|."""
-    v = vertices.select(id_col).distinct()
+    v = vertices.select(id_col).distinct().localCheckpoint(eager=True)
     n = v.count()
+    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
     out_deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg__"))
     ranks = v.withColumn("rank", F.lit(1.0))
     for i in range(n_iter):
@@ -123,16 +124,23 @@ def connected_components(
     id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
-    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Min-label propagation until fixpoint (or max_iter): each vertex
     adopts the smallest component id among itself and its neighbours.
-    Returns (id, component)."""
+    Returns (id, component).
+
+    Convergence is detected every iteration with a scalar aggregate:
+    labels only ever decrease, so an unchanged sum(component) is exactly
+    the fixpoint — one cheap agg on the just-checkpointed frame instead
+    of a self-join diff, and no wasted blind iterations (a near-dup
+    cluster graph typically converges in ≲ diameter ≈ 3-5 rounds,
+    far below max_iter)."""
     sym = edges.select(src_col, dst_col).unionByName(
         edges.select(F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col))
-    )
+    ).localCheckpoint(eager=True)  # joined every iteration — never recompute upstream
     comp = vertices.select(F.col(id_col), F.col(id_col).alias("component"))
-    for i in range(max_iter):
+    prev_sum = None
+    for _ in range(max_iter):
         nbr_min = (
             sym.join(comp, sym[src_col] == comp[id_col])
             .groupBy(dst_col)
@@ -147,19 +155,11 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_comp = new_comp.localCheckpoint(eager=True)
-            changed = (
-                new_comp.alias("n")
-                .join(comp.alias("o"), F.col(f"n.{id_col}") == F.col(f"o.{id_col}"))
-                .filter(F.col("n.component") != F.col("o.component"))
-                .count()
-            )
-            comp = new_comp
-            if changed == 0:
-                break
-        else:
-            comp = new_comp
+        comp = new_comp.localCheckpoint(eager=True)
+        label_sum = comp.agg(F.sum("component")).collect()[0][0]
+        if label_sum == prev_sum:
+            break
+        prev_sum = label_sum
     return comp
 
 
@@ -186,6 +186,7 @@ def bfs(
                 F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col)
             )
         )
+    e = e.localCheckpoint(eager=True)  # joined every hop — never recompute upstream
     visited = (
         vertices.select(id_col)
         .filter(F.col(id_col).isin(list(sources)))

@@ -1,0 +1,56 @@
+"""Deterministic hash-based sampling for data mixing.
+
+Training-corpus construction samples sources at different rates (domain
+mixing, language balancing, quality tiers).  ``df.sample()`` is
+seed-dependent per partitioning and not reproducible across engines or
+re-partitions; hashing a stable key instead gives a sample that is (a) a
+pure filter — map-only, pushdown-friendly, no shuffle, (b) consistent
+across runs, engines, and joins (the same key is always in or out — so
+sampled tables stay joinable), and (c) exactly expressible in the DuckDB
+oracle.
+
+Thresholds are integers (``rate * mod`` rounded once, driver-side), so
+membership is pure integer comparison — no float boundary ambiguity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.sketch import lcg_hash
+
+
+def hash_bucket(key: Column, mod: int = 10_000) -> Column:
+    """Stable bucket in [0, mod) from a numeric key."""
+    return lcg_hash(key) % mod
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    mod: int = 10_000,
+) -> DataFrame:
+    """Keep each row iff ``hash(key) % mod < rate(stratum) * mod``.
+
+    Adds ``sample_weight`` = 1/rate (Horvitz-Thompson inverse-inclusion
+    weight) so downstream aggregates can stay unbiased.  Strata with
+    rate 0 are dropped entirely; rate 1 passes everything at weight 1.
+    """
+    thresholds = {s: int(round(r * mod)) for s, r in rates.items()}
+    default_threshold = int(round(default_rate * mod))
+    thr: Column = F.lit(default_threshold)
+    for s, t in sorted(thresholds.items()):
+        thr = F.when(F.col(stratum_col) == s, F.lit(t)).otherwise(thr)
+    bucket = hash_bucket(F.col(key_col), mod)
+    return (
+        df.withColumn("__thr__", thr)
+        .filter(bucket < F.col("__thr__"))
+        .withColumn(
+            "sample_weight", F.lit(float(mod)) / F.col("__thr__").cast("double")
+        )
+        .drop("__thr__")
+    )

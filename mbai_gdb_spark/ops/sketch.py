@@ -1,0 +1,73 @@
+"""Mergeable sketch operators: KMV (k-minimum-values) distinct counting.
+
+Training-data pipelines need cardinality estimates (distinct users,
+distinct n-grams, vocabulary growth) at sizes where exact COUNT(DISTINCT)
+is a full shuffle of every distinct value.  Spark's built-in
+``approx_count_distinct`` (HyperLogLog++) is the production default, but
+its sketch bytes are engine-specific and can't be checked against another
+engine.  KMV with a deterministic integer LCG hash gives the same
+statistical idea (estimate = (k-1) * M / kth_smallest_hash) while being
+bit-for-bit reproducible in plain SQL — so the oracle gate can hold the
+sketch to exact equality, not a tolerance.
+
+Scale shape: the k smallest hashes per group are computed with a
+two-level aggregation — per (group, hash-shard) partial top-k, then a
+k-bounded merge — so no global per-group sort and no unbounded state at
+the merge (GroupAggregate inputs are ``n_shards`` arrays of ≤ k longs).
+Shards partition the hash space, so per-shard distinct counts add up
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647
+
+
+def lcg_hash(col: Column, mult: int = 2654435761, add: int = 97, mod: int = MERSENNE31) -> Column:
+    """Deterministic integer hash ``((x % mod) * mult + add) % mod``.
+
+    The pre-reduction keeps the product under 2^63 (ANSI-safe) and the
+    whole expression is plain integer SQL on any engine.
+    """
+    return ((col.cast("long") % mod) * mult + add) % mod
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Per-group distinct-count estimate via the k smallest hash values.
+
+    Output: group cols + ``n_distinct_hashed`` (exact distinct count of
+    hashes — equals the true distinct count up to LCG collisions, and is
+    identical across engines) + ``kmv_estimate`` (double; equals the
+    exact count when the group has fewer than ``k`` distinct values).
+    """
+    hashes = df.select(
+        *group_cols, lcg_hash(F.col(value_col)).alias("__hv__")
+    ).distinct()
+    sharded = hashes.withColumn("__shard__", F.col("__hv__") % n_shards)
+    partial = sharded.groupBy(*group_cols, "__shard__").agg(
+        F.slice(F.sort_array(F.collect_list("__hv__")), 1, k).alias("__mins__"),
+        F.count(F.lit(1)).alias("__n__"),
+    )
+    merged = partial.groupBy(*group_cols).agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__mins__"))), 1, k
+        ).alias("__mins__"),
+        F.sum("__n__").alias("n_distinct_hashed"),
+    )
+    kth = F.get("__mins__", k - 1)  # 0-based, null-safe (no ANSI OOB error)
+    est = F.when(
+        F.col("n_distinct_hashed") >= k,
+        F.lit(float(k - 1) * float(MERSENNE31)) / kth,
+    ).otherwise(F.col("n_distinct_hashed").cast("double"))
+    return merged.select(
+        *group_cols, "n_distinct_hashed", est.alias("kmv_estimate")
+    )

@@ -150,6 +150,67 @@ def text_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_profile(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and the share of the most frequent bigram — the standard
+    boilerplate/spam filters of an LLM-corpus pipeline.
+
+    Map-only (zero shuffle): the top-bigram count is computed WITHOUT
+    exploding — sort the doc's bigram array, then the longest equal-run
+    via change-point positions (``F.get`` is 0-based and null-safe, so
+    the expression stays ANSI-clean).  O(n log n) per document, bounded
+    by doc length — the shape that survives 100 TB, unlike a global
+    explode + groupBy(doc, bigram) shuffle of every token.
+
+    All ratios are exact integer divisions evaluated identically in the
+    DuckDB oracle (guarded to NULL when a doc has < 2 tokens; note
+    Spark's ``sequence(1, 0)`` yields ``[1, 0]`` — descending — rather
+    than an empty array, hence the explicit ``when`` guards).
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks__"))
+    nt = F.size("__toks__")
+    ndist = F.size(F.array_distinct("__toks__"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), nt - 1),
+        lambda i: F.concat_ws(
+            " ", F.get(F.col("__toks__"), i - 1), F.get(F.col("__toks__"), i)
+        ),
+    )
+    s = F.array_sort(F.when(nt >= 2, bigrams).otherwise(F.array().cast("array<string>")))
+    staged = base.select(F.col(id_col), nt.alias("__nt__"), ndist.alias("__nd__"), s.alias("__s__"))
+    nb = F.size("__s__")
+    # Change-point positions (1-based) in the sorted bigram list; the
+    # longest run is the max gap between consecutive change points.
+    bnd = F.filter(
+        F.sequence(F.lit(1), nb),
+        lambda i: (i == 1)
+        | ~F.get(F.col("__s__"), i - 1).eqNullSafe(F.get(F.col("__s__"), i - 2)),
+    )
+    staged = staged.select(
+        F.col(id_col), "__nt__", "__nd__", nb.alias("__nb__"),
+        F.when(nb > 0, bnd).otherwise(F.array().cast("array<int>")).alias("__bnd__"),
+    )
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__bnd__")),
+            lambda k: F.coalesce(F.get(F.col("__bnd__"), k), F.col("__nb__") + 1)
+            - F.get(F.col("__bnd__"), k - 1),
+        )
+    )
+    top_cnt = F.when(F.col("__nb__") > 0, best)
+    return staged.select(
+        F.col(id_col),
+        F.col("__nt__").alias("n_tokens"),
+        ((F.col("__nt__") - F.col("__nd__")).cast("double") / F.col("__nt__")).alias(
+            "frac_dup_tokens"
+        ),
+        F.col("__nb__").alias("n_bigrams"),
+        top_cnt.alias("top_bigram_count"),
+        (top_cnt.cast("double") / F.col("__nb__")).alias("top_bigram_frac"),
+    )
+
+
 def fingerprint(
     token_ids: DataFrame,
     id_col: str = "doc_id",

@@ -197,10 +197,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_freq=50)
 
 
-@query(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_sql_doc_tokens()},
+def _sql_minhash_pair_ctes() -> str:
+    """CTE chain ending in ``pairs`` (id_a, id_b): MinHash signatures →
+    LSH bands → hot-bucket cap → candidate pairs.  Shared by the pair
+    query and the clustering query."""
+    return f"""{_sql_doc_tokens()},
     doc_set AS (SELECT DISTINCT doc_id, tok_id FROM doc_tok_ids),
     sigs AS (
         SELECT doc_id, h.i AS hash_idx,
@@ -218,11 +219,20 @@ def dedup_ngram_jaccard(spark, sf_dir):
             SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
             FROM buckets
         ) WHERE bsz <= 50
-    )
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM kept a
-    JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
-               AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM kept a
+        JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_sql_minhash_pair_ctes()}
+    SELECT id_a, id_b FROM pairs
     """,
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -494,4 +504,161 @@ def text_bpe_token_count(spark, sf_dir):
         F.size(bpe).alias("n_bpe_tokens"),
         F.size(F.filter(bpe, lambda x: x.rlike("^[0-9]+$"))).alias("n_numeric_tokens"),
         F.size(tokens("text")).alias("n_ws_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 continuation: clustering, repetition, sketches, sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_minhash_clusters",
+    f"""
+    WITH RECURSIVE {_sql_minhash_pair_ctes()},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.lbl
+        FROM walk w JOIN edges e ON e.src = w.id
+        WHERE w.lbl < e.dst
+    ),
+    comp AS (SELECT id AS doc_id, MIN(lbl) AS canonical_doc_id FROM walk GROUP BY id)
+    SELECT doc_id, canonical_doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY canonical_doc_id) AS BIGINT) AS cluster_size,
+           doc_id = canonical_doc_id AS is_canonical
+    FROM comp
+    """,
+)
+def dedup_minhash_clusters(spark, sf_dir):
+    """The MinHash-dedup endgame: LSH candidate pairs → connected
+    components → canonical doc per cluster (smallest id).  Pairs alone
+    over- or under-remove when similarity is non-transitive (A~B, B~C,
+    A≁C); the component is the dedup unit every production pipeline
+    actually deletes by.  Spark side: ops.dedup.dedup_clusters =
+    min-label propagation over the pair graph (one equi-join + groupBy
+    per iteration, lineage checkpoint-truncated); the oracle rebuilds
+    the same components with a recursive CTE (labels are integers, so
+    the comparison is exact)."""
+    from mbai_gdb_spark.ops.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    doc_set = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
+    sigs = minhash_signatures(doc_set, "doc_id", "tok_id", n_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=50)
+    return dedup_clusters(pairs)
+
+
+@query(
+    "text_repetition",
+    r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents
+    ),
+    b AS (
+        SELECT doc_id, len(tk) AS nt, len(list_distinct(tk)) AS nd,
+               CASE WHEN len(tk) >= 2
+                    THEN list_sort(list_transform(generate_series(1, len(tk) - 1),
+                                                  i -> tk[i] || ' ' || tk[i + 1]))
+                    ELSE [] END AS s
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, nt, nd, len(s) AS nb,
+               list_filter(generate_series(1, len(s)),
+                           i -> i = 1 OR s[i] <> s[i - 1]) AS bnd,
+               s
+        FROM b
+    ),
+    d AS (
+        SELECT doc_id, nt, nd, nb,
+               CASE WHEN nb > 0 THEN list_max(
+                   list_transform(generate_series(1, len(bnd)),
+                                  k -> coalesce(bnd[k + 1], nb + 1) - bnd[k]))
+               END AS top_cnt
+        FROM c
+    )
+    SELECT doc_id,
+           CAST(nt AS BIGINT) AS n_tokens,
+           CAST(nt - nd AS DOUBLE) / nt AS frac_dup_tokens,
+           CAST(nb AS BIGINT) AS n_bigrams,
+           CAST(top_cnt AS BIGINT) AS top_bigram_count,
+           CAST(top_cnt AS DOUBLE) / nb AS top_bigram_frac
+    FROM d
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-token fraction and
+    top-bigram share, computed map-only (sorted-array change points —
+    see ops.text.repetition_profile) instead of a corpus-wide
+    explode + groupBy."""
+    from mbai_gdb_spark.ops.text import repetition_profile
+
+    return repetition_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "sketch_kmv_distinct",
+    """
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               ((user_id % 2147483647) * 2654435761 + 97) % 2147483647 AS hv
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_hashed,
+           CASE WHEN COUNT(*) >= 64
+                THEN (63.0 * 2147483647.0) / MAX(CASE WHEN rn <= 64 THEN hv END)
+                ELSE CAST(COUNT(*) AS DOUBLE) END AS kmv_estimate
+    FROM r GROUP BY event_type
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """KMV distinct-user sketch per event type — the cross-engine-exact
+    stand-in for approx_count_distinct (see ops.sketch docstring).  The
+    Spark plan is the 100 TB shape (sharded partial top-k, k-bounded
+    merge); the oracle is the direct ROW_NUMBER formulation — both yield
+    the identical kth-smallest hash, so the estimate matches exactly."""
+    from mbai_gdb_spark.ops.sketch import kmv_distinct
+
+    events = _t(spark, sf_dir, "events")
+    return kmv_distinct(events, ["event_type"], "user_id", k=64)
+
+
+@query(
+    "sample_stratified_documents",
+    """
+    WITH s AS (
+        SELECT doc_id, lang, source,
+               ((doc_id % 2147483647) * 2654435761 + 97) % 2147483647 % 10000 AS bucket,
+               CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 10000 END AS thr
+        FROM documents
+    )
+    SELECT doc_id, lang, source,
+           10000.0 / thr AS sample_weight
+    FROM s WHERE bucket < thr
+    """,
+)
+def sample_stratified_documents(spark, sf_dir):
+    """Deterministic stratified sampling for data mixing: keep 25% of
+    English, 50% of Chinese, 100% of the rest, by hashing doc_id — a
+    pure filter (map-only, engine-portable, re-run stable) with
+    Horvitz-Thompson weights; see ops.sampling."""
+    from mbai_gdb_spark.ops.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0
     )

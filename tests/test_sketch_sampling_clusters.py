@@ -1,0 +1,139 @@
+"""Tests for the round-2 training-pipeline additions: repetition
+signals, KMV sketches, hash sampling, and near-dup clustering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.dedup import dedup_clusters
+from mbai_gdb_spark.ops.sampling import stratified_hash_sample
+from mbai_gdb_spark.ops.sketch import MERSENNE31, kmv_distinct
+from mbai_gdb_spark.ops.text import repetition_profile
+
+
+# --------------------------------------------------------------------------
+# repetition_profile
+# --------------------------------------------------------------------------
+
+
+def test_repetition_profile_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # bigrams: a b ×3, b a ×2 → top 3/5
+            (2, "x y z"),                # all distinct → top 1/2
+            (3, "solo"),                 # 1 token → no bigrams
+            (4, ""),                     # empty → 1 empty token, no bigrams
+            (5, "w w w w"),              # one bigram repeated → top 3/3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_profile(df, "doc_id", "text").collect()}
+    assert got[1].n_tokens == 6 and got[1].n_bigrams == 5
+    assert got[1].top_bigram_count == 3
+    assert got[1].top_bigram_frac == 3.0 / 5.0
+    assert got[1].frac_dup_tokens == 4.0 / 6.0
+    assert got[2].top_bigram_count == 1 and got[2].top_bigram_frac == 0.5
+    assert got[3].n_bigrams == 0 and got[3].top_bigram_count is None
+    assert got[3].top_bigram_frac is None
+    assert got[4].n_bigrams == 0
+    assert got[5].top_bigram_count == 3 and got[5].top_bigram_frac == 1.0
+    assert got[5].frac_dup_tokens == 3.0 / 4.0
+
+
+# --------------------------------------------------------------------------
+# kmv_distinct
+# --------------------------------------------------------------------------
+
+
+def test_kmv_exact_below_k(spark):
+    rows = [("a", v) for v in range(10) for _ in range(3)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = kmv_distinct(df, ["g"], "v", k=64).collect()
+    assert len(out) == 1
+    assert out[0].n_distinct_hashed == 10
+    assert out[0].kmv_estimate == 10.0
+
+
+def test_kmv_estimate_above_k_reasonable(spark):
+    df = spark.createDataFrame([("a", v) for v in range(5000)], "g string, v long")
+    out = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert out.n_distinct_hashed == 5000
+    # KMV with k=64 has ~1/sqrt(62) ≈ 13% relative std error.
+    assert 0.6 * 5000 <= out.kmv_estimate <= 1.5 * 5000
+
+
+def test_kmv_shard_count_invariant(spark):
+    df = spark.createDataFrame([("a", v) for v in range(1000)], "g string, v long")
+    one = kmv_distinct(df, ["g"], "v", k=32, n_shards=1).collect()[0]
+    many = kmv_distinct(df, ["g"], "v", k=32, n_shards=64).collect()[0]
+    # Sharding is an execution detail: identical estimate and count.
+    assert one.kmv_estimate == many.kmv_estimate
+    assert one.n_distinct_hashed == many.n_distinct_hashed
+
+
+# --------------------------------------------------------------------------
+# stratified_hash_sample
+# --------------------------------------------------------------------------
+
+
+def test_sample_rate_one_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)], "id long, lang string"
+    )
+    out = stratified_hash_sample(df, "id", "lang", {}, default_rate=1.0)
+    assert out.count() == 100
+    assert out.select("sample_weight").distinct().collect()[0][0] == 1.0
+
+
+def test_sample_deterministic_and_stratified(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i < 500 else "de") for i in range(1000)], "id long, lang string"
+    )
+    out = stratified_hash_sample(df, "id", "lang", {"en": 0.2}, default_rate=1.0)
+    a = sorted(r.id for r in out.collect())
+    b = sorted(r.id for r in out.repartition(7).collect())  # partitioning-invariant
+    assert a == b
+    en = out.filter(F.col("lang") == "en")
+    n_en = en.count()
+    assert 0.1 * 500 <= n_en <= 0.3 * 500  # rate honored within hash noise
+    assert out.filter(F.col("lang") == "de").count() == 500
+    # Horvitz-Thompson: weighted count estimates the true stratum size.
+    est = en.agg(F.sum("sample_weight")).collect()[0][0]
+    assert abs(est - 500) / 500 < 0.5
+
+
+def test_sample_rate_zero_drops_stratum(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(100)], "id long, lang string"
+    )
+    out = stratified_hash_sample(df, "id", "lang", {"en": 0.0}, default_rate=1.0)
+    assert out.filter(F.col("lang") == "en").count() == 0
+    assert out.filter(F.col("lang") == "de").count() == 50
+
+
+# --------------------------------------------------------------------------
+# dedup_clusters
+# --------------------------------------------------------------------------
+
+
+def test_dedup_clusters_chain_and_pair(spark):
+    # Chain 1-2-3 (non-transitive pair set: (1,3) absent) + pair (10, 11).
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r for r in dedup_clusters(pairs).collect()}
+    assert {d: r.canonical_doc_id for d, r in got.items()} == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+    }
+    assert got[3].cluster_size == 3 and got[11].cluster_size == 2
+    assert got[1].is_canonical and not got[2].is_canonical
+
+
+def test_dedup_clusters_long_path_converges(spark):
+    # Path of length 12 — needs several propagation rounds.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    got = dedup_clusters(pairs).collect()
+    assert all(r.canonical_doc_id == 0 for r in got)
+    assert all(r.cluster_size == 13 for r in got)
