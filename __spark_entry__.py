@@ -51,6 +51,11 @@ _DEFER_LAST = [
     "w7_priority_ordered_chain",  # W7 priority chain; nba_action_next_chain covers it
     "w8_running_total_reset",    # W8 running reset; nba_score_chain covers it
     "a4_conditional_event_sums",  # A4 conditional sums; nba_lineup_plus_minus covers it
+    # Deferred to make cap room for decontamination / packing / heavy
+    # hitters — again each line has an in-cap twin for its operator row:
+    "dedup_minhash_lsh",         # its full CTE chain is INSIDE dedup_minhash_clusters' oracle
+    "w5_sessionize_events",      # flagship_session_attribution driver-checks sessionization
+    "sim_cosine_top5",           # cosine top-k; sim_ivf_top5 exact-reranks the same way
 ]
 
 

@@ -236,3 +236,39 @@ def fingerprint(
         lambda acc, x: (acc * mult + x) % F.lit(mod),
     )
     return ordered.select(F.col(id_col), rolled.alias("fingerprint"))
+
+
+# Conservative, engine-portable detectors.  Patterns avoid lookarounds
+# and backreferences so the same strings work under Java regex (Spark)
+# and RE2 (DuckDB) if ever promoted to an oracle query.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def pii_profile(
+    df: DataFrame, id_col: str, text_col: str, redact: bool = True
+) -> DataFrame:
+    """Per-document PII scan: match counts per category and (optionally)
+    a redacted text with each match replaced by ``<CATEGORY>``.
+
+    Map-only (regexp_count / regexp_replace are JVM-side codegen — no
+    Python in the path), so the scan rides along with any other per-doc
+    pass for free.  The test fixture corpus carries no PII, so this op
+    is test-covered rather than oracle-declared; the patterns are the
+    point where a production deny-list would plug in.
+    """
+    cols = [F.col(id_col)]
+    for name, pat in PII_PATTERNS.items():
+        cols.append(F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}"))
+    if redact:
+        red = F.col(text_col)
+        for name, pat in PII_PATTERNS.items():
+            red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+        cols.append(red.alias("redacted_text"))
+    out = df.select(*cols)
+    n_total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
+    return out.withColumn("n_pii_total", n_total.cast("long"))

@@ -662,3 +662,119 @@ def sample_stratified_documents(spark, sf_dir):
     return stratified_hash_sample(
         docs, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0
     )
+
+
+def _sql_shingles(k: int, src: str = "documents") -> str:
+    """CTE body ``sh``: (doc_id, shingle) — distinct k-token shingles per
+    document, mirroring ops.dedup.shingle_set (k consecutive whitespace
+    tokens joined by a single space; docs shorter than k tokens drop).
+    DuckDB list slices are inclusive, hence ``i:i+{k-1}``."""
+    return f"""
+    tk_{k} AS (SELECT doc_id, {_SQL_TOKS} AS tk FROM {src}),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(tk) - {k - 1}),
+                   i -> list_aggregate(tk[i:i+{k - 1}], 'string_agg', ' ')))) AS shingle
+        FROM tk_{k} WHERE len(tk) >= {k}
+    )"""
+
+
+@query(
+    "decontam_eval_overlap",
+    f"""
+    WITH {_sql_shingles(4)},
+    ev AS (SELECT doc_id AS eval_doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+    ev_sz AS (SELECT eval_doc_id, COUNT(*) AS ne FROM ev GROUP BY eval_doc_id),
+    co AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+    hits AS (
+        SELECT co.doc_id, ev.eval_doc_id, COUNT(*) AS n_common
+        FROM co JOIN ev USING (shingle)
+        GROUP BY co.doc_id, ev.eval_doc_id
+    )
+    SELECT doc_id, eval_doc_id, CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_common AS DOUBLE) / ne AS overlap_frac
+    FROM hits JOIN ev_sz USING (eval_doc_id)
+    """,
+)
+def decontam_eval_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any 4-gram
+    with the held-out eval slice (doc_id % 50 = 0 plays the benchmark).
+    Spark plan: the eval shingle set is BROADCAST (eval sets are tiny
+    next to the corpus), so the corpus streams map-side against a hash
+    set — zero corpus-side shuffle before the rare-hit aggregation.
+    See ops.decontam."""
+    from mbai_gdb_spark.ops.decontam import contamination_hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.col("doc_id").alias("eval_doc_id"), "text")
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return contamination_hits(corpus, ev, k=4, min_common=1)
+
+
+@query(
+    "pack_sequences",
+    r"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS w,
+               doc_id % 8 AS shard
+        FROM documents
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM t
+    ),
+    walk(shard, rn, doc_id, w, seq_id, seq_offset, fill) AS (
+        SELECT shard, rn, doc_id, w, 1, 0, w FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.shard, r.rn, r.doc_id, r.w,
+               CASE WHEN p.fill + r.w > 128 THEN p.seq_id + 1 ELSE p.seq_id END,
+               CASE WHEN p.fill + r.w > 128 THEN 0 ELSE p.fill END,
+               CASE WHEN p.fill + r.w > 128 THEN r.w ELSE p.fill + r.w END
+        FROM walk p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS n_tokens, CAST(shard AS BIGINT) AS shard,
+           CAST(seq_id AS BIGINT) AS seq_id, CAST(seq_offset AS BIGINT) AS seq_offset
+    FROM walk
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Training-sequence packing: docs → 128-token next-fit sequences in
+    8 hash shards (ops.packing.pack_next_fit — applyInPandas with one
+    integer pair of state per shard, shards embarrassingly parallel).
+    The greedy walk is deterministic, so the oracle replays it exactly
+    with a recursive CTE."""
+    from mbai_gdb_spark.ops.packing import pack_next_fit
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    return pack_next_fit(docs, "doc_id", "n_tokens", budget=128, n_shards=8)
+
+
+@query(
+    "text_top_ngrams",
+    f"""
+    WITH {_sql_shingles(3)}
+    SELECT shingle AS ngram, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM sh GROUP BY shingle
+    ORDER BY doc_freq DESC, ngram ASC LIMIT 20
+    """,
+)
+def text_top_ngrams(spark, sf_dir):
+    """Corpus heavy hitters: top-20 trigrams by document frequency
+    (distinct per doc, so boilerplate detection — the same signal
+    dedup's df-cut thresholds on).  Map-side partial counts + a
+    TakeOrderedAndProject top-k: no global sort, ties broken on the
+    ngram string so the cut is deterministic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_set(docs, "doc_id", "text", k=3)
+    return (
+        sh.groupBy(F.col("shingle").alias("ngram"))
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(20)
+    )

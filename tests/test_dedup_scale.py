@@ -81,8 +81,14 @@ def test_declared_dedup_sim_queries_never_cross_join(spark):
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "dedup_simhash",
+        "dedup_minhash_clusters",
         "sim_lsh_neighbors",
         "text_fingerprint",
+        "text_repetition",
+        "sketch_kmv_distinct",
+        "sample_stratified_documents",
+        "decontam_eval_overlap",
+        "pack_sequences",
     ):
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, name
