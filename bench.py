@@ -34,6 +34,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_ivf_top5",
     "text_profile",
+    # Training-pipeline additions: packing, decontamination, sketches
+    "pack_sequences",
+    "decontam_eval_overlap",
+    "sketch_kmv_distinct",
+    "text_repetition",
 ]
 
 

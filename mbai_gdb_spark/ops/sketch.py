@@ -10,12 +10,12 @@ statistical idea (estimate = (k-1) * M / kth_smallest_hash) while being
 bit-for-bit reproducible in plain SQL — so the oracle gate can hold the
 sketch to exact equality, not a tolerance.
 
-Scale shape: the k smallest hashes per group are computed with a
-two-level aggregation — per (group, hash-shard) partial top-k, then a
-k-bounded merge — so no global per-group sort and no unbounded state at
-the merge (GroupAggregate inputs are ``n_shards`` arrays of ≤ k longs).
-Shards partition the hash space, so per-shard distinct counts add up
-exactly.
+Scale shape: the k smallest hashes per group are computed in two
+levels — a rank window per (group, hash-shard) whose external sort
+keeps task memory bounded however many distinct values a shard holds,
+then a k-bounded merge over ≤ k survivors per shard — so no global
+per-group sort and no unbounded aggregation buffers anywhere.  Shards
+partition the hash space, so per-shard distinct counts add up exactly.
 """
 
 from __future__ import annotations
@@ -49,19 +49,29 @@ def kmv_distinct(
     identical across engines) + ``kmv_estimate`` (double; equals the
     exact count when the group has fewer than ``k`` distinct values).
     """
+    from pyspark.sql import Window as W
+
     hashes = df.select(
         *group_cols, lcg_hash(F.col(value_col)).alias("__hv__")
     ).distinct()
     sharded = hashes.withColumn("__shard__", F.col("__hv__") % n_shards)
-    partial = sharded.groupBy(*group_cols, "__shard__").agg(
+    # Per-(group, shard) k-min via a rank window, NOT collect_list: the
+    # window sort is external (spills), so task memory stays bounded no
+    # matter how many distinct values a shard holds; only ≤ k rows per
+    # (group, shard) survive into the merge.  The shard count per group
+    # rides along in the same pass via a count window.
+    shard_w = W.partitionBy(*group_cols, "__shard__")
+    ranked = sharded.select(
+        *group_cols,
+        "__hv__",
+        F.row_number().over(shard_w.orderBy("__hv__")).alias("__rn__"),
+        F.count(F.lit(1)).over(shard_w).alias("__sn__"),
+    ).filter(F.col("__rn__") <= k)
+    merged = ranked.groupBy(*group_cols).agg(
         F.slice(F.sort_array(F.collect_list("__hv__")), 1, k).alias("__mins__"),
-        F.count(F.lit(1)).alias("__n__"),
-    )
-    merged = partial.groupBy(*group_cols).agg(
-        F.slice(
-            F.sort_array(F.flatten(F.collect_list("__mins__"))), 1, k
-        ).alias("__mins__"),
-        F.sum("__n__").alias("n_distinct_hashed"),
+        F.sum(F.when(F.col("__rn__") == 1, F.col("__sn__"))).alias(
+            "n_distinct_hashed"
+        ),
     )
     kth = F.get("__mins__", k - 1)  # 0-based, null-safe (no ANSI OOB error)
     est = F.when(
