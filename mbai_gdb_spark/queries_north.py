@@ -720,7 +720,7 @@ def decontam_eval_overlap(spark, sf_dir):
     r"""
     WITH RECURSIVE t AS (
         SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS w,
-               doc_id % 8 AS shard
+               doc_id % 32 AS shard
         FROM documents
     ),
     r AS (
@@ -743,7 +743,7 @@ def decontam_eval_overlap(spark, sf_dir):
 )
 def pack_sequences(spark, sf_dir):
     """Training-sequence packing: docs → 128-token next-fit sequences in
-    8 hash shards (ops.packing.pack_next_fit — applyInPandas with one
+    32 hash shards (ops.packing.pack_next_fit — applyInPandas with one
     integer pair of state per shard, shards embarrassingly parallel).
     The greedy walk is deterministic, so the oracle replays it exactly
     with a recursive CTE."""
@@ -752,7 +752,7 @@ def pack_sequences(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.size(tokens("text")).alias("n_tokens")
     )
-    return pack_next_fit(docs, "doc_id", "n_tokens", budget=128, n_shards=8)
+    return pack_next_fit(docs, "doc_id", "n_tokens", budget=128, n_shards=32)
 
 
 @query(

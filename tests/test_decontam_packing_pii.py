@@ -166,3 +166,76 @@ def test_streaming_dedup_matches_batch_distinct(spark, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == 50
     assert got.select("event_id").distinct().count() == 50
+
+
+# --------------------------------------------------------------------------
+# property tests: packing vs pure-python replay, decontam vs brute force
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _next_fit_reference(items, budget):
+    """Pure-python next-fit replay: id-sorted (id, w) → {id: (seq, off)}."""
+    out = {}
+    seq, fill = 0, budget
+    for i, w in sorted(items):
+        if fill + w > budget:
+            seq, fill = seq + 1, 0
+        out[i] = (seq, fill)
+        fill += w
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=200),
+)
+def test_packing_matches_pure_python(spark, weights, budget):
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {
+        r.doc_id: (r.seq_id, r.seq_offset)
+        for r in pack_next_fit(df, "doc_id", "w", budget, n_shards=4).collect()
+    }
+    expected = {}
+    for shard in range(4):
+        ref = _next_fit_reference(
+            [(i, w) for i, w in rows if i % 4 == shard], budget
+        )
+        expected.update({i: (s, o) for i, (s, o) in ref.items()})
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=4, max_size=12),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_contamination_matches_brute_force(spark, token_lists):
+    k = 4
+    docs = [(i, " ".join(t)) for i, t in enumerate(token_lists)]
+    ev = [(100 + i, txt) for i, (_, txt) in enumerate(docs[:2])]
+    corpus = _docs(spark, docs)
+    ev_df = spark.createDataFrame(ev, "eval_doc_id long, text string")
+    got = {
+        (r.doc_id, r.eval_doc_id): (r.n_common, r.overlap_frac)
+        for r in contamination_hits(corpus, ev_df, k=k).collect()
+    }
+
+    def sh(txt):
+        t = txt.split()
+        return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+
+    expected = {}
+    for did, dtxt in docs:
+        for eid, etxt in ev:
+            common = sh(dtxt) & sh(etxt)
+            if common and sh(etxt):
+                expected[(did, eid)] = (len(common), len(common) / len(sh(etxt)))
+    assert got == expected
