@@ -778,3 +778,80 @@ def text_top_ngrams(spark, sf_dir):
         .orderBy(F.desc("doc_freq"), F.asc("ngram"))
         .limit(20)
     )
+
+
+@query(
+    "curate_corpus",
+    f"""
+    WITH RECURSIVE {_sql_minhash_pair_ctes()},
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    walk(id, lbl) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.dst, w.lbl
+        FROM walk w JOIN edges e ON e.src = w.id
+        WHERE w.lbl < e.dst
+    ),
+    drop_set AS (
+        SELECT id AS doc_id FROM walk GROUP BY id HAVING id <> MIN(lbl)
+    ),
+    stats AS (
+        SELECT doc_id, lang, source, tk,
+               len(tk) AS nt,
+               CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk) AS fdup
+        FROM (SELECT doc_id, lang, source, {_SQL_TOKS} AS tk FROM documents)
+    ),
+    kept_docs AS (
+        SELECT s.* FROM stats s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM drop_set)
+          AND s.nt BETWEEN 10 AND 5000
+          AND s.fdup <= 0.65
+    ),
+    sampled AS (
+        SELECT doc_id, lang, source, nt, fdup,
+               CASE lang WHEN 'en' THEN 5000 ELSE 10000 END AS thr,
+               ((doc_id % 2147483647) * 2654435761 + 97) % 2147483647 % 10000 AS bucket
+        FROM kept_docs
+    )
+    SELECT doc_id, lang, source,
+           CAST(nt AS BIGINT) AS n_tokens,
+           fdup AS frac_dup_tokens,
+           10000.0 / thr AS sample_weight
+    FROM sampled WHERE bucket < thr
+    """,
+)
+def curate_corpus(spark, sf_dir):
+    """End-to-end corpus curation — the composition every stage of the
+    training-data story feeds: MinHash-LSH near-dup clusters drop
+    non-canonical members, length + repetition gates drop junk, and a
+    deterministic stratified hash-sample rebalances the language mix
+    (Horvitz-Thompson weights kept for unbiased downstream stats).
+    Every stage is one of the already-oracle-checked operators; the
+    composition itself is re-checked end-to-end against DuckDB."""
+    from mbai_gdb_spark.ops.dedup import dedup_clusters
+    from mbai_gdb_spark.ops.sampling import stratified_hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    doc_set = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
+    sigs = minhash_signatures(doc_set, "doc_id", "tok_id", n_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=50)
+    drop = dedup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
+
+    tk = tokens("text")
+    nt = F.size(tk)
+    fdup = (nt - F.size(F.array_distinct(tk))).cast("double") / nt
+    stats = docs.select(
+        "doc_id", "lang", "source", nt.alias("n_tokens"), fdup.alias("frac_dup_tokens")
+    )
+    kept = (
+        stats.join(drop, "doc_id", "left_anti")
+        .filter(F.col("n_tokens").between(10, 5000))
+        .filter(F.col("frac_dup_tokens") <= 0.65)
+    )
+    return stratified_hash_sample(kept, "doc_id", "lang", {"en": 0.5}, default_rate=1.0)

@@ -89,6 +89,7 @@ def test_declared_dedup_sim_queries_never_cross_join(spark):
         "sample_stratified_documents",
         "decontam_eval_overlap",
         "pack_sequences",
+        "curate_corpus",
     ):
         plan = _plan(qs[name](spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in plan, name
