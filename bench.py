@@ -61,10 +61,13 @@ def _bench_nba_pipeline(spark, n_games: int) -> float:
     st_df = spark.createDataFrame(starter_rows, STARTERS_DDL)
     home_df = spark.createDataFrame(home_rows, "game_id long, home_team_id long")
 
+    from mbai_gdb_spark.pipeline.plus_minus import materialize_outputs
+
     t0 = _time.perf_counter()
     tables = game_pipeline(pbp_df, st_df, home_df)
-    for name in ("lineup_plus_minus", "player_plus_minus", "scores", "action_next"):
-        tables[name].write.format("noop").mode("overwrite").save()
+    materialize_outputs(
+        tables, ("lineup_plus_minus", "player_plus_minus", "scores", "action_next")
+    )
     return _time.perf_counter() - t0
 
 
@@ -103,6 +106,7 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    cold["nba_game_pipeline_20"] = round(_bench_nba_pipeline(spark, n_games=20), 3)
     timings["nba_game_pipeline_20"] = round(_bench_nba_pipeline(spark, n_games=20), 3)
     timings["nba_game_pipeline_200"] = round(
         _bench_nba_pipeline(spark, n_games=200), 3

@@ -151,3 +151,38 @@ def game_pipeline(
         "lineup_plus_minus": lineup_pm,
         "player_plus_minus": player_pm,
     }
+
+
+def materialize_outputs(
+    tables: dict,
+    output_names: tuple[str, ...],
+    writer=None,
+    max_workers: int = 4,
+) -> None:
+    """Materialize several independent pipeline outputs CONCURRENTLY.
+
+    Spark jobs submitted from different threads overlap their scheduling
+    and stage gaps (standard practice for multi-sink pipelines; at
+    cluster scale the same shape applies with the FAIR scheduler).  The
+    persisted fan-out tables are eagerly computed FIRST — concurrent
+    jobs racing a cold lazy cache would each recompute the kernel.
+
+    ``writer(df)`` performs the sink write; default is a noop-format
+    write (benchmark mode).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if writer is None:
+        def writer(df):
+            df.write.format("noop").mode("overwrite").save()
+
+    fanout = [
+        tables[n]
+        for n in ("lineup_stints", "actions", "player_stints")
+        if n in tables and tables[n].is_cached
+    ]
+    if fanout:
+        with ThreadPoolExecutor(len(fanout)) as ex:
+            list(ex.map(lambda d: d.count(), fanout))
+    with ThreadPoolExecutor(max_workers) as ex:
+        list(ex.map(lambda n: writer(tables[n]), output_names))
