@@ -286,3 +286,104 @@ def ivf_topk(
         scored, [query_id_col], [F.col("cosine_sim").desc(), F.col(id_col)], k,
         rank_alias="rank",
     )
+
+
+def ivf_persist(
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the IVF inverted file as a parquet layout PARTITIONED BY
+    centroid_id — the on-disk vector index.  A probe then reads only its
+    ``n_probe`` list directories (partition pruning; see
+    :func:`ivf_probe_persisted`), so query cost is n_probe/K of the
+    corpus regardless of corpus size.  The (tiny) centroid table is
+    written as a ``_centroids`` side-car INSIDE the layout — the
+    underscore prefix hides it from the inverted-list scan, and probes
+    read it directly instead of re-scanning the corpus for stride
+    matches."""
+    from mbai_gdb_spark.io import write_partitioned
+
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    lists = corpus.join(assignment, id_col)
+    write_partitioned(lists, path, ["centroid_id"])
+    centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def ivf_query_probes(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Each query's ``n_probe`` nearest centroids from the index's
+    ``_centroids`` side-car: (query_id, __qraw__, probe_centroid).
+    Centroids broadcast; no inverted-list data is touched."""
+    centroids = spark.read.parquet(path + "/_centroids").select(
+        F.col("centroid_id").alias("centroid_id_c"),
+        as_double(F.col(vec_col)).alias("__cv__"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qraw__")
+    )
+    return topk_per_key(
+        q.crossJoin(F.broadcast(centroids)).select(
+            query_id_col,
+            "__qraw__",
+            F.col("centroid_id_c").alias("probe_centroid"),
+            cosine(as_double(F.col("__qraw__")), F.col("__cv__")).alias("__csim__"),
+        ),
+        [query_id_col],
+        [F.col("__csim__").desc(), F.col("probe_centroid")],
+        n_probe,
+    ).select(query_id_col, "__qraw__", "probe_centroid")
+
+
+def ivf_probe_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN search against a persisted IVF layout: pick each query's
+    ``n_probe`` nearest centroids (broadcast, from the ``_centroids``
+    side-car), then scan ONLY those list directories
+    — the ``centroid_id IN (...)`` filter is a partition filter, so the
+    unprobed inverted lists are never read (plan-tested)."""
+    lists = spark.read.parquet(path)
+    q_probes = ivf_query_probes(
+        spark, path, queries, n_probe, id_col, vec_col, query_id_col
+    )
+
+    probe_ids = [r.probe_centroid for r in q_probes.select("probe_centroid").distinct().collect()]
+    pruned = lists.filter(F.col("centroid_id").isin(probe_ids))
+    candidates = q_probes.join(
+        pruned.select(id_col, F.col(vec_col).alias("__craw__"), "centroid_id"),
+        q_probes["probe_centroid"] == F.col("centroid_id"),
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    scored = candidates.select(
+        query_id_col,
+        id_col,
+        cosine(as_double(F.col("__qraw__")), as_double(F.col("__craw__"))).alias(
+            "cosine_sim"
+        ),
+    ).dropDuplicates([query_id_col, id_col])
+    return topk_per_key(
+        scored,
+        [query_id_col],
+        [F.col("cosine_sim").desc(), F.col(id_col)],
+        k,
+        rank_alias="rank",
+    )
