@@ -294,6 +294,7 @@ def ivf_persist(
     centroid_stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> None:
     """Write the IVF inverted file as a parquet layout PARTITIONED BY
     centroid_id — the on-disk vector index.  A probe then reads only its
@@ -306,13 +307,21 @@ def ivf_persist(
     matches."""
     from mbai_gdb_spark.io import write_partitioned
 
-    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
-    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    if centroids is None:
+        # Stride sample (oracle-reproducible default); pass
+        # ops.kmeans.kmeans_fit(corpus, k) output for trained centroids.
+        centroids = corpus.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col)
+        )
+    cent_for_assign = centroids.select(
+        F.col("centroid_id").alias(id_col), F.col(vec_col)
+    )
+    assignment = ivf_assign(corpus, cent_for_assign, id_col, vec_col)
     lists = corpus.join(assignment, id_col)
     write_partitioned(lists, path, ["centroid_id"])
-    centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col)
-    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    centroids.select("centroid_id", F.col(vec_col)).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path + "/_centroids")
 
 
 def ivf_query_probes(

@@ -72,3 +72,18 @@ def test_probe_prunes_unprobed_partitions(spark, tmp_path):
     after_df = ivf_probe_persisted(spark, path, queries, k=3, n_probe=2)
     after = sorted(map(tuple, after_df.select("query_id", "vec_id", "rank").collect()))
     assert after == before
+
+
+def test_persist_with_trained_kmeans_centroids(spark, tmp_path):
+    from mbai_gdb_spark.ops.kmeans import kmeans_fit
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cents = kmeans_fit(emb, k=8, n_iter=3)
+    path = str(tmp_path / "ivf_km")
+    ivf_persist(emb, path, centroids=cents)
+    lists = spark.read.parquet(path)
+    assert lists.count() == emb.count()
+    assert lists.select("centroid_id").distinct().count() <= 8
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = ivf_probe_persisted(spark, path, queries, k=3, n_probe=2).collect()
+    assert len(got) == 9  # 3 queries × top-3
