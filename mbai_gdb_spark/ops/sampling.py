@@ -54,3 +54,34 @@ def stratified_hash_sample(
         )
         .drop("__thr__")
     )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    mod: int = 10_000,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split: the hash bucket of the stable
+    key falls into consecutive integer ranges sized by ``fractions``
+    (which must sum to 1).  Pure map-side labelling — the same key lands
+    in the same split across runs, engines, and re-partitionings, so a
+    corpus can be re-processed without test-set leakage.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bounds: list[tuple[str, int]] = []
+    acc = 0.0
+    for name, frac in fractions.items():  # dict order = caller's order
+        acc += frac
+        bounds.append((name, int(round(acc * mod))))
+    bounds[-1] = (bounds[-1][0], mod)  # close the last range exactly
+    bucket = hash_bucket(F.col(key_col), mod)
+    # Nested when-chain over ascending upper bounds: the innermost
+    # (last) range is the fallback.
+    expr: Column = F.lit(bounds[-1][0])
+    for name, ub in reversed(bounds[:-1]):
+        expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

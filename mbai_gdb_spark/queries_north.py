@@ -855,3 +855,43 @@ def curate_corpus(spark, sf_dir):
         .filter(F.col("frac_dup_tokens") <= 0.65)
     )
     return stratified_hash_sample(kept, "doc_id", "lang", {"en": 0.5}, default_rate=1.0)
+
+
+@query(
+    "emb_quantize_int8",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    s AS (
+        SELECT vec_id, ve,
+               list_max(list_transform(ve, x -> abs(x))) AS max_abs
+        FROM v
+    )
+    SELECT vec_id,
+           max_abs,
+           array_to_string(
+               CASE WHEN max_abs > 0
+                    THEN list_transform(ve, x -> CAST(floor(x * 127.0 / max_abs) AS INTEGER))
+                    ELSE list_transform(ve, x -> 0) END, ',') AS q_csv
+    FROM s
+    """,
+)
+def emb_quantize_int8(spark, sf_dir):
+    """Symmetric int8 vector quantization (scale = max|x|/127) — the
+    4× memory/bandwidth lever every large ANN deployment applies before
+    indexing.  Map-only column algebra; ``floor`` (not round) keeps the
+    integerization bit-identical across engines, and the scale rides
+    along so consumers can dequantize."""
+    from mbai_gdb_spark.ops.similarity import as_double
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.when(
+        max_abs > 0,
+        F.transform(v, lambda x: F.floor(x * 127.0 / max_abs).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return emb.select(
+        "vec_id",
+        max_abs.alias("max_abs"),
+        F.array_join(q, ",").alias("q_csv"),
+    )

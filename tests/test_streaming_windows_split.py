@@ -1,0 +1,93 @@
+"""Streaming tumbling-window counts ≡ batch aggregation, and the
+deterministic hash-split invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.io import read_table
+from mbai_gdb_spark.ops.sampling import hash_split
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_streaming_tumbling_counts_match_batch(spark, tmp_path):
+    from mbai_gdb_spark.streaming.windows import streaming_windowed_counts
+
+    events = read_table(spark, SF_DIR, "events")
+    src = str(tmp_path / "ev")
+    events.repartition(3).write.parquet(src)  # 3 files → 3 micro-batches
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = streaming_windowed_counts(stream)
+    sink = str(tmp_path / "out")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.event_type, r.window_start, r.n_events, r.total_value_cents)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {
+        (r.event_type, r.window_start, r.n_events, r.total_value_cents)
+        for r in events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy("event_type", F.window("ts", "1 hour").alias("__w__"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "total_value_cents"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("__w__.start").alias("window_start"),
+            "n_events",
+            "total_value_cents",
+        )
+        .collect()
+    }
+    # Append mode emits only watermark-CLOSED windows; buckets newer
+    # than (max event time - watermark) legitimately stay in state at
+    # end-of-stream.  Everything emitted must match batch exactly, and
+    # every closed bucket must have been emitted.
+    from datetime import timedelta
+
+    max_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    horizon = max_ts - timedelta(hours=2)
+    closed_want = {t for t in want if t[1] + timedelta(hours=1) <= horizon}
+    assert got <= want
+    assert closed_want <= got
+    assert len(got) > 0
+
+
+def test_hash_split_partition_and_determinism(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "doc_id long")
+    out = hash_split(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] + counts["val"] + counts["test"] == 5000
+    assert 0.75 * 5000 <= counts["train"] <= 0.85 * 5000
+    assert 0.07 * 5000 <= counts["val"] <= 0.13 * 5000
+    # Deterministic and partitioning-invariant.
+    a = sorted((r.doc_id, r.split) for r in out.collect())
+    b = sorted(
+        (r.doc_id, r.split)
+        for r in hash_split(
+            df.repartition(11), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    )
+    assert a == b
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.5, "test": 0.2})
