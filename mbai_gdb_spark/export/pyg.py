@@ -17,6 +17,7 @@ import numpy as np
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 try:  # optional heavy dependency — absent in this environment
     import torch  # type: ignore
@@ -60,7 +61,15 @@ def dense_index(
         offsets.append((p, acc))
         acc += n
     spark = nodes.sparkSession
-    off_df = spark.createDataFrame(offsets, [partition_col, "__off__"])
+    # Explicit schema so an EMPTY nodes frame (zero offsets) still builds
+    # a valid offsets side-table instead of failing schema inference.
+    off_schema = T.StructType(
+        [
+            T.StructField(partition_col, distinct.schema[partition_col].dataType),
+            T.StructField("__off__", T.LongType()),
+        ]
+    )
+    off_df = spark.createDataFrame(offsets, off_schema)
     order = [c for c in ids if c != partition_col]
     w = Window.partitionBy(partition_col).orderBy(*order)
     return (
@@ -179,10 +188,23 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
     # carries height/weight-free unit features.
     p_idx = dense_index(player_stints, "player_id")
     if "players" in tables:
+        # LEFT join from the index (all stint players) to the bio
+        # dimension: a roster table missing a stint player must yield a
+        # zero-filled feature row, NOT a shorter x that silently
+        # misaligns every dense index after the gap.
+        bio = (
+            p_idx.join(
+                tables["players"].select("player_id", "height_in", "weight_lb"),
+                "player_id",
+                "left",
+            )
+            .fillna(0.0, subset=["height_in", "weight_lb"])
+            .orderBy("dense_idx")
+            .select("height_in", "weight_lb")
+            .toPandas()
+        )
         out["player"] = {
-            "x": node_features(
-                tables["players"], "player_id", ["height_in", "weight_lb"], p_idx
-            ),
+            "x": bio.to_numpy().astype(np.float64),
             "num_nodes": p_idx.count(),
         }
     else:

@@ -124,15 +124,17 @@ def token_dictionary(tokens_df: DataFrame, token_col: str = "token") -> DataFram
     no dictionary at all).
     """
     spark = tokens_df.sparkSession
-    # Cached: the offsets pass below materializes the deduped vocabulary
-    # once and the caller's main job reuses it (without the cache the
-    # tokenize+distinct would run twice).  Vocabulary-sized, not
-    # corpus-sized.
+    # localCheckpoint (not persist): the offsets pass below materializes
+    # the deduped vocabulary once and the caller's main job reuses it —
+    # and the checkpoint blocks are released when this frame is GC'd,
+    # whereas an unmatched .persist() would pin the vocabulary in
+    # executor storage for the session's lifetime.  Vocabulary-sized,
+    # not corpus-sized.
     distinct = (
         tokens_df.select(token_col)
         .distinct()
         .withColumn("__bkt__", _prefix_bucket(token_col))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     counts = sorted(
         (r["__bkt__"], r["n"])

@@ -9,8 +9,9 @@ Each iteration is two shuffles, both linear in the data:
   groupBy-avg — a partial-aggregated shuffle keyed by (centroid, dim),
   i.e. k×d groups regardless of corpus size.
 
-Init is deterministic (every ``stride``-th vector), so runs are
-reproducible; empty clusters keep their previous centroid.  Lineage is
+Init is deterministic (farthest-point over a hash-oversampled candidate
+set — id-distribution-agnostic), so runs are reproducible; empty
+clusters keep their previous centroid.  Lineage is
 truncated per iteration with localCheckpoint (same pattern as
 ops.graph's iterative operators).
 """
@@ -42,20 +43,41 @@ def kmeans_fit(
 ) -> DataFrame:
     """Train k centroids; returns (centroid_id, embedding array<double>).
 
-    ``centroid_id`` is the dense index 0..k-1 of the deterministic
-    stride init, so output is stable across runs and partitionings.
+    ``centroid_id`` is the dense index 0..k-1 in farthest-point
+    selection order, so output is stable across runs and partitionings
+    (fewer than k centroids only when the corpus itself has < k rows).
     """
+    import numpy as np
+
     v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v__"))
-    n = v.count()
-    stride = max(n // k, 1)
-    init = (
-        v.filter((F.col(id_col) % stride == 0))
-        .orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.col(id_col) / stride).cast("long").alias("centroid_id"),
-            F.col("__v__").alias("__c__"),
-        )
+    # Init: farthest-point seeding over a hash-oversampled candidate set.
+    # Step 1 (distributed): take the 8k vectors with the smallest
+    # LCG-hashed ids — deterministic for ANY id distribution (a stride
+    # filter `id % stride == 0` assumes dense contiguous-from-0 ids and
+    # can select < k — or zero — seeds on sparse/offset id spaces), and
+    # a single TakeOrdered job.  Step 2 (driver, numpy over ≤ 8k rows):
+    # greedy k-center — start from the smallest hash, repeatedly add the
+    # candidate farthest from the chosen set.  Spread-out seeds keep
+    # well-separated clusters from sharing a seed (plain uniform picks
+    # collapse two true clusters ~¾ of the time at k=3).  For k beyond
+    # coarse-quantizer sizes swap step 2 for k-means||.
+    mod = 2_147_483_647
+    h = ((F.col(id_col).cast("long") % mod) * 2654435761 + 97) % mod
+    cand_rows = (
+        v.withColumn("__h__", h).orderBy("__h__", id_col).limit(8 * k).collect()
+    )
+    cand = np.array([r["__v__"] for r in cand_rows], dtype=np.float64)
+    chosen = [0] if len(cand) else []
+    if len(cand):
+        d_min = ((cand - cand[0]) ** 2).sum(axis=1)
+        while len(chosen) < min(k, len(cand)):
+            nxt = int(d_min.argmax())  # first max — deterministic
+            chosen.append(nxt)
+            d_min = np.minimum(d_min, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    spark = corpus.sparkSession
+    init = spark.createDataFrame(
+        [(i, [float(x) for x in cand[j]]) for i, j in enumerate(chosen[: k])],
+        "centroid_id long, __c__ array<double>",
     )
     centroids = init.localCheckpoint(eager=True)
     v = v.localCheckpoint(eager=True)

@@ -17,13 +17,36 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mbai_gdb_spark.ops.sketch import lcg_hash
 
 
 def hash_bucket(key: Column, mod: int = 10_000) -> Column:
-    """Stable bucket in [0, mod) from a numeric key."""
+    """Stable bucket in [0, mod) from a NUMERIC key (casts to long)."""
     return lcg_hash(key) % mod
+
+
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _key_bucket(df: DataFrame, key_col: str, mod: int) -> Column:
+    """Dtype-aware stable bucket: integer keys go straight through the
+    LCG; string keys are first reduced by the cross-engine char-poly
+    hash.  Anything else raises — lcg_hash's ``cast('long')`` on e.g. a
+    string silently yields NULL, which would mislabel every row instead
+    of failing loudly."""
+    dt = df.schema[key_col].dataType
+    if isinstance(dt, _NUMERIC):
+        return hash_bucket(F.col(key_col), mod)
+    if isinstance(dt, T.StringType):
+        from mbai_gdb_spark.ops.dedup import char_poly_id
+
+        return lcg_hash(char_poly_id(key_col)) % mod
+    raise TypeError(
+        f"hash sampling key {key_col!r} has unsupported type {dt}; "
+        "use an integer or string key"
+    )
 
 
 def stratified_hash_sample(
@@ -45,7 +68,7 @@ def stratified_hash_sample(
     thr: Column = F.lit(default_threshold)
     for s, t in sorted(thresholds.items()):
         thr = F.when(F.col(stratum_col) == s, F.lit(t)).otherwise(thr)
-    bucket = hash_bucket(F.col(key_col), mod)
+    bucket = _key_bucket(df, key_col, mod)
     return (
         df.withColumn("__thr__", thr)
         .filter(bucket < F.col("__thr__"))
@@ -78,7 +101,7 @@ def hash_split(
         acc += frac
         bounds.append((name, int(round(acc * mod))))
     bounds[-1] = (bounds[-1][0], mod)  # close the last range exactly
-    bucket = hash_bucket(F.col(key_col), mod)
+    bucket = _key_bucket(df, key_col, mod)
     # Nested when-chain over ascending upper bounds: the innermost
     # (last) range is the fallback.
     expr: Column = F.lit(bounds[-1][0])

@@ -372,9 +372,13 @@ def ivf_probe_persisted(
     — the ``centroid_id IN (...)`` filter is a partition filter, so the
     unprobed inverted lists are never read (plan-tested)."""
     lists = spark.read.parquet(path)
+    # Materialize the probe assignment ONCE: it feeds both the
+    # partition-filter id list (collected) and the candidate join —
+    # without the checkpoint the query-by-centroid scoring and the
+    # _centroids sidecar scan would run twice.
     q_probes = ivf_query_probes(
         spark, path, queries, n_probe, id_col, vec_col, query_id_col
-    )
+    ).localCheckpoint(eager=True)
 
     probe_ids = [r.probe_centroid for r in q_probes.select("probe_centroid").distinct().collect()]
     pruned = lists.filter(F.col("centroid_id").isin(probe_ids))

@@ -50,10 +50,23 @@ def kmv_distinct(
     exact count when the group has fewer than ``k`` distinct values).
     """
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
 
-    hashes = df.select(
-        *group_cols, lcg_hash(F.col(value_col)).alias("__hv__")
-    ).distinct()
+    dt = df.schema[value_col].dataType
+    if isinstance(dt, T.StringType):
+        # cast('long') on a string is NULL (not an error) — reduce string
+        # values through the cross-engine char-poly hash first.
+        from mbai_gdb_spark.ops.dedup import char_poly_id
+
+        hv = lcg_hash(char_poly_id(value_col))
+    elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        hv = lcg_hash(F.col(value_col))
+    else:
+        raise TypeError(
+            f"kmv value column {value_col!r} has unsupported type {dt}; "
+            "use an integer or string column"
+        )
+    hashes = df.select(*group_cols, hv.alias("__hv__")).distinct()
     sharded = hashes.withColumn("__shard__", F.col("__hv__") % n_shards)
     # Per-(group, shard) k-min via a rank window, NOT collect_list: the
     # window sort is external (spills), so task memory stays bounded no

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -52,7 +53,11 @@ def _update_totals(
         # Round per ROW before summing (the queries.py fixed-point
         # convention): rounding a float batch-sum once per micro-batch
         # would make the running total depend on trigger boundaries.
-        cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        # HALF_UP away from zero to match Spark's F.round — pandas'
+        # .round() is half-even and would drift from the batch totals
+        # on exact half-cent values.
+        v = (pdf["value"] * 100).to_numpy()
+        cents += int(np.copysign(np.floor(np.abs(v) + 0.5), v).sum())
     state.update((n, cents))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value_cents": [cents]}

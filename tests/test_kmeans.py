@@ -60,3 +60,20 @@ def test_kmeans_partitioning_invariant(spark):
     assert set(a) == set(b)
     for cid in a:
         assert all(abs(x - y) < 1e-9 for x, y in zip(a[cid], b[cid]))
+
+
+def test_kmeans_init_sparse_offset_ids(spark):
+    """Init must yield exactly k centroids for ANY id distribution —
+    the old stride init (`id % stride == 0`) matched nothing on e.g.
+    all-odd snowflake-style ids."""
+    rows = _blobs(seed=31)
+    df = spark.createDataFrame(
+        [(1_000_001 + 2 * i, v) for i, (_, v, _) in enumerate(rows)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_fit(df, k=3, n_iter=6)
+    got = cents.collect()
+    assert sorted(r.centroid_id for r in got) == [0, 1, 2]
+    assigned = kmeans_assign(df, cents)
+    assert assigned.count() == df.count()
+    assert inertia(assigned) is not None

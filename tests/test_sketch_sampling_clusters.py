@@ -137,3 +137,22 @@ def test_dedup_clusters_long_path_converges(spark):
     got = dedup_clusters(pairs).collect()
     assert all(r.canonical_doc_id == 0 for r in got)
     assert all(r.cluster_size == 13 for r in got)
+
+
+def test_kmv_string_value_col(spark):
+    """String value columns hash through char-poly — the raw LCG would
+    NULL-out every value and report a distinct count of 1."""
+    df = spark.createDataFrame(
+        [("g", f"user-{i % 50}") for i in range(500)], "g string, v string"
+    )
+    out = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert out.n_distinct_hashed == 50
+    assert abs(out.kmv_estimate - 50.0) < 1e-9
+
+
+def test_kmv_rejects_unsupported_value_type(spark):
+    import pytest
+
+    df = spark.createDataFrame([("g", 1.5)], "g string, v double")
+    with pytest.raises(TypeError):
+        kmv_distinct(df, ["g"], "v")

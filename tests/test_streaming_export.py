@@ -140,3 +140,43 @@ def test_hetero_tensor_export_multigame_no_collapse(spark):
     # dense indices form one contiguous 0..N-1 space across both games
     nxt = out[("score", "next", "score")]
     assert nxt.shape[1] == n_s - len(games)  # per-game total orders
+
+
+def test_dense_index_empty_partitioned_frame(spark):
+    """A table with zero rows (e.g. a pbp slice with no made shots →
+    empty scores) must yield an empty index, not a schema-inference
+    crash on the empty offsets side-table."""
+    from mbai_gdb_spark.export.pyg import dense_index
+
+    empty = spark.createDataFrame([], "game_id long, score_action_id long")
+    idx = dense_index(empty, "score_action_id", partition_col="game_id")
+    assert idx.count() == 0
+    assert "dense_idx" in idx.columns
+
+
+def test_player_features_align_with_partial_roster(spark):
+    """A players dimension missing a stint player (10-day contract) must
+    produce a zero-filled feature row at that player's dense index — not
+    a shorter x misaligning every subsequent node."""
+    from mbai_gdb_spark.export.pyg import to_hetero_tensors
+    from mbai_gdb_spark.pipeline.fixtures import fixture_frames
+    from mbai_gdb_spark.pipeline.plus_minus import game_pipeline
+
+    pbp, starters = fixture_frames(spark, game_id=1001, home_team=10, away_team=20)
+    home = spark.createDataFrame([(1001, 10)], "game_id long, home_team_id long")
+    tables = game_pipeline(pbp, starters, home)
+    all_players = sorted(
+        r.player_id for r in tables["player_stints"].select("player_id").distinct().collect()
+    )
+    # roster covers everyone EXCEPT the last player
+    tables["players"] = spark.createDataFrame(
+        [(p, 78.0, 210.0) for p in all_players[:-1]],
+        "player_id long, height_in double, weight_lb double",
+    )
+    out = to_hetero_tensors(tables)
+    x = out["player"]["x"]
+    assert x.shape == (out["player"]["num_nodes"], 2)
+    assert len(all_players) == out["player"]["num_nodes"]
+    # exactly one zero-filled row (the missing player), rest carry bio
+    zero_rows = (x == 0.0).all(axis=1).sum()
+    assert zero_rows == 1

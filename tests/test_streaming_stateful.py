@@ -34,6 +34,7 @@ def test_stateful_totals_match_batch(spark, tmp_path):
     assert set(streamed) == set(batch)
     for uid, (n, _) in batch.items():
         assert streamed[uid][0] == n
-        # value totals agree to within per-batch rounding (cents rounded
-        # per micro-batch on the streaming side)
-        assert abs(streamed[uid][1] - batch[uid][1]) <= 4
+        # EXACT: both sides round per row HALF_UP (streaming's
+        # copysign/floor mirrors Spark's F.round), so totals must be
+        # bit-identical regardless of micro-batch boundaries.
+        assert streamed[uid][1] == batch[uid][1]

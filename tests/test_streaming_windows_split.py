@@ -91,3 +91,34 @@ def test_hash_split_rejects_bad_fractions(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError):
         hash_split(df, "doc_id", {"train": 0.5, "test": 0.2})
+
+
+def test_hash_split_string_key(spark):
+    """String keys hash through the char-poly reduction (the raw LCG's
+    cast('long') on a string is NULL → every row would silently land in
+    the fallback split)."""
+    df = spark.createDataFrame(
+        [(f"https://example.com/doc/{i}",) for i in range(400)], "url string"
+    )
+    out = hash_split(df, "url", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in out.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    # all three splits populated, train strictly dominates
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic across repartitionings
+    a = {r.url: r.split for r in out.collect()}
+    b = {
+        r.url: r.split
+        for r in hash_split(
+            df.repartition(7), "url", {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).collect()
+    }
+    assert a == b
+
+
+def test_hash_split_rejects_unsupported_key_type(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1.5,), (2.5,)], "score double")
+    with pytest.raises(TypeError):
+        hash_split(df, "score", {"train": 0.5, "test": 0.5})
