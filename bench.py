@@ -106,8 +106,21 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    def _cleanup() -> None:
+        # Release leftovers from the query sweep (localCheckpoint blocks,
+        # cached fan-outs) so the pipeline entries time the PIPELINE, not
+        # a major GC of 36 prior query executions' garbage — measured
+        # skew without this: 18 s vs 6.5 s for the same 20-game run.
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
+
+    _cleanup()
     cold["nba_game_pipeline_20"] = round(_bench_nba_pipeline(spark, n_games=20), 3)
+    _cleanup()
     timings["nba_game_pipeline_20"] = round(_bench_nba_pipeline(spark, n_games=20), 3)
+    _cleanup()
     timings["nba_game_pipeline_200"] = round(
         _bench_nba_pipeline(spark, n_games=200), 3
     )
