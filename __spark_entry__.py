@@ -56,6 +56,13 @@ _DEFER_LAST = [
     "dedup_minhash_lsh",         # its full CTE chain is INSIDE dedup_minhash_clusters' oracle
     "w5_sessionize_events",      # flagship_session_attribution driver-checks sessionization
     "sim_cosine_top5",           # cosine top-k; sim_ivf_top5 exact-reranks the same way
+    # TPC-H breadth (round 2 cont.): operator rows already driver-covered
+    # (J-family joins, semi/anti via j8/j9, window aggs via a/w rows) —
+    # these widen the SQL surface, verified by check_parity locally:
+    "q19_bracketed_revenue",     # disjunctive bracket filter over a dim join
+    "q17_below_avg_quantity",    # correlated per-group threshold via window
+    "q21_sole_problem_supplier", # double correlated EXISTS/NOT-EXISTS
+    "q22_dormant_capital",       # scalar subquery + anti-join dormancy
 ]
 
 

@@ -1336,3 +1336,203 @@ def q18_large_orders(spark, sf_dir):
         .filter(F.col("__qc__") > 150 * 100)
         .drop("__qc__")
     )
+
+
+@query(
+    "q19_bracketed_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT) / 10000
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 5 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+)
+def q19_bracketed_revenue(spark, sf_dir):
+    """TPC-H Q19 adaptation: disjunction of per-bracket conjunctions over
+    a dimension join — the OR-of-ANDs shape Catalyst must keep partially
+    pushable (the common l_partkey equi-key stays a hash join; the
+    brackets become a residual filter, never a cartesian)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(25, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(bracket)
+        .agg(
+            money_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q17_below_avg_quantity",
+    """
+    WITH j AS (
+      SELECT CAST(ROUND(l.l_quantity) AS BIGINT) AS qty_l, l.l_extendedprice,
+             SUM(CAST(ROUND(l.l_quantity) AS BIGINT))
+                 OVER (PARTITION BY l.l_partkey) AS sq,
+             COUNT(*) OVER (PARTITION BY l.l_partkey) AS cnt
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = 'Brand#5'
+    )
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100
+               AS small_qty_revenue,
+           COUNT(*) AS n_rows
+    FROM j WHERE 5 * qty_l * cnt < sq
+    """,
+)
+def q17_below_avg_quantity(spark, sf_dir):
+    """TPC-H Q17 adaptation: per-part correlated threshold (quantity
+    below 20% of that part's average).  The correlated scalar subquery
+    becomes one window over the part key; the comparison is kept in
+    integers (5*qty*cnt < sum  <=>  qty < 0.2*avg) so both engines make
+    bit-identical membership decisions — no float-threshold hazard."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    w = Window.partitionBy("l_partkey")
+    qty_l = F.round(F.col("l_quantity"), 0).cast("long")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .withColumn("qty_l", qty_l)
+        .withColumn("sq", F.sum("qty_l").over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(w))
+    )
+    return j.filter(5 * F.col("qty_l") * F.col("cnt") < F.col("sq")).agg(
+        money_sum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q21_sole_problem_supplier",
+    """
+    WITH r AS (
+      SELECT DISTINCT l_suppkey, l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = r.l_orderkey
+                    AND l2.l_suppkey <> r.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = r.l_orderkey
+                        AND l3.l_suppkey <> r.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q21_sole_problem_supplier(spark, sf_dir):
+    """TPC-H Q21 adaptation: suppliers solely responsible for a returned
+    item in multi-supplier orders — the EXISTS(other supplier) +
+    NOT EXISTS(other supplier also returned) double correlated pattern
+    as a semi-join then anti-join on (orderkey, suppkey<>) — both keep
+    the orderkey equi key, so neither is a cartesian."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    r = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_suppkey", "l_orderkey")
+        .distinct()
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("__ok__"), F.col("l_suppkey").alias("__sk__")
+    )
+    other_r = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("__ok__"), F.col("l_suppkey").alias("__sk__")
+    )
+    sole = r.join(
+        other,
+        (F.col("__ok__") == F.col("l_orderkey"))
+        & (F.col("__sk__") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        other_r,
+        (F.col("__ok__") == F.col("l_orderkey"))
+        & (F.col("__sk__") != F.col("l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "q22_dormant_capital",
+    """
+    WITH pos AS (
+      SELECT CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+             COUNT(*) AS n
+      FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) / 100
+               AS totacctbal
+    FROM customer c, pos
+    WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM recent WHERE recent.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def q22_dormant_capital(spark, sf_dir):
+    """TPC-H Q22 adaptation: above-average-balance customers with no
+    recent orders, by nation.  The scalar 'average positive balance'
+    subquery is a 1-row aggregate cross-joined (broadcast) onto the
+    customer scan; membership compares integers (cents*n > sum_cents)
+    so both engines agree exactly; the dormancy check is an anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    bal_cents = scaled_long(F.col("c_acctbal"), 100)
+    pos = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(F.sum(bal_cents).alias("__s__"), F.count(F.lit(1)).alias("__n__"))
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(bal_cents * F.col("__n__") > F.col("__s__"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            money_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
