@@ -122,3 +122,46 @@ def test_hash_split_rejects_unsupported_key_type(spark):
     df = spark.createDataFrame([(1.5,), (2.5,)], "score double")
     with pytest.raises(TypeError):
         hash_split(df, "score", {"train": 0.5, "test": 0.5})
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream interval join ≡ the same join on batch
+    frames: every emitted pair is correct, and every pair old enough to
+    be watermark-safe is emitted."""
+    from mbai_gdb_spark.streaming.joins import purchase_click_attribution
+
+    events = read_table(spark, SF_DIR, "events")
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purchases_b = events.filter(F.col("event_type") == "purchase")
+
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    clicks_b.repartition(3).write.parquet(csrc)
+    purchases_b.repartition(3).write.parquet(psrc)
+    clicks_s = spark.readStream.schema(events.schema).parquet(csrc)
+    purchases_s = spark.readStream.schema(events.schema).parquet(psrc)
+
+    out = purchase_click_attribution(clicks_s, purchases_s)
+    sink = str(tmp_path / "joined")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    key = lambda r: (r.user_id, r.purchase_id, r.click_id, r.purchase_cents)
+    got = {key(r) for r in spark.read.parquet(sink).collect()}
+    want_rows = purchase_click_attribution(clicks_b, purchases_b).collect()
+    want = {key(r) for r in want_rows}
+
+    assert got <= want  # nothing fabricated
+    # pairs whose BOTH sides are older than the watermark horizon are
+    # guaranteed emitted before end-of-stream state eviction
+    from datetime import timedelta
+
+    max_ts = events.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    horizon = max_ts - timedelta(minutes=30 + 10)
+    safe = {key(r) for r in want_rows if r.purchase_ts <= horizon}
+    assert safe <= got
+    assert len(got) > 0
