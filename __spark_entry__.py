@@ -63,6 +63,8 @@ _DEFER_LAST = [
     "q17_below_avg_quantity",    # correlated per-group threshold via window
     "q21_sole_problem_supplier", # double correlated EXISTS/NOT-EXISTS
     "q22_dormant_capital",       # scalar subquery + anti-join dormancy
+    "j12_concurrent_sessions",   # interval-overlap join (binned equi plan)
+    "w13_ranking_family",        # rank/dense_rank/ntile/percent_rank, one window
 ]
 
 

@@ -1536,3 +1536,116 @@ def q22_dormant_capital(spark, sf_dir):
             money_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "j12_concurrent_sessions",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        FROM flagged
+    ), iv AS (
+        SELECT user_id, session_id,
+               epoch_us(MIN(ts)) AS s_us, epoch_us(MAX(ts)) AS e_us
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT a.user_id AS user_a, a.session_id AS session_a,
+           b.user_id AS user_b, b.session_id AS session_b,
+           LEAST(a.e_us, b.e_us) - GREATEST(a.s_us, b.s_us) AS overlap_us
+    FROM iv a JOIN iv b
+      ON a.user_id < b.user_id AND a.s_us <= b.e_us AND b.s_us <= a.e_us
+    """,
+)
+def j12_concurrent_sessions(spark, sf_dir):
+    """Concurrent-session detection: sessionize per user (W5), then pair
+    sessions of DIFFERENT users whose [start, end] intervals overlap —
+    an interval×interval OVERLAP join.  The oracle writes the natural
+    theta join; the Spark plan is the binned equi-join
+    (ops.intervals.interval_overlap_join, 1-hour bins): explode to
+    touched time bins, hash-join on the bin, emit each pair once —
+    linear in Σ(session_len/bin), never a per-key cartesian."""
+    from mbai_gdb_spark.ops.intervals import interval_overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, keys=["user_id"], ts="ts", gap_seconds=1800.0, tie_break=["event_id"]
+    )
+    iv = sess.groupBy("user_id", "session_id").agg(
+        epoch_us(F.min("ts")).alias("s_us"), epoch_us(F.max("ts")).alias("e_us")
+    )
+    a = iv.select(
+        F.col("user_id").alias("user_a"),
+        F.col("session_id").alias("session_a"),
+        F.col("s_us").alias("s_a"),
+        F.col("e_us").alias("e_a"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_b"),
+        F.col("session_id").alias("session_b"),
+        F.col("s_us").alias("s_b"),
+        F.col("e_us").alias("e_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b, [], "s_a", "e_a", "s_b", "e_b",
+        bin_width=3_600.0 * 1_000_000, closed="both",
+    ).filter(F.col("user_a") < F.col("user_b"))
+    return pairs.select(
+        "user_a",
+        "session_a",
+        "user_b",
+        "session_b",
+        (F.least("e_a", "e_b") - F.greatest("s_a", "s_b")).alias("overlap_us"),
+    )
+
+
+@query(
+    "w13_ranking_family",
+    """
+    WITH t AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey, c.c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, cents / 100 AS total_value,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS dense_rnk,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank
+    FROM t
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY cents DESC, c_custkey)
+    """,
+)
+def w13_ranking_family(spark, sf_dir):
+    """Ranking-analytics family over one window spec: rank, dense_rank,
+    ntile, percent_rank per market segment by customer revenue.  The
+    reference never uses ranking functions (SURVEY §2.5 note); Spark
+    plans all four in ONE Window operator over a single shuffle.  The
+    unique c_custkey tie-break makes ntile's row order total, so both
+    engines bucket identically."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    t = (
+        c.join(o, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(scaled_long(F.col("o_totalprice"), 100)).alias("cents"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("cents"), "c_custkey")
+    return t.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("cents") / 100).alias("total_value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )

@@ -128,3 +128,54 @@ def test_top1_and_topk(spark):
     assert {(r.k, r.v) for r in t1.collect()} == {("a", 3), ("b", 9)}
     tk = topk_per_key(df, ["k"], [F.col("v").desc()], k=2)
     assert tk.filter(F.col("k") == "a").count() == 2
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Binned overlap join ≡ the theta-join predicate, on random
+    intervals including degenerate, boundary-aligned, and negative
+    coordinates — for both closed modes and several bin widths."""
+    import random
+
+    from mbai_gdb_spark.ops.intervals import interval_overlap_join
+
+    rng = random.Random(77)
+    def mk(n, id_prefix):
+        rows = []
+        for i in range(n):
+            key = rng.choice(["a", "b"])
+            s = round(rng.uniform(-20, 40), 2)
+            # mix: normal, boundary-aligned, degenerate
+            mode = rng.random()
+            if mode < 0.15:
+                e = s  # degenerate
+            elif mode < 0.3:
+                e = float(int(s) + rng.randint(1, 3) * 5)  # aligned to w=5
+            else:
+                e = s + round(rng.uniform(0.1, 25), 2)
+            rows.append((key, f"{id_prefix}{i}", s, e))
+        return rows
+
+    lrows, rrows = mk(120, "L"), mk(150, "R")
+    l = spark.createDataFrame(lrows, "k string, lid string, ls double, le double")
+    r = spark.createDataFrame(rrows, "k string, rid string, rs double, re double")
+
+    for closed in ("left", "both"):
+        for w in (2.0, 5.0, 13.0):
+            got = {
+                (row.lid, row.rid)
+                for row in interval_overlap_join(
+                    l, r, ["k"], "ls", "le", "rs", "re", bin_width=w, closed=closed
+                ).collect()
+            }
+            want = set()
+            for lk, lid, ls, le in lrows:
+                for rk, rid, rs, re in rrows:
+                    if lk != rk:
+                        continue
+                    if closed == "left":
+                        if ls < re and rs < le:
+                            want.add((lid, rid))
+                    else:
+                        if ls <= re and rs <= le:
+                            want.add((lid, rid))
+            assert got == want, (closed, w, len(got), len(want))
