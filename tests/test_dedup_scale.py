@@ -196,3 +196,41 @@ def test_char_poly_ids_match_duckdb_randomized(spark):
     """
     want = {r[0]: r[1] for r in duckdb.connect().execute(sql, [toks]).fetchall()}
     assert got == want
+
+
+def test_minhash_array_signature_matches_long_format(spark):
+    """The map-only fold signature must be value-identical to the
+    explode+groupBy formulation (same hash family, same minima)."""
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.dedup import (
+        char_poly_id,
+        char_poly_token_ids,
+        minhash_signature_array,
+        minhash_signatures,
+    )
+    from mbai_gdb_spark.ops.text import tokens
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i} delta epsilon tok{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    ds = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
+    long_sig = {
+        (r.doc_id, r.hash_idx): r.minhash
+        for r in minhash_signatures(ds, "doc_id", "tok_id", n_hashes=16).collect()
+    }
+    arr = {
+        r.doc_id: r.sig
+        for r in docs.select(
+            "doc_id",
+            minhash_signature_array(
+                F.transform(F.array_distinct(tokens("text")), lambda t: char_poly_id(t)),
+                n_hashes=16,
+            ).alias("sig"),
+        ).collect()
+    }
+    for (doc, idx), v in long_sig.items():
+        assert arr[doc][idx] == v
+    assert len(arr) == 40
