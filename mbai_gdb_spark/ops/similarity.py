@@ -57,18 +57,28 @@ def cosine_topk(
     the corpus, rank per query with a deterministic id tie-break.
 
     Output: (query_id, vec_id, cosine_sim, rank).
+
+    Norms are hoisted below the join — computed once per query row and
+    once per corpus row, not per pair; ``dot/(norm_q*norm_c)`` is
+    arithmetically identical to :func:`cosine` so oracle hashes are
+    unchanged while the per-pair aggregate work drops 3×.
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
-    )
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__cv__"))
+    ).withColumn("__qn__", l2_norm(F.col("__qv__")))
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__cv__")
+    ).withColumn("__cn__", l2_norm(F.col("__cv__")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(query_id_col) != F.col(id_col))
         .select(
             query_id_col,
             id_col,
-            cosine(F.col("__qv__"), F.col("__cv__")).alias("cosine_sim"),
+            (
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("cosine_sim"),
         )
     )
     return topk_per_key(
@@ -170,31 +180,39 @@ def lsh_candidate_neighbors(
     dedup → exact cosine re-rank.  Output (id_a, id_b, cosine_sim),
     id_a < id_b.  Equi-join on (table, bucket) — never a cross join;
     the pair set is deduped BEFORE the cosine so each surviving pair
-    pays the exact re-rank once."""
-    sig = lsh_table_signatures(corpus, vec_col, n_planes, n_tables)
+    pays the exact re-rank once.  The double-cast vector and its norm
+    are hoisted once per corpus row (BEFORE the ×L table explode and the
+    join), so the per-pair re-rank is a single dot product."""
+    base = corpus.withColumn("__vd__", as_double(F.col(vec_col))).withColumn(
+        "__norm__", l2_norm(F.col("__vd__"))
+    )
+    sig = lsh_table_signatures(base, vec_col, n_planes, n_tables)
     a = sig.select(
         F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("__va__"),
+        F.col("__vd__").alias("__va__"),
+        F.col("__norm__").alias("__na__"),
         "lsh_table",
         "lsh_bucket",
     )
     b = sig.select(
         F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("__vb__"),
+        F.col("__vd__").alias("__vb__"),
+        F.col("__norm__").alias("__nb__"),
         "lsh_table",
         "lsh_bucket",
     )
     pairs = (
         a.join(b, ["lsh_table", "lsh_bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__va__", "__vb__")
+        .select("id_a", "id_b", "__va__", "__vb__", "__na__", "__nb__")
         .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a",
             "id_b",
-            cosine(as_double(F.col("__va__")), as_double(F.col("__vb__"))).alias(
-                "cosine_sim"
-            ),
+            (
+                dot(F.col("__va__"), F.col("__vb__"))
+                / (F.col("__na__") * F.col("__nb__"))
+            ).alias("cosine_sim"),
         )
     )
     if min_cosine is not None:
@@ -211,15 +229,23 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF coarse quantization: each vector → nearest centroid by cosine
     (ties → smallest centroid id).  Centroids broadcast; assignment is a
-    map-side scan — the partitioned inverted-file layout at scale."""
+    map-side scan — the partitioned inverted-file layout at scale.
+
+    Per-row vector norms are computed ONCE below the join (a projection
+    on each join input) and the pair score is ``dot/(norm_v*norm_c)`` —
+    arithmetically identical to :func:`cosine` (which re-derives both
+    norms per pair, 3× the aggregate work over K centroids), so oracle
+    hashes are unchanged."""
     c = centroids.select(
         F.col(id_col).alias(centroid_id_col), as_double(F.col(vec_col)).alias("__cv__")
-    )
-    v = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__vv__"))
+    ).withColumn("__cn__", l2_norm(F.col("__cv__")))
+    v = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("__vv__")
+    ).withColumn("__vn__", l2_norm(F.col("__vv__")))
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col,
         centroid_id_col,
-        cosine(F.col("__vv__"), F.col("__cv__")).alias("__sim__"),
+        (dot(F.col("__vv__"), F.col("__cv__")) / (F.col("__vn__") * F.col("__cn__"))).alias("__sim__"),
     )
     return topk_per_key(
         scored, [id_col], [F.col("__sim__").desc(), F.col(centroid_id_col)], 1
@@ -244,43 +270,51 @@ def ivf_topk(
 
     Scale shape: centroids broadcast; the corpus is PARTITIONED BY
     centroid_id (the inverted file); a query touches n_probe/K of the
-    data — the classic recall/cost dial."""
+    data — the classic recall/cost dial.  Assignment norms are hoisted
+    once per row inside :func:`ivf_assign`."""
     centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
     assignment = ivf_assign(corpus, centroids, id_col, vec_col)
     lists = corpus.join(assignment, id_col)
 
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qraw__")
-    )
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
+    ).withColumn("__qn__", l2_norm(F.col("__qv__")))
     q_probes = topk_per_key(
         q.crossJoin(
             F.broadcast(
                 centroids.select(
                     F.col(id_col).alias("centroid_id"),
                     as_double(F.col(vec_col)).alias("__cv__"),
-                )
+                ).withColumn("__cn__", l2_norm(F.col("__cv__")))
             )
         ).select(
             query_id_col,
-            "__qraw__",
+            "__qv__",
+            "__qn__",
             "centroid_id",
-            cosine(as_double(F.col("__qraw__")), F.col("__cv__")).alias("__csim__"),
+            (
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("__csim__"),
         ),
         [query_id_col],
         [F.col("__csim__").desc(), F.col("centroid_id")],
         n_probe,
-    ).select(query_id_col, "__qraw__", "centroid_id")
+    ).select(query_id_col, "__qv__", "__qn__", "centroid_id")
 
     candidates = q_probes.join(
-        lists.select(id_col, F.col(vec_col).alias("__craw__"), "centroid_id"),
+        lists.select(
+            id_col, as_double(F.col(vec_col)).alias("__lv__"), "centroid_id"
+        ).withColumn("__ln__", l2_norm(F.col("__lv__"))),
         "centroid_id",
     ).filter(F.col(query_id_col) != F.col(id_col))
     scored = candidates.select(
         query_id_col,
         id_col,
-        cosine(as_double(F.col("__qraw__")), as_double(F.col("__craw__"))).alias(
-            "cosine_sim"
-        ),
+        (
+            dot(F.col("__qv__"), F.col("__lv__"))
+            / (F.col("__qn__") * F.col("__ln__"))
+        ).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
     return topk_per_key(
         scored, [query_id_col], [F.col("cosine_sim").desc(), F.col(id_col)], k,
