@@ -65,6 +65,11 @@ _DEFER_LAST = [
     "q22_dormant_capital",       # scalar subquery + anti-join dormancy
     "j12_concurrent_sessions",   # interval-overlap join (binned equi plan)
     "w13_ranking_family",        # rank/dense_rank/ntile/percent_rank, one window
+    # Round-2 curation additions: operator rows (shingle-df counting,
+    # groupBy mixing math) are driver-covered by the in-cap dedup/text/
+    # sampling queries; these stay check_parity-verified locally:
+    "text_dup_spans",            # cross-doc duplicated-span fraction
+    "mix_source_weights",        # p^alpha domain mixture quotas
 ]
 
 

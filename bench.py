@@ -39,6 +39,9 @@ HEADLINE = [
     "decontam_eval_overlap",
     "sketch_kmv_distinct",
     "text_repetition",
+    # Curation additions: cross-doc span dedup signal, domain mixing
+    "text_dup_spans",
+    "mix_source_weights",
 ]
 
 

@@ -401,3 +401,51 @@ def simhash(
     return per_bit.withColumn("__b__", bit_val).groupBy(id_col).agg(
         F.sum("__b__").alias("simhash")
     )
+
+
+def dup_span_profile(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span profile: for each document, the
+    fraction of its distinct k-token shingles that also occur in at
+    least ``min_df - 1`` OTHER documents — the corpus-level duplicated-
+    content signal (boilerplate, mirrored passages) that per-document
+    repetition metrics (:func:`mbai_gdb_spark.ops.text.repetition_profile`)
+    cannot see, and the span-granular complement of whole-document
+    near-dup (Jaccard/MinHash drop documents; this scores how much of a
+    KEPT document is corpus-duplicated text).
+
+    Output: (id, n_shingles, n_dup_shingles, dup_shingle_frac) for every
+    input document; docs shorter than k tokens have zero shingles and a
+    NULL fraction.
+
+    Scale shape: shingle doc-frequency is one partial+final count on the
+    shingle key; the profile join back to shingles reuses that same key
+    (one row per (doc, shingle) — the inverted index is never expanded,
+    so the join output is linear in corpus size); the per-doc re-agg
+    shuffles on the id.  No df-cut is needed here because hot shingles
+    contribute one row each, not a quadratic pair set."""
+    sh = shingle_set(docs, id_col, text_col, k)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df__"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__df__") >= min_df, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_dup_shingles"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_dup_shingles", F.lit(0)).cast("long").alias("n_dup_shingles"),
+        (
+            F.col("n_dup_shingles").cast("double") / F.col("n_shingles")
+        ).alias("dup_shingle_frac"),
+    )

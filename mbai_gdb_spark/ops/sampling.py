@@ -108,3 +108,58 @@ def hash_split(
     for name, ub in reversed(bounds[:-1]):
         expr = F.when(bucket < ub, F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per group — the ``p^alpha``
+    domain/language re-balancing rule for training-corpus construction
+    (alpha=1 keeps natural proportions, alpha→0 approaches uniform).
+
+    Output per group: (group, n_docs, raw_share, mix_weight,
+    expected_docs) where mix_weight ∝ n_docs^alpha normalized to sum 1
+    and expected_docs = mix_weight * total_docs is the per-group quota a
+    sampler (e.g. :func:`stratified_hash_sample` thresholds) should draw.
+
+    Scale shape: one partial+final count on the group key reduces the
+    corpus to #groups rows; the normalizing constants fold over a SORTED
+    collected array (deterministic summation order — the engine-
+    reproducibility convention for float accumulation), which is fine
+    precisely because the domain of ``group_col`` is small by definition.
+    The corpus itself is touched once, map-side."""
+    if alpha == 0.5:
+        powed = lambda x: F.sqrt(x.cast("double"))  # noqa: E731 — sqrt is
+        # bit-reproducible across engines; pow(x, 0.5) need not be
+    else:
+        powed = lambda x: F.pow(x.cast("double"), F.lit(alpha))  # noqa: E731
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    packed = counts.agg(
+        F.sort_array(F.collect_list(F.struct(group_col, "n_docs"))).alias("__arr__")
+    ).select(
+        "__arr__",
+        F.aggregate(
+            F.transform("__arr__", lambda s: s["n_docs"]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__total__"),
+        F.aggregate(
+            F.transform("__arr__", lambda s: powed(s["n_docs"])),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__zsum__"),
+    )
+    s = F.col("__s__")
+    return packed.select(
+        F.explode("__arr__").alias("__s__"), "__total__", "__zsum__"
+    ).select(
+        s[group_col].alias(group_col),
+        s["n_docs"].alias("n_docs"),
+        (s["n_docs"].cast("double") / F.col("__total__")).alias("raw_share"),
+        (powed(s["n_docs"]) / F.col("__zsum__")).alias("mix_weight"),
+        (powed(s["n_docs"]) / F.col("__zsum__") * F.col("__total__")).alias(
+            "expected_docs"
+        ),
+    )

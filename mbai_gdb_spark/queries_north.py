@@ -915,3 +915,72 @@ def emb_quantize_int8(spark, sf_dir):
         max_abs.alias("max_abs"),
         F.array_join(q, ",").alias("q_csv"),
     )
+
+
+@query(
+    "text_dup_spans",
+    f"""
+    WITH {_sql_shingles(3)},
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+    per_doc AS (
+        SELECT s.doc_id,
+               count(*) AS n_sh,
+               SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM sh s JOIN dfreq f USING (shingle)
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_sh, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+           CAST(p.n_dup AS DOUBLE) / p.n_sh AS dup_shingle_frac
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def text_dup_spans(spark, sf_dir):
+    """Cross-corpus duplicated-span profile: per document, the fraction
+    of its distinct trigram shingles that occur in ≥2 documents — the
+    span-granular boilerplate signal whole-document dedup can't see
+    (ops.dedup.dup_span_profile; shingle-df count + inverted-index join,
+    linear in corpus size — no pair expansion)."""
+    from mbai_gdb_spark.ops.dedup import dup_span_profile
+
+    return dup_span_profile(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_df=2
+    )
+
+
+@query(
+    "mix_source_weights",
+    """
+    WITH counts AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT
+            CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list(n_docs ORDER BY source)), (a, x) -> a + x)
+                 AS BIGINT) AS total_docs,
+            list_reduce(list_prepend(0.0,
+                list_transform(list(CAST(n_docs AS DOUBLE) ORDER BY source),
+                               x -> sqrt(x))),
+                (a, x) -> a + x) AS zsum
+        FROM counts
+    )
+    SELECT c.source,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(c.n_docs AS DOUBLE) / t.total_docs AS raw_share,
+           sqrt(CAST(c.n_docs AS DOUBLE)) / t.zsum AS mix_weight,
+           sqrt(CAST(c.n_docs AS DOUBLE)) / t.zsum * t.total_docs AS expected_docs
+    FROM counts c, tot t
+    """,
+)
+def mix_source_weights(spark, sf_dir):
+    """Temperature-scaled domain mixture (p^0.5 re-balancing): per-source
+    share, normalized mix weight, and the per-source sampling quota —
+    the data-mixing step between curation and training
+    (ops.sampling.mixture_weights).  The corpus reduces to #sources rows
+    in one map-side count; normalizers fold over a sorted array so float
+    accumulation order is engine-identical."""
+    from mbai_gdb_spark.ops.sampling import mixture_weights
+
+    return mixture_weights(_t(spark, sf_dir, "documents"), "source", alpha=0.5)
