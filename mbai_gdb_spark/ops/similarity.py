@@ -368,26 +368,32 @@ def ivf_query_probes(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Each query's ``n_probe`` nearest centroids from the index's
-    ``_centroids`` side-car: (query_id, __qraw__, probe_centroid).
-    Centroids broadcast; no inverted-list data is touched."""
+    ``_centroids`` side-car: (query_id, __qv__, __qn__, probe_centroid)
+    — the double-cast query vector and its norm ride along so the
+    re-rank never recomputes them.  Centroids broadcast; no
+    inverted-list data is touched."""
     centroids = spark.read.parquet(path + "/_centroids").select(
         F.col("centroid_id").alias("centroid_id_c"),
         as_double(F.col(vec_col)).alias("__cv__"),
-    )
+    ).withColumn("__cn__", l2_norm(F.col("__cv__")))
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qraw__")
-    )
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
+    ).withColumn("__qn__", l2_norm(F.col("__qv__")))
     return topk_per_key(
         q.crossJoin(F.broadcast(centroids)).select(
             query_id_col,
-            "__qraw__",
+            "__qv__",
+            "__qn__",
             F.col("centroid_id_c").alias("probe_centroid"),
-            cosine(as_double(F.col("__qraw__")), F.col("__cv__")).alias("__csim__"),
+            (
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("__csim__"),
         ),
         [query_id_col],
         [F.col("__csim__").desc(), F.col("probe_centroid")],
         n_probe,
-    ).select(query_id_col, "__qraw__", "probe_centroid")
+    ).select(query_id_col, "__qv__", "__qn__", "probe_centroid")
 
 
 def ivf_probe_persisted(
@@ -417,15 +423,18 @@ def ivf_probe_persisted(
     probe_ids = [r.probe_centroid for r in q_probes.select("probe_centroid").distinct().collect()]
     pruned = lists.filter(F.col("centroid_id").isin(probe_ids))
     candidates = q_probes.join(
-        pruned.select(id_col, F.col(vec_col).alias("__craw__"), "centroid_id"),
+        pruned.select(
+            id_col, as_double(F.col(vec_col)).alias("__lv__"), "centroid_id"
+        ).withColumn("__ln__", l2_norm(F.col("__lv__"))),
         q_probes["probe_centroid"] == F.col("centroid_id"),
     ).filter(F.col(query_id_col) != F.col(id_col))
     scored = candidates.select(
         query_id_col,
         id_col,
-        cosine(as_double(F.col("__qraw__")), as_double(F.col("__craw__"))).alias(
-            "cosine_sim"
-        ),
+        (
+            dot(F.col("__qv__"), F.col("__lv__"))
+            / (F.col("__qn__") * F.col("__ln__"))
+        ).alias("cosine_sim"),
     ).dropDuplicates([query_id_col, id_col])
     return topk_per_key(
         scored,
