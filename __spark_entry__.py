@@ -70,6 +70,8 @@ _DEFER_LAST = [
     # sampling queries; these stay check_parity-verified locally:
     "text_dup_spans",            # cross-doc duplicated-span fraction
     "mix_source_weights",        # p^alpha domain mixture quotas
+    "emb_class_centroids",       # order-free fixed-point class means
+    "emb_centroid_classify",     # nearest-centroid label-noise probe
 ]
 
 

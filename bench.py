@@ -42,6 +42,8 @@ HEADLINE = [
     # Curation additions: cross-doc span dedup signal, domain mixing
     "text_dup_spans",
     "mix_source_weights",
+    # Embedding-quality eval: fixed-point centroids + nearest-centroid
+    "emb_centroid_classify",
 ]
 
 

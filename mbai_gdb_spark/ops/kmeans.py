@@ -154,3 +154,134 @@ def kmeans_assign(
 def inertia(assigned: DataFrame) -> float:
     """Total within-cluster squared distance of a kmeans_assign result."""
     return assigned.agg(F.sum("sq_dist")).collect()[0][0]
+
+
+FIXED_POINT_SCALE = 1 << 20  # ~1e-6 component resolution
+
+
+def class_centroid_components(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = FIXED_POINT_SCALE,
+) -> DataFrame:
+    """Per-class mean embedding in long form: (label, dim, centroid_val,
+    n_vecs) — the supervised counterpart of the k-means UPDATE step, but
+    with ORDER-FREE float determinism: each component is quantized to
+    fixed point (``floor(x * scale)``, exact in both engines for any
+    sign — the same convention as int8 quantization) and summed as
+    64-bit integers, which is associative and commutative, so ANY
+    partitioning / merge order / cluster size produces bit-identical
+    centroids; one double division at the end.  Quantization bias is
+    bounded by 1/scale per component.
+
+    This is the scale-safe recipe for reproducible distributed float
+    aggregation: plain ``avg(double)`` answers depend on partition
+    merge order, and sorted-fold determinism (the KMV/mixture recipe)
+    needs the group collected to one place — integer fixed point needs
+    neither.  Shuffle is keyed on (label, dim): k*d groups regardless
+    of corpus size, partial-aggregated map-side."""
+    ex = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(as_double(F.col(vec_col))).alias("dim", "__x__"),
+    ).withColumn(
+        "__fx__", F.floor(F.col("__x__") * F.lit(float(scale))).cast("long")
+    )
+    return (
+        ex.groupBy("label", "dim")
+        .agg(F.sum("__fx__").alias("__s__"), F.count(F.lit(1)).alias("__n__"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            (
+                F.col("__s__").cast("double")
+                / (F.col("__n__") * F.lit(scale)).cast("double")
+            ).alias("centroid_val"),
+            F.col("__n__").cast("long").alias("n_vecs"),
+        )
+    )
+
+
+def class_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = FIXED_POINT_SCALE,
+) -> DataFrame:
+    """(label, n_vecs, centroid array<double>) — the long-form
+    components of :func:`class_centroid_components` reassembled in dim
+    order (collect_list is bounded by d, not by class size)."""
+    comp = class_centroid_components(df, label_col, vec_col, scale)
+    return (
+        comp.groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.array_sort(
+                F.collect_list(F.struct("dim", "centroid_val"))
+            ).alias("__p__"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            F.transform("__p__", lambda p: p["centroid_val"]).alias("centroid"),
+        )
+    )
+
+
+def centroid_classify(
+    df: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = FIXED_POINT_SCALE,
+) -> DataFrame:
+    """Nearest-class-centroid evaluation — the embedding-quality /
+    label-noise probe for a labeled corpus: assign every vector to its
+    most-cosine-similar class centroid (ties → smallest label) and
+    report per TRUE class (label, n_vecs, n_correct, accuracy).
+
+    Scale shape: centroids are k rows (broadcast); the corpus is
+    touched once map-side for scoring plus one per-id window for the
+    argmax and one count shuffle on the true label.  Determinism:
+    centroids are bit-exact (fixed-point sums), and the cosine is the
+    sequential-fold dot/norm chain, so the argmax is reproducible."""
+    from mbai_gdb_spark.ops.similarity import dot, l2_norm
+    from mbai_gdb_spark.ops.windows import topk_per_key
+
+    cents = (
+        class_centroids(df, label_col, vec_col, scale)
+        .select(F.col("label").alias("class_label"), "centroid")
+        .withColumn("__cn__", l2_norm(F.col("centroid")))
+    )
+    v = df.select(
+        F.col(id_col),
+        F.col(label_col).alias("true_label"),
+        as_double(F.col(vec_col)).alias("__v__"),
+    ).withColumn("__vn__", l2_norm(F.col("__v__")))
+    scored = v.crossJoin(F.broadcast(cents)).select(
+        id_col,
+        "true_label",
+        "class_label",
+        (
+            dot(F.col("__v__"), F.col("centroid"))
+            / (F.col("__vn__") * F.col("__cn__"))
+        ).alias("__sim__"),
+    )
+    pred = topk_per_key(
+        scored, [id_col], [F.col("__sim__").desc(), F.col("class_label")], 1
+    )
+    return (
+        pred.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.when(F.col("class_label") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.col("n_correct").cast("long").alias("n_correct"),
+            (F.col("n_correct").cast("double") / F.col("n_vecs")).alias("accuracy"),
+        )
+    )

@@ -984,3 +984,82 @@ def mix_source_weights(spark, sf_dir):
     from mbai_gdb_spark.ops.sampling import mixture_weights
 
     return mixture_weights(_t(spark, sf_dir, "documents"), "source", alpha=0.5)
+
+
+_SQL_FIXED_COMPONENTS = """
+    ex AS (
+        SELECT label, i - 1 AS dim,
+               CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576.0) AS BIGINT) AS fx
+        FROM embeddings, UNNEST(generate_series(1, len(embedding))) u(i)
+    ),
+    comp AS (
+        SELECT label, CAST(dim AS BIGINT) AS dim,
+               CAST(SUM(fx) AS DOUBLE) / CAST(COUNT(*) * 1048576 AS DOUBLE)
+                   AS centroid_val,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM ex GROUP BY label, dim
+    )"""
+
+
+@query(
+    "emb_class_centroids",
+    f"""
+    WITH {_SQL_FIXED_COMPONENTS}
+    SELECT label, dim, centroid_val, n_vecs FROM comp
+    """,
+)
+def emb_class_centroids(spark, sf_dir):
+    """Per-class mean embedding via ORDER-FREE fixed-point integer sums
+    (ops.kmeans.class_centroid_components): floor(x*2^20) summed as
+    longs — associative, so any partitioning yields bit-identical
+    centroids, unlike avg(double).  The reproducible-float-aggregation
+    recipe for 100 TB pipelines; shuffle is k*d groups, map-side
+    partial-aggregated."""
+    from mbai_gdb_spark.ops.kmeans import class_centroid_components
+
+    return class_centroid_components(
+        _t(spark, sf_dir, "embeddings"), "label", "embedding"
+    )
+
+
+@query(
+    "emb_centroid_classify",
+    f"""
+    WITH {_SQL_FIXED_COMPONENTS},
+    cents AS (
+        SELECT label AS class_label, list(centroid_val ORDER BY dim) AS c
+        FROM comp GROUP BY label
+    ),
+    v AS (SELECT vec_id, label AS true_label, {_SQL_VEC} AS ve FROM embeddings),
+    scored AS (
+        SELECT v.vec_id, v.true_label, cc.class_label,
+               {_SQL_DOT.format(products="list_transform(generate_series(1, len(ve)), i -> ve[i] * cc.c[i])")}
+               / ({_SQL_NORM.format(v="ve")} * {_SQL_NORM.format(v="cc.c")}) AS sim
+        FROM v, cents cc
+    ),
+    best AS (
+        SELECT vec_id, true_label, class_label,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, class_label) AS rn
+        FROM scored
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN class_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN class_label = true_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM best WHERE rn = 1 GROUP BY true_label
+    """,
+)
+def emb_centroid_classify(spark, sf_dir):
+    """Nearest-class-centroid evaluation over the labeled embedding
+    corpus (ops.kmeans.centroid_classify) — the embedding-quality /
+    label-noise probe: per true class, how many vectors land on their
+    own class centroid by cosine.  Centroids broadcast (k rows); corpus
+    scored map-side, one per-id argmax window, one count shuffle."""
+    from mbai_gdb_spark.ops.kmeans import centroid_classify
+
+    return centroid_classify(
+        _t(spark, sf_dir, "embeddings"), "label", "vec_id", "embedding"
+    )
