@@ -351,6 +351,11 @@ def _sql_lsh_pairs(threshold: float, n_planes: int = 8, n_tables: int = 8) -> st
         )
         + " / (" + _SQL_NORM.format(v="a.ve") + " * " + _SQL_NORM.format(v="b.ve") + ")"
     )
+    # xorshift-LCG plane family — mirrors ops.similarity._plane_component
+    # exactly (two LCG rounds with XOR-shift mixing between them).
+    h1 = f"((((t.t * {n_planes} + p) * 64 + (i - 1)) * 1103515245 + 12345) % 2147483647)"
+    h2 = f"((xor({h1}, {h1} >> 13) * 1103515245 + 12345) % 2147483647)"
+    comp = f"((xor({h2}, {h2} >> 7) % 65536) / 65536.0 - 0.5)"
     return f"""
     v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
     sig AS (
@@ -360,8 +365,7 @@ def _sql_lsh_pairs(threshold: float, n_planes: int = 8, n_tables: int = 8) -> st
                        CASE WHEN
                            list_reduce(list_prepend(0.0,
                                list_transform(generate_series(1, len(ve)), i ->
-                                   ve[i] * (((((t.t * {n_planes} + p) * 64 + (i - 1)) * 1103515245 + 12345) % 65536)
-                                            / 65536.0 - 0.5))),
+                                   ve[i] * {comp})),
                                (a, x) -> a + x) >= 0
                        THEN CAST(pow(2.0, p) AS BIGINT) ELSE 0 END)),
                    (a, x) -> a + x) AS lsh_bucket

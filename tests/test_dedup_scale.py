@@ -234,3 +234,61 @@ def test_minhash_array_signature_matches_long_format(spark):
     for (doc, idx), v in long_sig.items():
         assert arr[doc][idx] == v
     assert len(arr) == 40
+
+
+def test_plane_literal_matches_symbolic_formula(spark):
+    # The literal plane matrix (Python ints) must be bit-identical to
+    # the Column formula the SQL oracles mirror.
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.similarity import _plane_component, _plane_value
+
+    rows = spark.range(4096).select(
+        F.col("id"),
+        _plane_component(F.expr("id div 64"), F.col("id") % 64).alias("c"),
+    ).collect()
+    for r in rows:
+        assert r["c"] == _plane_value(r["id"]), r["id"]
+
+
+def test_lsh_buckets_near_uniform(spark):
+    # Regression for the correlated-plane defect: affine-LCG planes
+    # clumped 16-bit buckets into periodic patterns (hot buckets with
+    # >25% of the corpus).  With xorshift mixing, 2000 pseudo-random
+    # vectors over 2^16 buckets must spread out.
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.similarity import lsh_table_signatures
+
+    vecs = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.abs(F.xxhash64(F.col("id"), F.lit(d))) % 1000) / 1000.0 - 0.5)
+                .cast("float")
+                for d in range(16)
+            ]
+        ).alias("embedding"),
+    )
+    sig = lsh_table_signatures(vecs, "embedding", n_planes=16, n_tables=2)
+    hot = (
+        sig.groupBy("lsh_table", "lsh_bucket")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert hot <= 20, hot  # uniform expectation ~1; correlated planes gave 500+
+
+
+def test_lsh_signature_rejects_overlong_vectors(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.similarity import lsh_table_signatures
+
+    vecs = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(0.1)] * 70).alias("embedding"),
+    )
+    with pytest.raises(Exception, match="plane_dim"):
+        lsh_table_signatures(vecs, "embedding").select("lsh_bucket").collect()
