@@ -1,0 +1,62 @@
+"""Full-registry physical-plan audit: every declared query's plan is
+built (not executed) and checked for the scale anti-patterns — a
+CartesianProduct anywhere, or BroadcastNestedLoopJoin / SinglePartition
+outside the explicit allowlists.  This is the regression net behind the
+"no declared query would cross-product or single-thread at 100 TB"
+claim; the allowlists name the deliberate exceptions and why."""
+
+from __future__ import annotations
+
+import mbai_gdb_spark.queries_nba  # noqa: F401
+import mbai_gdb_spark.queries_north  # noqa: F401
+from mbai_gdb_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# Broadcast nested-loop joins that are the point of the query: a tiny
+# broadcast side scored against every corpus row.
+BNLJ_OK = {
+    "sim_cosine_top5",  # brute-force baseline: query batch broadcast
+    "sim_ivf_top5",  # stride centroids broadcast for assignment/probes
+    "emb_centroid_classify",  # k class centroids broadcast
+    "q22_dormant_capital",  # 1-row scalar subquery broadcast
+}
+
+# Single-partition exchanges that are scalar FINAL aggregates over
+# already-reduced inputs (the only shape where one partition is right).
+SINGLEPART_OK = {
+    "tpch_scalar_suite",
+    "q17_below_avg_quantity",
+    "q19_bracketed_revenue",
+    "q22_dormant_capital",
+    "mix_source_weights",  # normalizers fold over the #sources-row count table
+}
+
+
+def test_no_declared_query_plans_a_scale_antipattern(spark):
+    violations = []
+    for name, fn in QUERIES.items():
+        plan = (
+            fn(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            violations.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            violations.append((name, "BroadcastNestedLoopJoin"))
+        if "SinglePartition" in plan and name not in SINGLEPART_OK:
+            violations.append((name, "SinglePartition"))
+    assert not violations, violations
+
+
+def test_allowlists_stay_minimal(spark):
+    # If a query is rewritten so its exception disappears, the allowlist
+    # entry must be removed — stale allowlists hide real regressions.
+    for name in BNLJ_OK:
+        plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan, f"{name} no longer needs BNLJ_OK"
+    for name in SINGLEPART_OK:
+        plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" in plan, f"{name} no longer needs SINGLEPART_OK"
