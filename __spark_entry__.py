@@ -72,6 +72,7 @@ _DEFER_LAST = [
     "mix_source_weights",        # p^alpha domain mixture quotas
     "emb_class_centroids",       # order-free fixed-point class means
     "emb_centroid_classify",     # nearest-centroid label-noise probe
+    "text_clf_score",            # hashed linear model-as-data scoring
 ]
 
 

@@ -272,3 +272,62 @@ def pii_profile(
     out = df.select(*cols)
     n_total = sum(F.col(f"n_{name}") for name in PII_PATTERNS)
     return out.withColumn("n_pii_total", n_total.cast("long"))
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Model-as-data document scoring: the hashed-bag-of-words linear
+    classifier (the fastText-style quality-filter shape production
+    pipelines apply after heuristic gates).  ``weights`` is a DataFrame
+    (bucket long, w_micros long) — a TRAINED model shipped as a table,
+    broadcast-joined against the exploded token stream; swapping models
+    means swapping tables, no code change.
+
+    Weights are integer micro-units and the per-document accumulation is
+    an integer SUM — associative, so the score is bit-identical under
+    any partitioning (the fixed-point convention; a double-weight sum
+    would depend on merge order).  Output: (id, n_scored_tokens,
+    score_micros, score).
+
+    Scale shape: explode → hash-bucket (map-only) → broadcast join on
+    bucket (weights are KB-sized) → one count/sum shuffle on the doc id.
+    Documents with no tokens score NULL (left join keeps them)."""
+    from mbai_gdb_spark.ops.dedup import char_poly_id
+
+    toks = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok__"))
+        # split("") yields one empty-string token; an empty doc scores NULL
+        .filter(F.col("__tok__") != "")
+        .withColumn("__bkt__", char_poly_id("__tok__") % n_buckets)
+    )
+    scored = (
+        toks.join(F.broadcast(weights), toks["__bkt__"] == weights["bucket"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+            F.sum("w_micros").alias("score_micros"),
+        )
+    )
+    return docs.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_scored_tokens", F.lit(0)).cast("long").alias("n_scored_tokens"),
+        F.col("score_micros").cast("long").alias("score_micros"),
+        (F.col("score_micros").cast("double") / 1_000_000).alias("score"),
+    )
+
+
+def stub_classifier_weights(spark, n_buckets: int = 4096) -> DataFrame:
+    """Deterministic stand-in weight table (bucket, w_micros) in
+    [-0.5, 0.5) micro-units — the shape a trained export would ship;
+    the LCG is only a placeholder for real learned values."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * 2654435761 + 97) % 1_000_001) - 500_000)
+        .cast("long")
+        .alias("w_micros"),
+    )

@@ -1067,3 +1067,43 @@ def emb_centroid_classify(spark, sf_dir):
     return centroid_classify(
         _t(spark, sf_dir, "embeddings"), "label", "vec_id", "embedding"
     )
+
+
+@query(
+    "text_clf_score",
+    f"""
+    WITH {_sql_doc_tokens()},
+    weights AS (
+        SELECT b AS bucket, (b * 2654435761 + 97) % 1000001 - 500000 AS w_micros
+        FROM (SELECT unnest(generate_series(0, 4095)) AS b)
+    ),
+    bucketed AS (
+        SELECT i.doc_id, i.tok_id % 4096 AS bucket
+        FROM doc_tok_ids i JOIN toks t ON t.doc_id = i.doc_id AND t.pos = i.pos
+        WHERE t.tok <> ''
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_scored_tokens,
+               CAST(SUM(w.w_micros) AS BIGINT) AS score_micros
+        FROM bucketed t JOIN weights w USING (bucket)
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n_scored_tokens, 0) AS BIGINT) AS n_scored_tokens,
+           s.score_micros,
+           CAST(s.score_micros AS DOUBLE) / 1000000 AS score
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def text_clf_score(spark, sf_dir):
+    """Model-as-data quality scoring: hashed-bag-of-words linear
+    classifier (ops.text.hashed_linear_score) — weights ship as a
+    broadcast (bucket, w_micros) table, accumulation is an integer SUM
+    (order-free, bit-stable under any partitioning).  The stand-in
+    weight table is deterministic; a trained export drops in without
+    code change."""
+    from mbai_gdb_spark.ops.text import hashed_linear_score, stub_classifier_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, stub_classifier_weights(spark))

@@ -98,3 +98,49 @@ def test_mixture_weights_sum_to_one(spark):
     out = mixture_weights(docs, "source").collect()
     assert len(out) == 7
     assert math.isclose(sum(r["mix_weight"] for r in out), 1.0, rel_tol=1e-12)
+
+
+def test_hashed_linear_score_hand_computed(spark):
+    from mbai_gdb_spark.ops.text import hashed_linear_score
+
+    weights = spark.createDataFrame(
+        [(b, 1000 if b % 2 == 0 else -1000) for b in range(4096)],
+        "bucket long, w_micros long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb"), (2, ""), (3, "cc")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in hashed_linear_score(docs, weights).collect()}
+    # Each token contributes ±1000 micros by bucket parity; doc 1 has 3
+    # tokens so |score_micros| in {1000, 3000} and n_scored_tokens == 3.
+    assert rows[1]["n_scored_tokens"] == 3
+    assert abs(rows[1]["score_micros"]) in (1000, 3000)
+    assert rows[1]["score"] == rows[1]["score_micros"] / 1_000_000
+    assert rows[2]["n_scored_tokens"] == 0 and rows[2]["score"] is None
+    assert rows[3]["n_scored_tokens"] == 1
+
+
+def test_hashed_linear_score_partition_invariant(spark):
+    from mbai_gdb_spark.ops.text import hashed_linear_score, stub_classifier_weights
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{(i * 31 + k) % 997}" for k in range(40))) for i in range(60)],
+        "doc_id long, text string",
+    )
+    w = stub_classifier_weights(spark)
+    a = {r["doc_id"]: r["score_micros"]
+         for r in hashed_linear_score(docs.repartition(1), w).collect()}
+    b = {r["doc_id"]: r["score_micros"]
+         for r in hashed_linear_score(docs.repartition(11, "doc_id"), w).collect()}
+    assert a == b  # integer accumulation: exact equality
+
+
+def test_hashed_linear_score_broadcasts_weights(spark):
+    from mbai_gdb_spark.ops.text import hashed_linear_score, stub_classifier_weights
+
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = (
+        hashed_linear_score(docs, stub_classifier_weights(spark))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
