@@ -73,6 +73,8 @@ _DEFER_LAST = [
     "emb_class_centroids",       # order-free fixed-point class means
     "emb_centroid_classify",     # nearest-centroid label-noise probe
     "text_clf_score",            # hashed linear model-as-data scoring
+    "q3_unshipped_revenue",      # TPC-H Q3: filtered join + top-k
+    "q10_returned_revenue",      # TPC-H Q10: 4-way join + top-k
 ]
 
 
