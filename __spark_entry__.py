@@ -75,6 +75,7 @@ _DEFER_LAST = [
     "text_clf_score",            # hashed linear model-as-data scoring
     "q3_unshipped_revenue",      # TPC-H Q3: filtered join + top-k
     "q10_returned_revenue",      # TPC-H Q10: 4-way join + top-k
+    "funnel_view_click_purchase",  # ordered-funnel first-completion
 ]
 
 

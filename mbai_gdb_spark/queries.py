@@ -1739,3 +1739,47 @@ def q10_returned_revenue(spark, sf_dir):
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    v AS (
+        SELECT user_id, min(ts) AS first_view_ts
+        FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS first_click_ts
+        FROM ev e JOIN v ON v.user_id = e.user_id AND e.ts > v.first_view_ts
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS first_purchase_ts
+        FROM ev e JOIN c ON c.user_id = e.user_id AND e.ts > c.first_click_ts
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT u.user_id, v.first_view_ts, c.first_click_ts, p.first_purchase_ts,
+           CAST(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS steps_completed
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN v USING (user_id)
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+def funnel_view_click_purchase(spark, sf_dir):
+    """Ordered funnel over the event stream: per user, the first view,
+    the first click strictly after it, the first purchase strictly
+    after that, and how many steps completed
+    (ops.funnel.funnel_first_completion).  Each stage is a conditional
+    min on the user key; every join reuses that key's partitioning."""
+    from mbai_gdb_spark.ops.funnel import funnel_first_completion
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_first_completion(ev, ["view", "click", "purchase"])

@@ -179,3 +179,40 @@ def test_interval_overlap_join_matches_brute_force(spark):
                         if ls <= re and rs <= le:
                             want.add((lid, rid))
             assert got == want, (closed, w, len(got), len(want))
+
+
+def test_funnel_first_completion_ordering(spark):
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.funnel import funnel_first_completion
+
+    rows = [
+        # user 1: full funnel in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # user 2: click BEFORE the first view -> click step never fires
+        (2, 10, "click"), (2, 20, "view"), (2, 30, "purchase"),
+        # user 3: purchase before click -> stops at click
+        (3, 10, "view"), (3, 15, "purchase"), (3, 20, "click"),
+        # user 4: later click after an early ignored one still counts
+        (4, 10, "click"), (4, 20, "view"), (4, 25, "click"), (4, 30, "purchase"),
+        # user 5: only unrelated events
+        (5, 10, "error"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = {r["user_id"]: r for r in funnel_first_completion(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert out[1]["steps_completed"] == 3 and out[1]["first_purchase_ts"] == 30
+    assert out[2]["steps_completed"] == 1 and out[2]["first_click_ts"] is None
+    assert out[3]["steps_completed"] == 2 and out[3]["first_purchase_ts"] is None
+    assert out[4]["steps_completed"] == 3 and out[4]["first_click_ts"] == 25
+    assert out[5]["steps_completed"] == 0 and out[5]["first_view_ts"] is None
+    assert len(out) == 5  # every user appears, funnel-active or not
+
+
+def test_funnel_strict_ordering_excludes_ties(spark):
+    from mbai_gdb_spark.ops.funnel import funnel_first_completion
+
+    rows = [(1, 10, "view"), (1, 10, "click")]  # same instant: not "after"
+    ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = funnel_first_completion(ev, ["view", "click"]).collect()[0]
+    assert out["steps_completed"] == 1 and out["first_click_ts"] is None
