@@ -677,3 +677,156 @@ def nba_team_graph(spark, sf_dir):
         "state_name",
         F.count(F.lit(1)).over(w).alias("teams_in_state"),
     )
+
+
+# --- W2 / W6 / W9 direct driver rows (round 3) -----------------------------
+# The last SURVEY §2 rows without their own CORRECTNESS line.  W2 and W9
+# are fully SQL-expressible from the fixture play-by-play; W6 re-derives
+# the island/union/lead algebra in SQL from the pinned W11 kernel output
+# (pipeline/w11_gold.py), so only the procedural kernel is golden — the
+# W5/W6 window math is checked for real.
+
+
+@query(
+    "nba_period_chain",
+    f"""
+    WITH {_fixture_pbp_cte()},
+    markers AS (
+        SELECT period AS n, MIN(time) AS pstart, MAX(time) AS pend
+        FROM pbp WHERE action_type = 'period' GROUP BY period
+    )
+    SELECT game_id, period_id, next_period_id, gap_s FROM (
+        SELECT CAST({GAME_ID} AS BIGINT) AS game_id,
+               '{GAME_ID}_' || CAST(n AS VARCHAR) AS period_id,
+               LEAD('{GAME_ID}_' || CAST(n AS VARCHAR)) OVER w AS next_period_id,
+               CAST(LEAD(epoch_us(pstart)) OVER w - epoch_us(pend) AS DOUBLE) / 1e6
+                   AS gap_s
+        FROM markers WINDOW w AS (ORDER BY n)
+    ) WHERE next_period_id IS NOT NULL
+    """,
+)
+def nba_period_chain(spark, sf_dir):
+    """W2: period NEXT chain with inter-period wall-clock gaps (reference
+    MERGE_PERIODS next-edges, src/queries/game.py:42-50)."""
+    from mbai_gdb_spark.pipeline.periods import build_periods, period_next_chain
+
+    pbp, _ = _fixture(spark)
+    return period_next_chain(build_periods(pbp)).select(
+        "game_id", "period_id", "next_period_id", "gap_s"
+    )
+
+
+def _cross_period_oracle() -> str:
+    from mbai_gdb_spark.pipeline.w11_gold import _LINEUP_STINT_GOLD, values_cte
+
+    ls = values_cte(
+        "ls",
+        [
+            "game_id", "team_id", "period", "stint_id", "lineup_id",
+            "global_start", "global_end", "start_time", "end_time",
+            "clock_duration",
+        ],
+        _LINEUP_STINT_GOLD,
+    )
+    return f"""
+    WITH {ls},
+    lsx AS (
+        SELECT game_id, team_id, stint_id, lineup_id,
+               CAST(global_start AS DOUBLE) AS global_start,
+               CAST(global_end AS DOUBLE) AS global_end,
+               CAST(start_time AS TIMESTAMP) AS start_time,
+               CAST(end_time AS TIMESTAMP) AS end_time
+        FROM ls
+    ),
+    member AS (
+        SELECT game_id, CAST(p.v AS BIGINT) AS player_id,
+               global_start, global_end, start_time, end_time
+        FROM lsx, unnest(string_split(lineup_id, '_')) AS p(v)
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN lag(global_end) OVER w IS NULL
+                         OR global_start <> lag(global_end) OVER w
+                       THEN 1 ELSE 0 END AS newf
+        FROM member
+        WINDOW w AS (PARTITION BY game_id, player_id ORDER BY global_start)
+    ),
+    islands AS (
+        SELECT *, SUM(newf) OVER (PARTITION BY game_id, player_id
+                                  ORDER BY global_start
+                                  ROWS UNBOUNDED PRECEDING) AS island
+        FROM flagged
+    ),
+    pstints AS (
+        SELECT game_id,
+               'player_' || CAST(player_id AS VARCHAR) AS entity_id,
+               CAST(game_id AS VARCHAR) || '_' || CAST(player_id AS VARCHAR)
+                   || '_' || CAST(island AS VARCHAR) AS sid,
+               MIN(global_start) AS global_start, MAX(global_end) AS global_end,
+               MIN(start_time) AS start_time, MAX(end_time) AS end_time
+        FROM islands GROUP BY game_id, player_id, island
+    ),
+    lstints AS (
+        SELECT game_id,
+               'lineup_' || CAST(team_id AS VARCHAR) || '_' || lineup_id AS entity_id,
+               stint_id AS sid, global_start, global_end, start_time, end_time
+        FROM lsx
+    ),
+    unioned AS (SELECT * FROM lstints UNION ALL SELECT * FROM pstints)
+    SELECT game_id, entity_id, sid, next_sid, clock_since, time_since FROM (
+        SELECT game_id, entity_id, sid,
+               LEAD(sid) OVER w AS next_sid,
+               LEAD(global_start) OVER w - global_end AS clock_since,
+               CAST(LEAD(epoch_us(start_time)) OVER w - epoch_us(end_time)
+                    AS DOUBLE) / 1e6 AS time_since
+        FROM unioned
+        WINDOW w AS (PARTITION BY game_id, entity_id ORDER BY global_start)
+    ) WHERE next_sid IS NOT NULL
+    """
+
+
+@query("nba_cross_period_next", _cross_period_oracle())
+def nba_cross_period_next(spark, sf_dir):
+    """W6: game-wide NEXT chain over lineup AND player stints with
+    clock_since / time_since edge props (reference src/queries/
+    game.py:184-206).  Oracle re-runs the island+union+lead algebra in
+    SQL over the pinned kernel snapshot."""
+    from mbai_gdb_spark.pipeline.lineups import build_lineup_stints
+    from mbai_gdb_spark.pipeline.stints import (
+        build_player_stints,
+        cross_period_next_chain,
+    )
+
+    pbp, starters = _fixture(spark)
+    ls = build_lineup_stints(pbp, starters)
+    return cross_period_next_chain(ls, build_player_stints(ls)).select(
+        "game_id", "entity_id", "sid", "next_sid", "clock_since", "time_since"
+    )
+
+
+@query(
+    "nba_score_next_chain",
+    f"""
+    WITH {_fixture_pbp_cte()},
+    {_sql_actions_cte()},
+    scoring AS (
+        SELECT action_id AS score_action_id, global_clock
+        FROM actions WHERE points > 0
+    )
+    SELECT game_id, score_action_id, next_score_action_id FROM (
+        SELECT CAST({GAME_ID} AS BIGINT) AS game_id, score_action_id,
+               LEAD(score_action_id) OVER (ORDER BY global_clock, score_action_id)
+                   AS next_score_action_id
+        FROM scoring
+    ) WHERE next_score_action_id IS NOT NULL
+    """,
+)
+def nba_score_next_chain(spark, sf_dir):
+    """W9: NEXT edges over consecutive score states (reference
+    MERGE_SCORES next-chain, src/queries/game.py:732-740)."""
+    from mbai_gdb_spark.pipeline.actions import shape_actions
+    from mbai_gdb_spark.pipeline.scores import build_score_chain, score_next_chain
+
+    pbp, _ = _fixture(spark)
+    return score_next_chain(
+        build_score_chain(shape_actions(pbp), _home_df(spark))
+    ).select("game_id", "score_action_id", "next_score_action_id")
