@@ -1783,3 +1783,78 @@ def funnel_view_click_purchase(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return funnel_first_completion(ev, ["view", "click", "purchase"])
+
+
+# ---------------------------------------------------------------------------
+# Sink semantics (SURVEY §2: S7 MERGE-by-unique-id) — driver-visible oracle.
+
+
+@query(
+    "io_merge_idempotent",
+    """
+    WITH base AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    batch AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000 AS price_cents,
+               'R' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    after_insert AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT * FROM batch
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM base)
+    ),
+    upd AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 700 AS price_cents,
+               'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT o_orderkey, price_cents, o_orderstatus FROM upd
+    UNION ALL
+    SELECT o_orderkey, price_cents, o_orderstatus FROM after_insert
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+)
+def io_merge_idempotent(spark, sf_dir):
+    """S7 sink semantics end-to-end, driver-checked: ON-CREATE-keep-first
+    (``write_insert_if_absent``, replayed to prove idempotence — reference
+    MERGE ... ON CREATE SET, src/queries/game.py:21-25 / setup.py:1-34)
+    followed by a full upsert (``merge_upsert``, WHEN MATCHED UPDATE).
+    The oracle is the INSERT .. ON CONFLICT DO NOTHING / DO UPDATE
+    algebra over the same batches."""
+    import os
+    import shutil
+    import tempfile
+
+    from mbai_gdb_spark.io import merge_upsert, write_insert_if_absent
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = scaled_long(F.col("o_totalprice"), 100)
+    base = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", cents.alias("price_cents"), "o_orderstatus"
+    )
+    batch = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        (cents + F.lit(100000)).alias("price_cents"),
+        F.lit("R").alias("o_orderstatus"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        (cents + F.lit(700)).alias("price_cents"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    path = os.path.join(tempfile.gettempdir(), f"mbai_merge_sink_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    write_insert_if_absent(base, path, ["o_orderkey"], spark)
+    write_insert_if_absent(batch, path, ["o_orderkey"], spark)
+    write_insert_if_absent(batch, path, ["o_orderkey"], spark)  # replay: no-op
+    merge_upsert(upd, path, ["o_orderkey"], spark)
+    return spark.read.parquet(path).select(
+        "o_orderkey", "price_cents", "o_orderstatus"
+    )
