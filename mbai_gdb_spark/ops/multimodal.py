@@ -2,11 +2,15 @@
 
 Images/audio/video ride as ``binary`` columns with metadata structs;
 decode / feature-extraction / resize / frame-sampling run as Arrow-
-batched ``mapInPandas`` stages.  The actual media codecs are NOT
-available in this environment, so the decode kernels are STUBBED with a
-deterministic fake (documented below) behind the same Spark plumbing —
-schema, partitioning, batch shape, and UDF signature are real and
-tested; swapping the fake for PIL/ffmpeg is a one-function change.
+batched ``mapInPandas`` stages.  Image decode and resize are REAL and
+codec-free: PNG via stdlib zlib (IDAT inflate + per-row unfilter,
+filter types 0-4, palette expansion), uncompressed 24-bit BMP, and
+binary PPM/PGM; resize is nearest-neighbor numpy index math re-encoded
+through a minimal PNG writer.  JPEG/GIF pixel decode would need an
+entropy codec the container doesn't ship — their HEADERS are parsed
+(:func:`image_header_metadata`) and undecodable payloads flow through
+as NULLs, which is the behavior you want at 100 TB anyway (a corrupt
+payload must not kill the stage).
 
 Scale notes: mapInPandas streams record batches (no per-row Python), and
 binary payloads never shuffle unless the caller repartitions; metadata
@@ -66,15 +70,220 @@ def binary_metadata(
     return df.select(id_col, payload_col).mapInPandas(extract, BINARY_META_SCHEMA)
 
 
-def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Image decode stage — STUB.  The container ships no image codecs;
-    the real implementation decodes to (height, width, channels) +
-    feature vector via PIL inside the same mapInPandas pattern as
-    :func:`binary_metadata`."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; see binary_metadata "
-        "for the production mapInPandas pattern"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_decode(b: bytes):
+    """Codec-free PNG decode via stdlib zlib: chunk walk → IDAT inflate →
+    per-row unfilter (filter types 0-4 per the PNG spec), 8-bit depth,
+    non-interlaced; palette (color type 3) expanded to RGB.  Returns
+    (width, height, channels, raw_pixels) or None if unsupported."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != _PNG_SIG:
+        return None
+    pos, idat, palette, hdr = 8, [], None, None
+    while pos + 8 <= len(b):
+        ln, typ = struct.unpack(">I4s", b[pos : pos + 8])
+        data = b[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            palette = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None:
+        return None
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
+        return None
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    bpp = channels
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        base = y * (stride + 1)
+        ft = raw[base]
+        row = np.frombuffer(raw[base + 1 : base + 1 + stride], dtype=np.uint8).copy()
+        if ft == 1:  # Sub: left neighbor
+            for i in range(bpp, stride):
+                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        elif ft == 2:  # Up: row above (vectorized)
+            row = (row.astype(np.int16) + prev).astype(np.uint8)
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = int(row[i - bpp]) if i >= bpp else 0
+                row[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(row[i - bpp]) if i >= bpp else 0
+                bb = int(prev[i])
+                c = int(out[y - 1, i - bpp]) if (i >= bpp and y > 0) else 0
+                p = a + bb - c
+                pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                row[i] = (int(row[i]) + pred) & 0xFF
+        elif ft != 0:
+            return None
+        out[y] = row
+        prev = row
+    if ctype == 3:
+        if palette is None:
+            return None
+        pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+        out = pal[out.reshape(h, w)].reshape(h, w * 3)
+        channels = 3
+    return w, h, channels, out.tobytes()
+
+
+def _bmp_decode(b: bytes):
+    """Uncompressed 24-bit BITMAPINFOHEADER BMP: bottom-up padded rows,
+    BGR → RGB.  No codec required."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", b[10:14])[0]
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp, comp = struct.unpack("<HI", b[28:34])
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    flip = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    if len(b) < data_off + stride * h:
+        return None
+    rows = np.frombuffer(
+        b[data_off : data_off + stride * h], dtype=np.uint8
+    ).reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if flip:
+        rows = rows[::-1]
+    return w, h, 3, rows[:, :, ::-1].tobytes()
+
+
+def _ppm_decode(b: bytes):
+    """Binary PPM (P6) / PGM (P5), maxval 255 — plain-text header then
+    raw samples."""
+    if len(b) < 2 or b[:2] not in (b"P6", b"P5"):
+        return None
+    channels = 3 if b[:2] == b"P6" else 1
+    fields, pos = [], 2
+    while len(fields) < 3 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(b[start:pos])
+    if len(fields) < 3:
+        return None
+    w, h, maxval = (int(f) for f in fields)
+    pos += 1  # single whitespace after maxval
+    if maxval != 255 or len(b) < pos + w * h * channels:
+        return None
+    return w, h, channels, b[pos : pos + w * h * channels]
+
+
+def decode_payload_bytes(b: bytes):
+    """Dispatch on magic bytes → (format, width, height, channels,
+    raw row-major pixels) or None."""
+    for fmt, fn in (("png", _png_decode), ("bmp", _bmp_decode), ("ppm", _ppm_decode)):
+        out = fn(b)
+        if out is not None:
+            return (fmt, *out)
+    return None
+
+
+def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
+    """Minimal PNG encoder (filter 0 rows + zlib), the write half of
+    :func:`_png_decode` — lets resize re-emit a standard container
+    without any codec library."""
+    import struct
+    import zlib
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
     )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+DECODED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def decode_image(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image decode, no codec library: PNG (stdlib zlib inflate +
+    per-row unfilter), uncompressed 24-bit BMP, and binary PPM/PGM, as an
+    Arrow-batched mapInPandas stage.  Unsupported/corrupt payloads yield
+    NULL dimensions/pixels instead of failing the stage (at 100 TB some
+    payloads are always broken).  Output pixels are raw row-major bytes —
+    they feed :func:`byte_features` / :func:`resize_image` directly."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs, cs, px = [], [], [], [], []
+            for b in pdf[payload_col]:
+                out = decode_payload_bytes(bytes(b) if b is not None else b"")
+                if out is None:
+                    fmts.append(None), ws.append(None), hs.append(None)
+                    cs.append(None), px.append(None)
+                else:
+                    fmt, w, h, ch, pixels = out
+                    fmts.append(fmt), ws.append(w), hs.append(h)
+                    cs.append(ch), px.append(pixels)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "format": fmts,
+                    "width": pd.array(ws, dtype="Int64"),
+                    "height": pd.array(hs, dtype="Int64"),
+                    "channels": pd.array(cs, dtype="Int64"),
+                    "pixels": px,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(decode, DECODED_IMAGE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -231,14 +440,44 @@ def byte_features(
     return df.select(id_col, payload_col).mapInPandas(featurize, out_schema)
 
 
-def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Pixel resize stage — STUB (needs a codec to decode before
-    resampling).  The production version decodes via PIL inside the
-    :func:`binary_metadata` mapInPandas pattern, resizes, and re-encodes;
-    header parsing (:func:`image_header_metadata`), frame fan-out
-    (:func:`sample_frames`) and featurization (:func:`byte_features`)
-    around it are real."""
-    raise NotImplementedError(
-        "image codecs unavailable in this environment; the mapInPandas "
-        "plumbing around the decode step is implemented and tested"
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL resize: decode (:func:`decode_payload_bytes`) → nearest-
+    neighbor resample (pure numpy index math, deterministic) → re-encode
+    as PNG (:func:`encode_png`).  payload→payload, so stages compose:
+    ``resize_image(decode-able payloads)`` yields payloads that
+    :func:`decode_image` reads back at the new dimensions.  Undecodable
+    inputs map to NULL."""
+    import numpy as np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(payload_col, T.BinaryType()),
+        ]
     )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf[payload_col]:
+                dec = decode_payload_bytes(bytes(b) if b is not None else b"")
+                if dec is None:
+                    outs.append(None)
+                    continue
+                _fmt, w, h, ch, pixels = dec
+                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                resized = arr[ys][:, xs]
+                outs.append(encode_png(width, height, ch, resized.tobytes()))
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), payload_col: outs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(resample, out_schema)

@@ -1107,3 +1107,96 @@ def text_clf_score(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return hashed_linear_score(docs, stub_classifier_weights(spark))
+
+
+@query(
+    "mm_decode_image",
+    """
+    SELECT doc_id,
+           'png' AS format,
+           CAST(4 + doc_id % 13 AS BIGINT) AS width,
+           CAST(3 + doc_id % 7 AS BIGINT) AS height,
+           CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, (4 + doc_id % 13) * (3 + doc_id % 7)
+                                       * (1 + doc_id % 3) - 1),
+                    i -> (doc_id * 2654435761 + i * 97 + 13) % 256)),
+                (a, x) -> a + x) AS BIGINT) AS pixel_sum,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, (4 + doc_id % 13) * (3 + doc_id % 7)
+                                       * (1 + doc_id % 3) - 1),
+                    i -> (i + 1) * ((doc_id * 2654435761 + i * 97 + 13) % 256))),
+                (a, x) -> a + x) AS BIGINT) AS pixel_weighted_sum
+    FROM documents
+    """,
+)
+def mm_decode_image(spark, sf_dir):
+    """REAL codec-free image decode, driver-checked end-to-end: per doc,
+    deterministic LCG pixels (seeded by doc_id, dimensions varying per
+    doc) are encoded into a standard PNG container (zlib deflate, filter
+    0) and decoded back by ops.multimodal.decode_image (inflate +
+    unfilter).  The oracle recomputes the expected pixel stream and its
+    order-SENSITIVE weighted checksum in pure SQL — any byte the decoder
+    drops, permutes, or corrupts mismatches.  (The filter-1..4 unfilter
+    paths are covered by tests/test_multimodal_decode.py against an
+    independent forward-filter implementation.)"""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.ops.multimodal import decode_image, encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, ch = 4 + did % 13, 3 + did % 7, 1 + did % 3
+                n = w * h * ch
+                pix = (
+                    (did * 2654435761 + np.arange(n, dtype=np.int64) * 97 + 13) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_png(w, h, ch, pix.tobytes()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    sum_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("pixel_weighted_sum", T.LongType()),
+        ]
+    )
+
+    def checksum(batches):
+        for pdf in batches:
+            sums, wsums = [], []
+            for b in pdf["pixels"]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                sums.append(int(raw.sum()))
+                wsums.append(int((raw * (np.arange(raw.size) + 1)).sum()))
+            out = pdf[["doc_id", "format", "width", "height", "channels"]].copy()
+            out["pixel_sum"] = pd.Series(sums, dtype="int64", index=pdf.index)
+            out["pixel_weighted_sum"] = pd.Series(
+                wsums, dtype="int64", index=pdf.index
+            )
+            yield out
+
+    payloads = docs.mapInPandas(gen, gen_schema)
+    decoded = decode_image(payloads)
+    return decoded.mapInPandas(checksum, sum_schema)

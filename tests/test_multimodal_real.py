@@ -87,7 +87,14 @@ def test_byte_features_deterministic_and_ann_compatible(spark):
             assert abs(r.cosine_sim - 1.0) < 1e-9
 
 
-def test_resize_is_an_honest_stub(spark):
-    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
-    with pytest.raises(NotImplementedError):
-        resize_image(df, 64, 64)
+def test_resize_roundtrips_through_decode(spark):
+    """resize is no longer a stub: payload→payload, decodable output."""
+    from mbai_gdb_spark.ops.multimodal import decode_image, encode_png
+
+    pixels = bytes(range(2 * 2 * 3))  # 2x2 RGB
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_png(2, 2, 3, pixels)))], "doc_id long, payload binary"
+    )
+    out = decode_image(resize_image(df, 4, 4)).collect()[0]
+    assert (out.format, out.width, out.height, out.channels) == ("png", 4, 4, 3)
+    assert len(bytes(out.pixels)) == 4 * 4 * 3
