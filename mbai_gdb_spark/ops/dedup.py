@@ -224,9 +224,11 @@ def pairs_from_buckets(
     ``max_bucket_size`` caps the quadratic hazard: a (band, bucket)
     holding b docs emits O(b²) pairs, so one hot bucket (e.g. a
     boilerplate cluster) can dominate the whole job.  Buckets larger
-    than the cap are dropped from pair generation — the standard df-cut;
-    such clusters are exact-duplicate-shaped and belong to
-    ``exact_dedup`` / a dedicated sub-sharding pass, not the pair join.
+    than the cap are dropped from pair generation — the standard df-cut.
+    They are NOT lost: :func:`hot_bucket_clusters` /
+    :func:`hot_bucket_membership` surface them as linear-sized cluster
+    rows, which is where curation output for mega-clusters should come
+    from.
     """
     if max_bucket_size is not None:
         sizes = buckets.groupBy("band", "bucket").agg(
@@ -448,4 +450,55 @@ def dup_span_profile(
         (
             F.col("n_dup_shingles").cast("double") / F.col("n_shingles")
         ).alias("dup_shingle_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket cluster surfacing (the other half of the pair-cap tradeoff)
+# ---------------------------------------------------------------------------
+
+
+def hot_bucket_membership(
+    buckets: DataFrame, id_col: str = "doc_id", max_bucket_size: int = 50
+) -> DataFrame:
+    """Docs living in OVERSIZED (band, bucket) groups — the ones
+    :func:`pairs_from_buckets` excludes from the quadratic pair join.
+
+    One row per (doc, hot band-bucket): (id, band, bucket, cluster_rep,
+    member_count) with ``cluster_rep`` = the bucket's minimum id.  LINEAR
+    in corpus size (a count-groupBy plus an equi-join back) — a
+    boilerplate mega-cluster of b docs costs b rows here versus b² in
+    the pair join, which is exactly why curation output should come from
+    THIS frame for hot buckets while pairs cover the long tail."""
+    sizes = buckets.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("member_count"),
+        F.min(id_col).alias("cluster_rep"),
+    )
+    hot = sizes.filter(F.col("member_count") > max_bucket_size)
+    return buckets.join(hot, ["band", "bucket"]).select(
+        id_col, "band", "bucket", "cluster_rep", "member_count"
+    )
+
+
+def hot_bucket_clusters(
+    buckets: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int = 50,
+    sample_size: int = 8,
+) -> DataFrame:
+    """One CLUSTER row per oversized (band, bucket): representative id,
+    member count, and a bounded id sample — so mega-clusters are
+    FLAGGED with evidence instead of silently vanishing from the
+    near-dup report.  The sample is the ``sample_size`` smallest ids
+    (row_number window, sort-based and bounded-memory per bucket); the
+    arrays never exceed ``sample_size`` regardless of bucket size."""
+    member = hot_bucket_membership(buckets, id_col, max_bucket_size)
+    rn = F.row_number().over(
+        Window.partitionBy("band", "bucket").orderBy(id_col)
+    )
+    return (
+        member.withColumn("__rn__", rn)
+        .filter(F.col("__rn__") <= sample_size)
+        .groupBy("band", "bucket", "cluster_rep", "member_count")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("member_sample"))
     )

@@ -1200,3 +1200,78 @@ def mm_decode_image(spark, sf_dir):
     payloads = docs.mapInPandas(gen, gen_schema)
     decoded = decode_image(payloads)
     return decoded.mapInPandas(checksum, sum_schema)
+
+
+@query(
+    "dedup_lsh_hot_clusters",
+    f"""
+    WITH {_sql_doc_tokens()},
+    doc_set AS (SELECT DISTINCT doc_id, tok_id FROM doc_tok_ids),
+    sigs AS (
+        SELECT doc_id, h.i AS hash_idx,
+               min(((2 * h.i + 1) * tok_id + 7919 * h.i + 13) % 2147483647) AS minhash
+        FROM doc_set, UNNEST(generate_series(0, 15)) AS h(i)
+        GROUP BY doc_id, h.i
+    ),
+    buckets AS (
+        SELECT doc_id, hash_idx // 4 AS band,
+               string_agg(CAST(minhash AS VARCHAR), '_' ORDER BY hash_idx) AS bucket
+        FROM sigs GROUP BY doc_id, hash_idx // 4
+    ),
+    sizes AS (
+        SELECT band, bucket, COUNT(*) AS member_count, MIN(doc_id) AS cluster_rep
+        FROM buckets GROUP BY band, bucket
+    ),
+    hot AS (SELECT * FROM sizes WHERE member_count > 50),
+    member AS (
+        SELECT b.doc_id, b.band, b.bucket, h.cluster_rep, h.member_count
+        FROM buckets b JOIN hot h USING (band, bucket)
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY band, bucket
+                                     ORDER BY doc_id) AS rn
+        FROM member
+    )
+    SELECT band, bucket, cluster_rep, CAST(member_count AS BIGINT) AS member_count,
+           string_agg(CAST(doc_id AS VARCHAR), '_' ORDER BY doc_id) AS member_sample
+    FROM ranked WHERE rn <= 8
+    GROUP BY band, bucket, cluster_rep, member_count
+    """,
+)
+def dedup_lsh_hot_clusters(spark, sf_dir):
+    """The other half of the hot-bucket cap: (band, bucket) groups too
+    large for the near-dup pair join surface as CLUSTER rows —
+    representative id, member count, bounded id sample — so boilerplate
+    mega-clusters are flagged with evidence instead of silently dropped
+    (this corpus has a ~390-doc one in every band).  Linear in corpus
+    size; see ops.dedup.hot_bucket_clusters."""
+    from mbai_gdb_spark.ops.dedup import (
+        char_poly_id,
+        hot_bucket_clusters,
+        lsh_buckets_from_signature,
+        minhash_signature_array,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    with_sig = (
+        docs.select("doc_id", F.array_distinct(tokens("text")).alias("__toks__"))
+        .filter(F.size("__toks__") > 0)
+        .select(
+            "doc_id",
+            minhash_signature_array(
+                F.transform(F.col("__toks__"), lambda t: char_poly_id(t)),
+                n_hashes=16,
+            ).alias("signature"),
+        )
+    )
+    buckets = lsh_buckets_from_signature(with_sig, "doc_id", "signature", 4)
+    clusters = hot_bucket_clusters(buckets, "doc_id", max_bucket_size=50, sample_size=8)
+    return clusters.select(
+        "band",
+        "bucket",
+        "cluster_rep",
+        "member_count",
+        F.concat_ws(
+            "_", F.transform("member_sample", lambda x: x.cast("string"))
+        ).alias("member_sample"),
+    )
