@@ -50,3 +50,77 @@ def test_streaming_lineups_match_batch(spark, tmp_path):
         for r in lineup_change_events(pbp, starters).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_lineups_match_batch_20_games_out_of_order(spark, tmp_path):
+    """VERDICT r2 #7: streaming engine ≡ batch kernel at multi-game
+    scale.  20 fixture games drain through chunked micro-batches that
+    interleave games, with rows SHUFFLED within every file (intra-batch
+    disorder — the engine's per-batch sort must restore order) and a
+    watermark on event time; per-key period order across batches is the
+    documented feed contract.  Output must be identical to the batch
+    applyInPandas kernel on every column, including player arrays and
+    wall-clock stint starts."""
+    import random
+
+    from mbai_gdb_spark.pipeline.fixtures import PBP_DDL, STARTERS_DDL, make_game
+    from mbai_gdb_spark.streaming.lineup_engine import streaming_lineup_changes
+
+    games = [(5000 + i, 101 + 7 * i) for i in range(20)]  # (game_id, seed)
+    pbp_rows, starter_rows = [], []
+    for gid, seed in games:
+        p, s = make_game(game_id=gid, home_team=10, away_team=20,
+                         n_ot=gid % 3 == 0, seed=seed)
+        pbp_rows += p
+        starter_rows += s
+    pbp = spark.createDataFrame(pbp_rows, PBP_DDL)
+    starters = spark.createDataFrame(starter_rows, STARTERS_DDL)
+    kin = kernel_input(pbp, starters).cache()
+
+    # Chunked delivery: per period, 3 files by game_id % 3, games thereby
+    # interleaved across triggers; rows shuffled inside each file.
+    src = str(tmp_path / "feed20")
+    periods = sorted(r.period for r in kin.select("period").distinct().collect())
+    rng = random.Random(13)
+    for p in periods:
+        chunks = [0, 1, 2]
+        rng.shuffle(chunks)
+        for c in chunks:
+            part = kin.filter(
+                (F.col("period") == p) & (F.col("game_id") % 3 == c)
+            ).orderBy(F.rand(seed=p * 10 + c))
+            part.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # period groups strictly ordered by mtime
+
+    stream = (
+        spark.readStream.schema(kin.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .withWatermark("time", "10 minutes")
+    )
+    q = (
+        streaming_lineup_changes(stream)
+        .writeStream.format("memory")
+        .queryName("lineup_sink_20")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def keyed(rows):
+        return {
+            (r.game_id, r.team_id, r.period, r.stint_seq): (
+                r.lineup_id,
+                tuple(r.player_ids),
+                r.local_start,
+                r.start_time,
+            )
+            for r in rows
+        }
+
+    streamed = keyed(spark.table("lineup_sink_20").collect())
+    batch = keyed(lineup_change_events(pbp, starters).collect())
+    assert len(streamed) == len(batch)
+    assert streamed == batch
+    assert len({k[0] for k in streamed}) == 20  # every game produced stints
