@@ -42,3 +42,79 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Plan-level evidence (VERDICT r2 #8): a deliberately skewed join
+    key must engage AQE's skew-join splitting — the FINAL adaptive plan
+    shows SortMergeJoin(skew=true) over a skewed AQEShuffleRead — not
+    merely produce correct results.  Mirrors the conf set session.tune
+    applies at scale; thresholds are lowered here so local[*] data sizes
+    qualify as skewed."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "128KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # key 0 carries 400k incompressible rows; 199 tail keys are tiny.
+        fact = spark.range(0, 400000).select(
+            F.lit(0).alias("k"), (F.xxhash64("id") % 1000000).alias("payload")
+        ).unionAll(
+            spark.range(0, 20000).select(
+                (F.col("id") % 199 + 1).alias("k"),
+                (F.xxhash64("id", "id") % 1000000).alias("payload"),
+            )
+        )
+        dim = spark.range(0, 200).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("val")
+        )
+        # Aggregate over BOTH sides' payloads so pruning can't shrink the
+        # hot partition below the skew threshold.
+        agg = fact.join(dim, "k").groupBy().agg(
+            F.sum("payload").alias("sp"), F.sum("val").alias("sv")
+        )
+        [row] = agg.collect()
+        assert row.sp is not None
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_plan_partitions_on_salt(spark):
+    """The explicit-salt fallback really changes the physical join keys:
+    the exchange partitions on (k, __salt__), so the hot key's rows
+    spread across n_salts partitions."""
+    skewed = spark.createDataFrame(
+        [(1, i) for i in range(2000)] + [(k, 0) for k in range(2, 10)],
+        "k long, payload long",
+    )
+    dim = spark.createDataFrame([(k, f"v{k}") for k in range(1, 10)], "k long, val string")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(skewed, dim, ["k"], n_salts=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__salt__" in plan
+        assert "hashpartitioning(k" in plan and "__salt__" in plan.split(
+            "hashpartitioning", 2
+        )[1]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
