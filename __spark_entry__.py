@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 import mbai_gdb_spark.queries_nba  # noqa: F401  (registers NBA-domain parity queries)
 import mbai_gdb_spark.queries_north  # noqa: F401  (registers north-star queries)
+import mbai_gdb_spark.queries_tpch  # noqa: F401  (registers TPC-H completion queries)
 from mbai_gdb_spark.queries import ORACLES, QUERIES
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from mbai_gdb_spark.queries import (
     _t,
+    epoch_us,
     money_sum,
     query,
     scaled_long,
@@ -295,7 +296,7 @@ def q11_important_parts(spark, sf_dir):
     "q12_late_shipment_priority",
     """
     SELECT CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
-                     > 60 * 86400 * 1000000 THEN 'LATE' ELSE 'ONTIME' END
+                     > CAST(5184000000000 AS BIGINT) THEN 'LATE' ELSE 'ONTIME' END
                AS ship_bucket,
            SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 1 ELSE 0 END) AS high_line_count,
@@ -319,9 +320,7 @@ def q12_late_shipment_priority(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     o = _t(spark, sf_dir, "orders")
-    delay_us = F.unix_micros(F.col("l_shipdate")) - F.unix_micros(
-        F.col("o_orderdate")
-    )
+    delay_us = epoch_us("l_shipdate") - epoch_us("o_orderdate")
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
