@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import mbai_gdb_spark.queries_nba  # noqa: F401
 import mbai_gdb_spark.queries_north  # noqa: F401
+import mbai_gdb_spark.queries_tpch  # noqa: F401
 from mbai_gdb_spark.queries import QUERIES
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -20,6 +21,7 @@ BNLJ_OK = {
     "sim_ivf_top5",  # stride centroids broadcast for assignment/probes
     "emb_centroid_classify",  # k class centroids broadcast
     "q22_dormant_capital",  # 1-row scalar subquery broadcast
+    "q11_important_parts",  # 1-row grand-total broadcast for the value cut
 }
 
 # Single-partition exchanges that are scalar FINAL aggregates over
@@ -30,6 +32,8 @@ SINGLEPART_OK = {
     "q19_bracketed_revenue",
     "q22_dormant_capital",
     "mix_source_weights",  # normalizers fold over the #sources-row count table
+    "q11_important_parts",  # grand-total scalar over per-part partials
+    "q15_top_supplier",  # scalar MAX over the per-supplier revenue table
 }
 
 
