@@ -208,3 +208,40 @@ def test_decoded_pixels_feed_feature_extractor(spark):
     decoded = decode_image(df).select("doc_id", "pixels")
     feats = byte_features(decoded, dim=16, payload_col="pixels").collect()
     assert len(feats) == 1 and len(feats[0].embedding) == 16
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        ch=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def test_png_roundtrip_property(w, h, ch, seed):
+        """decode(encode(x)) == x for arbitrary small images."""
+        rng = np.random.default_rng(seed)
+        pixels = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+        got = _png_decode(encode_png(w, h, ch, pixels))
+        assert got == (w, h, ch, pixels)
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(2, 10),
+        h=st.integers(2, 10),
+        seed=st.integers(0, 2**31 - 1),
+        filters=st.lists(st.integers(0, 4), min_size=10, max_size=10),
+    )
+    def test_png_unfilter_property(w, h, seed, filters):
+        """Unfilter inverts an arbitrary per-row filter assignment
+        produced by the independent forward-filter implementation."""
+        rng = np.random.default_rng(seed)
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        blob = _png_with_filters(pixels, filters[:h])
+        assert _png_decode(blob)[3] == pixels.tobytes()
+
+except ImportError:  # hypothesis is in the container, but stay import-safe
+    pass
