@@ -197,9 +197,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_freq=50)
 
 
-def _minhash_bucket_pairs(docs):
+def _minhash_bucket_pairs(docs, return_buckets: bool = False):
     """Shared Spark path for the minhash queries: map-only array
-    signatures → per-band buckets → capped pair join (one shuffle)."""
+    signatures → per-band buckets → capped pair join (one shuffle).
+    ``return_buckets`` also hands back the (id, band, bucket) frame so
+    callers can route hot buckets through the cluster surface."""
     from mbai_gdb_spark.ops.dedup import (
         char_poly_id,
         lsh_buckets_from_signature,
@@ -219,7 +221,8 @@ def _minhash_bucket_pairs(docs):
         )
     )
     buckets = lsh_buckets_from_signature(with_sig, "doc_id", "signature", 4)
-    return pairs_from_buckets(buckets, "doc_id", max_bucket_size=50)
+    pairs = pairs_from_buckets(buckets, "doc_id", max_bucket_size=50)
+    return (pairs, buckets) if return_buckets else pairs
 
 
 def _sql_minhash_pair_ctes() -> str:
@@ -824,8 +827,18 @@ def text_top_ngrams(spark, sf_dir):
         FROM walk w JOIN edges e ON e.src = w.id
         WHERE w.lbl < e.dst
     ),
+    hot_drop AS (
+        SELECT DISTINCT b.doc_id
+        FROM buckets b
+        JOIN (SELECT band, bucket, MIN(doc_id) AS rep
+              FROM buckets GROUP BY band, bucket HAVING COUNT(*) > 50) h
+          USING (band, bucket)
+        WHERE b.doc_id <> h.rep
+    ),
     drop_set AS (
         SELECT id AS doc_id FROM walk GROUP BY id HAVING id <> MIN(lbl)
+        UNION
+        SELECT doc_id FROM hot_drop
     ),
     stats AS (
         SELECT doc_id, lang, source, tk,
@@ -855,17 +868,28 @@ def text_top_ngrams(spark, sf_dir):
 def curate_corpus(spark, sf_dir):
     """End-to-end corpus curation — the composition every stage of the
     training-data story feeds: MinHash-LSH near-dup clusters drop
-    non-canonical members, length + repetition gates drop junk, and a
-    deterministic stratified hash-sample rebalances the language mix
-    (Horvitz-Thompson weights kept for unbiased downstream stats).
-    Every stage is one of the already-oracle-checked operators; the
-    composition itself is re-checked end-to-end against DuckDB."""
-    from mbai_gdb_spark.ops.dedup import dedup_clusters
+    non-canonical members, hot-bucket MEGA-clusters (excluded from the
+    quadratic pair join by the bucket-size cap) drop everything but the
+    bucket representative — this corpus carries a ~390-doc boilerplate
+    cluster that pair-based dedup alone would wave through — then
+    length + repetition gates drop junk, and a deterministic stratified
+    hash-sample rebalances the language mix (Horvitz-Thompson weights
+    kept for unbiased downstream stats).  Every stage is one of the
+    already-oracle-checked operators; the composition itself is
+    re-checked end-to-end against DuckDB."""
+    from mbai_gdb_spark.ops.dedup import dedup_clusters, hot_bucket_membership
     from mbai_gdb_spark.ops.sampling import stratified_hash_sample
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = _minhash_bucket_pairs(docs)
-    drop = dedup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
+    pairs, buckets = _minhash_bucket_pairs(docs, return_buckets=True)
+    pair_drop = dedup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
+    hot_drop = (
+        hot_bucket_membership(buckets, "doc_id", max_bucket_size=50)
+        .filter(F.col("doc_id") != F.col("cluster_rep"))
+        .select("doc_id")
+        .distinct()
+    )
+    drop = pair_drop.unionByName(hot_drop).distinct()
 
     tk = tokens("text")
     nt = F.size(tk)
