@@ -94,7 +94,9 @@ _HEAD_R3 = [
     "q7_nation_trade_volume",
     "w12_hourly_time_buckets",
     "a12_pivot_event_counts",
-    "q18_large_orders",
+    # new in round 3 after the head was sized; q18_large_orders already
+    # has its r01 row, so the audio-decode row takes its slot
+    "mm_decode_audio",
 ]
 
 

@@ -1299,3 +1299,84 @@ def dedup_lsh_hot_clusters(spark, sf_dir):
             "_", F.transform("member_sample", lambda x: x.cast("string"))
         ).alias("member_sample"),
     )
+
+
+@query(
+    "mm_decode_audio",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+               CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+               CAST(32 + doc_id % 65 AS BIGINT) AS n_frames,
+               list_transform(
+                   generate_series(0, (32 + doc_id % 65) * (1 + doc_id % 2) - 1),
+                   i -> ((doc_id * 2654435761 + i * 97 + 13) % 65536) - 32768
+               ) AS s
+        FROM documents
+    )
+    SELECT doc_id, sample_rate, channels, n_frames,
+           CAST(list_reduce(list_prepend(0, s), (a, x) -> a + x) AS BIGINT)
+               AS sample_sum,
+           CAST(list_reduce(list_prepend(0, list_transform(s, x -> abs(x))),
+                (a, x) -> a + x) AS BIGINT) AS sample_abs_sum,
+           CAST(list_aggregate(s, 'min') AS BIGINT) AS sample_min,
+           CAST(list_aggregate(s, 'max') AS BIGINT) AS sample_max,
+           CAST(list_reduce(list_prepend(0,
+                list_transform(generate_series(1, len(s)), i -> i * s[i])),
+                (a, x) -> a + x) AS BIGINT) AS weighted_sum
+    FROM g
+    """,
+)
+def mm_decode_audio(spark, sf_dir):
+    """REAL codec-free audio decode, driver-checked end-to-end (the
+    audio twin of mm_decode_image): per doc, deterministic LCG PCM16
+    samples are wrapped in a standard RIFF/WAVE container
+    (ops.multimodal.encode_wav) and decoded back by decode_audio (chunk
+    walk, fmt/data parse, frame accounting), then reduced to
+    integer-exact sample statistics the oracle recomputes in pure SQL —
+    including an order-SENSITIVE weighted sum, so any dropped, permuted,
+    or sign-mangled sample mismatches."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.ops.multimodal import (
+        audio_stats,
+        decode_audio,
+        encode_wav,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 4) * 4000
+                channels = 1 + did % 2
+                n = (32 + did % 65) * channels
+                s = (
+                    (did * 2654435761 + np.arange(n, dtype=np.int64) * 97 + 13)
+                    % 65536
+                    - 32768
+                ).astype("<i2")
+                payloads.append(encode_wav(rate, channels, s.tobytes()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    decoded = decode_audio(docs.mapInPandas(gen, gen_schema))
+    stats = audio_stats(decoded)
+    return decoded.select("doc_id", "sample_rate", "channels", "n_frames").join(
+        stats, "doc_id"
+    )
