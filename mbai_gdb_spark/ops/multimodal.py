@@ -118,9 +118,9 @@ def _png_decode(b: bytes):
         base = y * (stride + 1)
         ft = raw[base]
         row = np.frombuffer(raw[base + 1 : base + 1 + stride], dtype=np.uint8).copy()
-        if ft == 1:  # Sub: left neighbor
-            for i in range(bpp, stride):
-                row[i] = (int(row[i]) + int(row[i - bpp])) & 0xFF
+        if ft == 1:  # Sub: left neighbor — per-lane prefix sum mod 256
+            lanes = row.reshape(-1, bpp).astype(np.int64)
+            row = (lanes.cumsum(axis=0) & 0xFF).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up: row above (vectorized)
             row = (row.astype(np.int16) + prev).astype(np.uint8)
         elif ft == 3:  # Average

@@ -245,3 +245,36 @@ try:
 
 except ImportError:  # hypothesis is in the container, but stay import-safe
     pass
+
+
+def test_decode_image_works_under_structured_streaming(spark, tmp_path):
+    """The decode stage is a plain mapInPandas, so it must run unchanged
+    over a readStream relation — streaming multimodal ingestion."""
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, size=(3 + i % 3, 4, 3), dtype=np.uint8)
+        rows.append((i, bytearray(encode_png(4, 3 + i % 3, 3, px.tobytes()))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    src = str(tmp_path / "payloads")
+    df.coalesce(2).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        decode_image(stream)
+        .writeStream.format("memory")
+        .queryName("decoded_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r.doc_id: (r.format, r.width, r.height, bytes(r.pixels))
+        for r in spark.table("decoded_stream").collect()
+    }
+    batch = {
+        r.doc_id: (r.format, r.width, r.height, bytes(r.pixels))
+        for r in decode_image(df).collect()
+    }
+    assert streamed == batch and len(streamed) == 12
