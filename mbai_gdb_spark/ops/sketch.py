@@ -94,3 +94,61 @@ def kmv_distinct(
     return merged.select(
         *group_cols, "n_distinct_hashed", est.alias("kmv_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def cms_hash(col: Column, row: Column | int, width: int) -> Column:
+    """Bucket of ``col`` in sketch row ``row``: the same SQL-expressible
+    LCG family as the MinHash permutations, reduced mod width."""
+    r = F.lit(row) if isinstance(row, int) else row
+    inner = ((col.cast("long") % MERSENNE31) * (2 * r + 1) * 48271 + 7919 * r + 13) % MERSENNE31
+    return inner % F.lit(width)
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Build a (depth × width) count-min table over ``value_col``
+    occurrences: one explode to depth rows per observation, one groupBy
+    (row, bucket).  The table has at most depth*width rows regardless of
+    input size — THE mergeable-frequency shape for 100 TB streams (union
+    two sketches by summing matching cells).  Like KMV, the hash family
+    is plain integer SQL, so an external engine can rebuild the exact
+    same table."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("sk_row")
+    return (
+        df.select(F.col(value_col).alias("__v__"), rows)
+        .select("sk_row", cms_hash(F.col("__v__"), F.col("sk_row"), width).alias("bucket"))
+        .groupBy("sk_row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates: min over the depth rows of the queried
+    cells (classic CMS guarantee: estimate ≥ true count, with the excess
+    bounded by collisions).  The query side explodes to depth probes and
+    equi-joins the sketch — the sketch side is tiny (≤ depth*width) and
+    broadcasts."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("sk_row")
+    probes = queries.select(
+        F.col(value_col), rows
+    ).withColumn("bucket", cms_hash(F.col(value_col), F.col("sk_row"), width))
+    return (
+        probes.join(F.broadcast(sketch), ["sk_row", "bucket"], "left")
+        .groupBy(value_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
+    )

@@ -1380,3 +1380,63 @@ def mm_decode_audio(spark, sf_dir):
     return decoded.select("doc_id", "sample_rate", "channels", "n_frames").join(
         stats, "doc_id"
     )
+
+
+@query(
+    "sketch_cms_token_freq",
+    f"""
+    WITH {_sql_doc_tokens()},
+    obs AS (SELECT tok_id FROM doc_tok_ids),
+    cells AS (
+        SELECT r.i AS sk_row,
+               ((tok_id % 2147483647) * (2 * r.i + 1) * 48271
+                + 7919 * r.i + 13) % 2147483647 % 512 AS bucket,
+               COUNT(*) AS cnt
+        FROM obs, UNNEST(generate_series(0, 3)) AS r(i)
+        GROUP BY 1, 2
+    ),
+    true_counts AS (SELECT tok_id, COUNT(*) AS true_count FROM obs GROUP BY tok_id),
+    top AS (
+        SELECT tok_id, true_count FROM (
+            SELECT *, ROW_NUMBER() OVER (ORDER BY true_count DESC, tok_id) AS rn
+            FROM true_counts
+        ) WHERE rn <= 10
+    ),
+    probes AS (
+        SELECT t.tok_id, t.true_count, r.i AS sk_row,
+               ((t.tok_id % 2147483647) * (2 * r.i + 1) * 48271
+                + 7919 * r.i + 13) % 2147483647 % 512 AS bucket
+        FROM top t, UNNEST(generate_series(0, 3)) AS r(i)
+    )
+    SELECT p.tok_id, CAST(p.true_count AS BIGINT) AS true_count,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cms_count
+    FROM probes p LEFT JOIN cells c USING (sk_row, bucket)
+    GROUP BY p.tok_id, p.true_count
+    """,
+)
+def sketch_cms_token_freq(spark, sf_dir):
+    """Count-min sketch frequency estimation (the mergeable-frequency
+    twin of the KMV distinct sketch): a 4×512 counter table over every
+    token OCCURRENCE in the corpus — bounded size whatever the input —
+    probed for the 10 most frequent tokens.  CMS guarantees
+    cms_count >= true_count; with this corpus's vocabulary the table is
+    collision-light so the driver row also demonstrates tightness.
+    Hash family is plain integer SQL (ops.sketch.cms_hash), so the
+    oracle rebuilds the identical table."""
+    from mbai_gdb_spark.ops.sketch import cms_estimate, count_min_sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    obs = char_poly_token_ids(toks, "token").select("tok_id")
+
+    sketch = count_min_sketch(obs, "tok_id", depth=4, width=512)
+    true_counts = obs.groupBy("tok_id").agg(F.count(F.lit(1)).alias("true_count"))
+    # top-k via orderBy+limit → TakeOrderedAndProject (k-bounded per
+    # partition then merged), never a global single-partition window
+    top = true_counts.orderBy(F.col("true_count").desc(), "tok_id").limit(10)
+    est = cms_estimate(sketch, top.select("tok_id"), "tok_id", depth=4, width=512)
+    return top.join(est, "tok_id").select(
+        "tok_id",
+        "true_count",
+        F.col("cms_count").cast("long").alias("cms_count"),
+    )
