@@ -44,6 +44,11 @@ HEADLINE = [
     "mix_source_weights",
     # Embedding-quality eval: fixed-point centroids + nearest-centroid
     "emb_centroid_classify",
+    # Round-3 additions: real media decode, end-to-end curation, sinks
+    "mm_decode_image",
+    "mm_decode_audio",
+    "curate_corpus",
+    "io_merge_idempotent",
 ]
 
 
