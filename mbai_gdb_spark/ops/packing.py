@@ -76,6 +76,11 @@ def pack_next_fit(
         F.col(weight_col).cast("long"),
         (F.col(id_col) % n_shards).cast("long").alias("shard"),
     )
+    # Explicit repartition pins one task per shard: AQE's coalescing
+    # sizes partitions by shuffle bytes and would happily merge every
+    # (tiny) shard into one partition, serializing the Python packer —
+    # the same pathology fixed for the W11 kernel (pipeline/lineups.py).
+    staged = staged.repartition(n_shards, "shard")
     return staged.groupBy("shard").applyInPandas(_pack, out_schema)
 
 
