@@ -50,3 +50,20 @@ def test_window_pipeline_single_shuffle(spark):
 def test_topk_avoids_global_sort(spark):
     plan = _plan(spark, "o3_top10_customers_by_revenue")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_w11_kernel_fanout_is_pinned_against_aqe_coalescing(spark):
+    """The kernel's input exchange must be a user-specified repartition
+    (REPARTITION_BY_NUM) on the group keys: AQE sizes partitions by
+    shuffle bytes and is blind to Python compute cost, so an
+    ENSURE_REQUIREMENTS exchange here gets coalesced to ~1 partition
+    and the ~12 ms/group kernel runs serially (measured 42.6 s vs 5.5 s
+    at 2000 games).  Locks the fix in pipeline/lineups.py."""
+    from mbai_gdb_spark.pipeline.fixtures import fixture_frames
+    from mbai_gdb_spark.pipeline.lineups import lineup_change_events
+
+    pbp, st = fixture_frames(spark, game_id=1001, home_team=10, away_team=20, n_ot=0)
+    ev = lineup_change_events(pbp, st)
+    ev.write.format("noop").mode("overwrite").save()
+    plan = ev._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in plan, plan
