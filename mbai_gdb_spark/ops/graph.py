@@ -207,3 +207,50 @@ def bfs(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def pagerank_integer(
+    vertices: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 10,
+    scale: int = 1_000_000_000,
+    reset_pct: int = 15,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank in SCALED INTEGER arithmetic: ranks are
+    longs in units of 1/scale, shares are integer divisions, damping is
+    ``(100-reset_pct) * inflow div 100``.  Every operation is an
+    order-independent integer sum or a floor division, so the result is
+    bit-identical across engines and partitionings — unlike float
+    PageRank, it can sit behind a value-hash oracle.  Inner-join
+    dynamics: nodes that receive no messages drop out (dangling mass
+    evaporates rather than redistributing) — deterministic and mirrored
+    exactly by the recursive-SQL formulation."""
+    v = vertices.select(id_col).distinct()
+    e = edges.select(src_col, dst_col).distinct().localCheckpoint(eager=True)
+    deg = e.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg__"))
+    ranks = v.select(F.col(id_col), F.lit(scale).cast("long").alias("rank"))
+    base = reset_pct * scale // 100
+    for i in range(n_iter):
+        contrib = ranks.join(deg, ranks[id_col] == deg[src_col]).select(
+            F.col(src_col).alias("__vid__"),
+            F.expr("rank div __deg__").alias("__share__"),
+        )
+        msgs = (
+            e.join(contrib, e[src_col] == F.col("__vid__"))
+            .groupBy(dst_col)
+            .agg(F.sum("__share__").alias("__in__"))
+        )
+        ranks = msgs.select(
+            F.col(dst_col).alias(id_col),
+            (
+                F.lit(base)
+                + F.expr(f"({100 - reset_pct} * __in__) div 100")
+            ).cast("long").alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

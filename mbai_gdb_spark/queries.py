@@ -1858,3 +1858,58 @@ def io_merge_idempotent(spark, sf_dir):
     return spark.read.parquet(path).select(
         "o_orderkey", "price_cents", "o_orderstatus"
     )
+
+
+@query(
+    "graph_pagerank_trade",
+    """
+    WITH RECURSIVE trade_edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM trade_edges GROUP BY src),
+    pr(iter, id, rank) AS (
+        SELECT 0, n_nationkey, CAST(1000000000 AS BIGINT) FROM nation
+        UNION ALL
+        SELECT pr.iter + 1, e.dst,
+               CAST(150000000 + (85 * SUM(pr.rank // d.d)) // 100 AS BIGINT)
+        FROM pr
+        JOIN trade_edges e ON e.src = pr.id
+        JOIN deg d ON d.src = pr.id
+        WHERE pr.iter < 10
+        GROUP BY pr.iter, e.dst
+    )
+    SELECT id AS nation_key, rank AS pagerank_scaled
+    FROM pr WHERE iter = 10
+    """,
+)
+def graph_pagerank_trade(spark, sf_dir):
+    """Iterative PageRank with a FULL value-hash oracle — possible
+    because ops.graph.pagerank_integer runs in scaled-integer
+    arithmetic (order-independent sums, floor divisions), so ten
+    DataFrame iterations and a ten-level recursive CTE produce
+    bit-identical longs.  Upgrades PageRank from tests-only to a
+    driver-checked row (BFS got its row in round 2; float PageRank
+    remains in ops.graph for production use)."""
+    from mbai_gdb_spark.ops.graph import pagerank_integer
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst"))
+        .distinct()
+    )
+    vertices = n.select(F.col("n_nationkey").alias("id"))
+    out = pagerank_integer(vertices, edges, n_iter=10)
+    return out.select(
+        F.col("id").alias("nation_key"), F.col("rank").alias("pagerank_scaled")
+    )
