@@ -124,3 +124,82 @@ def streaming_lineup_changes(kernel_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def kernel_input_from_payload_stream(
+    payloads: DataFrame, game_teams: DataFrame
+) -> DataFrame:
+    """Live-feed wiring: a landing zone of RAW REST payload documents
+    (live play-by-play docs AND boxscore snapshots mixed in one stream,
+    as a poller would write them) decoded into the kernel-input
+    relation STATELESSLY, so the stateful lineup engine is the only
+    stateful operator in the query.
+
+    - substitutions / period markers: ``sources.api_snapshot.
+      read_pbp_snapshot`` (from_json + explode, stateless).  Period
+      rows use the 'start' marker directly instead of the batch path's
+      min() aggregation (identical value: start < end), fanned out per
+      team via a STREAM-STATIC join with ``game_teams``
+      (game_id, team_id) — a static dimension the consumer knows from
+      the schedule.
+    - starters: ``read_boxscore_snapshot`` over the same payload
+      stream (boxscore documents simply don't match the pbp schema and
+      vice versa — from_json yields NULLs, filtered out per branch).
+    """
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.pipeline.periods import (
+        clock_seconds_remaining,
+        period_len,
+    )
+    from mbai_gdb_spark.sources.api_snapshot import (
+        read_boxscore_snapshot,
+        read_pbp_snapshot,
+    )
+
+    pbp = read_pbp_snapshot(payloads).filter(F.col("action_id").isNotNull())
+    plen = period_len(F.col("period"))
+    subs = pbp.filter(F.col("actionType") == "substitution").select(
+        "game_id",
+        F.col("teamId").alias("team_id"),
+        "period",
+        F.col("action_id"),
+        (plen - clock_seconds_remaining(F.col("clock"))).alias("elapsed"),
+        F.col("subType").alias("sub_type"),
+        F.col("personId").alias("player_id"),
+        F.col("timeActual").alias("time"),
+        F.lit("sub").alias("kind"),
+    )
+    period_rows = (
+        pbp.filter(
+            (F.col("actionType") == "period") & (F.col("subType") == "start")
+        )
+        .join(F.broadcast(game_teams), "game_id")
+        .select(
+            "game_id",
+            "team_id",
+            "period",
+            F.lit(None).cast("long").alias("action_id"),
+            F.lit(None).cast("double").alias("elapsed"),
+            F.lit(None).cast("string").alias("sub_type"),
+            F.lit(None).cast("long").alias("player_id"),
+            F.col("timeActual").alias("time"),
+            F.lit("period").alias("kind"),
+        )
+    )
+    starter_rows = (
+        read_boxscore_snapshot(payloads)
+        .filter(F.col("START_POSITION") != "")
+        .select(
+            "game_id",
+            F.col("TEAM_ID").alias("team_id"),
+            F.lit(1).cast("int").alias("period"),
+            F.lit(None).cast("long").alias("action_id"),
+            F.lit(None).cast("double").alias("elapsed"),
+            F.lit(None).cast("string").alias("sub_type"),
+            F.col("PLAYER_ID").alias("player_id"),
+            F.lit(None).cast("timestamp").alias("time"),
+            F.lit("starter").alias("kind"),
+        )
+    )
+    return subs.unionByName(period_rows).unionByName(starter_rows)

@@ -124,3 +124,115 @@ def test_streaming_lineups_match_batch_20_games_out_of_order(spark, tmp_path):
     assert len(streamed) == len(batch)
     assert streamed == batch
     assert len({k[0] for k in streamed}) == 20  # every game produced stints
+
+
+def test_live_feed_payloads_to_lineups_end_to_end(spark, tmp_path):
+    """The full live-ingestion story in one query: RAW REST payload
+    documents (boxscore snapshot first, then one live-pbp document per
+    period, for 3 games) land in a directory; a single streaming query
+    decodes them (sources.api_snapshot, stateless), fans period markers
+    out via a stream-static join with the schedule's team dimension,
+    and drives the stateful lineup engine.  Output must equal the batch
+    applyInPandas kernel on the original frames."""
+    import json
+
+    from mbai_gdb_spark.pipeline.fixtures import PBP_DDL, STARTERS_DDL, make_game
+    from mbai_gdb_spark.streaming.lineup_engine import (
+        kernel_input_from_payload_stream,
+        streaming_lineup_changes,
+    )
+
+    games = [(7001, 5), (7002, 17), (7003, 29)]
+    all_pbp, all_st = [], []
+    for gid, seed in games:
+        p, s = make_game(game_id=gid, home_team=10, away_team=20,
+                         n_ot=gid % 2, seed=seed)
+        all_pbp += p
+        all_st += s
+
+    # --- serialize to REST-shaped documents --------------------------------
+    def pbp_doc(gid, period):
+        actions = []
+        for r in all_pbp:
+            if r["game_id"] != gid or r["period"] != period:
+                continue
+            d = {k: v for k, v in r.items() if v is not None and k != "game_id"}
+            d["actionNumber"] = d.pop("action_id")
+            if "timeActual" in d:
+                d["timeActual"] = d["timeActual"].isoformat() + "Z"
+            actions.append(d)
+        return json.dumps({"game": {"gameId": f"00{gid}", "actions": actions}})
+
+    box_doc = json.dumps(
+        {
+            "resultSets": [
+                {
+                    "name": "PlayerStats",
+                    "headers": ["GAME_ID", "TEAM_ID", "PLAYER_ID", "START_POSITION"],
+                    "rowSet": [
+                        [f"00{r['game_id']}", r["TEAM_ID"], r["PLAYER_ID"],
+                         r["START_POSITION"] or None]
+                        for r in all_st
+                    ],
+                }
+            ]
+        }
+    )
+
+    src = str(tmp_path / "landing")
+    import os
+
+    os.makedirs(src)
+    with open(os.path.join(src, "000_boxscore.json"), "w") as f:
+        f.write(box_doc)
+    time.sleep(0.05)
+    periods = sorted({r["period"] for r in all_pbp})
+    for p in periods:
+        for gid, _ in games:
+            with open(os.path.join(src, f"{p:03d}_{gid}_pbp.json"), "w") as f:
+                f.write(pbp_doc(gid, p))
+        time.sleep(0.05)
+
+    game_teams = spark.createDataFrame(
+        [(gid, t) for gid, _ in games for t in (10, 20)],
+        "game_id long, team_id long",
+    )
+
+    # --- one streaming query: decode -> fan out -> stateful engine ---------
+    payload_stream = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("maxFilesPerTrigger", 2)
+        .load(src)
+        .withColumnRenamed("value", "payload")
+    )
+    kin = kernel_input_from_payload_stream(payload_stream, game_teams)
+    q = (
+        streaming_lineup_changes(kin)
+        .writeStream.format("memory")
+        .queryName("live_feed_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def keyed(rows):
+        return {
+            (r.game_id, r.team_id, r.period, r.stint_seq): (
+                r.lineup_id,
+                tuple(r.player_ids),
+                r.local_start,
+            )
+            for r in rows
+        }
+
+    streamed = keyed(spark.table("live_feed_sink").collect())
+    batch = keyed(
+        lineup_change_events(
+            spark.createDataFrame(all_pbp, PBP_DDL),
+            spark.createDataFrame(all_st, STARTERS_DDL),
+        ).collect()
+    )
+    assert len(streamed) == len(batch) > 0
+    assert streamed == batch
