@@ -59,7 +59,7 @@ def _reconstruct(key, pdf):
     periods = sorted(marker["period"].unique())
     # Wall-clock period starts (reference stints carry start_time/
     # end_time alongside the game clocks, src/queries/game.py:105-125).
-    period_start = {int(r.period): r.time for _, r in marker.iterrows()}
+    period_start = dict(zip(marker["period"].astype(int), marker["time"]))
 
     out_rows = []
     on_court = set(starters)
@@ -68,11 +68,11 @@ def _reconstruct(key, pdf):
         # Apply period-start substitutions (elapsed == 0) before emitting
         # the opening stint.
         at_start = period_subs[period_subs.elapsed == 0.0]
-        for _, r in at_start.iterrows():
-            if r.sub_type == "out":
-                on_court.discard(int(r.player_id))
+        for sub_type, player_id in zip(at_start["sub_type"], at_start["player_id"]):
+            if sub_type == "out":
+                on_court.discard(int(player_id))
             else:
-                on_court.add(int(r.player_id))
+                on_court.add(int(player_id))
         seq = 0
         current = tuple(sorted(on_court))
         if len(current) == 5:
@@ -85,12 +85,14 @@ def _reconstruct(key, pdf):
         mid = period_subs[period_subs.elapsed > 0.0]
         for elapsed, grp in mid.groupby("elapsed", sort=True):
             wall = None
-            for _, r in grp.iterrows():
-                if r.sub_type == "out":
-                    on_court.discard(int(r.player_id))
+            for sub_type, player_id, t in zip(
+                grp["sub_type"], grp["player_id"], grp["time"]
+            ):
+                if sub_type == "out":
+                    on_court.discard(int(player_id))
                 else:
-                    on_court.add(int(r.player_id))
-                wall = r.time
+                    on_court.add(int(player_id))
+                wall = t
             nxt = tuple(sorted(on_court))
             if len(nxt) == 5 and nxt != current:
                 seq += 1
