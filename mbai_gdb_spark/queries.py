@@ -1913,3 +1913,48 @@ def graph_pagerank_trade(spark, sf_dir):
     return out.select(
         F.col("id").alias("nation_key"), F.col("rank").alias("pagerank_scaled")
     )
+
+
+@query(
+    "w14_cohort_weekly_retention",
+    """
+    WITH weekly AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(activity_week) AS cohort_week
+        FROM weekly GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST((epoch_us(w.activity_week) - epoch_us(c.cohort_week))
+                / 604800000000 AS BIGINT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM weekly w JOIN cohorts c USING (user_id)
+    GROUP BY c.cohort_week, week_offset
+    """,
+)
+def w14_cohort_weekly_retention(spark, sf_dir):
+    """Cohort retention matrix over the event stream: users bucketed by
+    first-activity week, counted in every later week they return —
+    (cohort_week, week_offset, n_users).  Two aggregations on the
+    user key (the second reuses the first's partitioning) and an
+    integer-exact week offset (both weeks are Monday-truncated
+    timestamps, so the µs difference is an exact multiple of 7 days —
+    no float date math)."""
+    ev = _t(spark, sf_dir, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    cohorts = weekly.groupBy("user_id").agg(
+        F.min("activity_week").alias("cohort_week")
+    )
+    offset = (
+        (epoch_us("activity_week") - epoch_us("cohort_week"))
+        / F.lit(604800000000)
+    ).cast("long")
+    return (
+        weekly.join(cohorts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
