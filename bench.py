@@ -206,7 +206,7 @@ def main() -> None:
     if superlinear:
         print(
             "SCALE GUARD FAILED: 10x games cost "
-            f"{scale_guard['wall_ratio_2000_over_200']}x wall (limit 4.0)",
+            f"{scale_guard['wall_ratio_2000_over_200']}x wall (limit 6.0)",
             file=sys.stderr,
         )
         sys.exit(1)

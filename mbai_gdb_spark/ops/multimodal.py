@@ -205,9 +205,15 @@ def _ppm_decode(b: bytes):
 
 def decode_payload_bytes(b: bytes):
     """Dispatch on magic bytes → (format, width, height, channels,
-    raw row-major pixels) or None."""
+    raw row-major pixels) or None.  A payload that passes a magic-byte
+    check but is corrupt past it (truncated IHDR, bad IDAT deflate,
+    non-multiple-of-3 palette, malformed PPM header ...) must yield
+    None, not an exception — one broken file cannot kill a stage."""
     for fmt, fn in (("png", _png_decode), ("bmp", _bmp_decode), ("ppm", _ppm_decode)):
-        out = fn(b)
+        try:
+            out = fn(b)
+        except Exception:
+            return None  # magic matched, body corrupt — same as unsupported
         if out is not None:
             return (fmt, *out)
     return None
@@ -554,7 +560,10 @@ def decode_audio(
         for pdf in batches:
             rates, chans, frames, pcms = [], [], [], []
             for b in pdf[payload_col]:
-                out = _wav_decode(bytes(b) if b is not None else b"")
+                try:
+                    out = _wav_decode(bytes(b) if b is not None else b"")
+                except Exception:
+                    out = None  # corrupt past the RIFF magic — not fatal
                 if out is None:
                     rates.append(None), chans.append(None)
                     frames.append(None), pcms.append(None)
@@ -599,7 +608,13 @@ def audio_stats(
         for pdf in batches:
             rows = []
             for did, b in zip(pdf[id_col], pdf[pcm_col]):
+                if b is None:  # undecodable payload upstream → NULL stats
+                    rows.append((int(did), None, None, None, None, None))
+                    continue
                 s = np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
+                if s.size == 0:  # valid zero-length WAV: empty sums, no extrema
+                    rows.append((int(did), 0, 0, None, None, 0))
+                    continue
                 rows.append(
                     (
                         int(did),
@@ -610,12 +625,15 @@ def audio_stats(
                         int((s * (np.arange(s.size) + 1)).sum()),
                     )
                 )
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "sample_sum", "sample_abs_sum",
                     "sample_min", "sample_max", "weighted_sum",
                 ],
             )
+            for c in out.columns[1:]:
+                out[c] = out[c].astype("Int64")
+            yield out
 
     return df.select(id_col, pcm_col).mapInPandas(stats, out_schema)

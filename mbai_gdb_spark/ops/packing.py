@@ -76,11 +76,15 @@ def pack_next_fit(
         F.col(weight_col).cast("long"),
         (F.col(id_col) % n_shards).cast("long").alias("shard"),
     )
-    # Explicit repartition pins one task per shard: AQE's coalescing
-    # sizes partitions by shuffle bytes and would happily merge every
-    # (tiny) shard into one partition, serializing the Python packer —
-    # the same pathology fixed for the W11 kernel (pipeline/lineups.py).
-    staged = staged.repartition(n_shards, "shard")
+    # Explicit repartition defeats AQE coalescing, which sizes
+    # partitions by shuffle bytes and would merge every (tiny) shard
+    # into one partition, serializing the Python packer — the same
+    # pathology fixed for the W11 kernel (pipeline/lineups.py).  Hash
+    # partitioning maps shard ids to partitions mod hash, so with
+    # exactly n_shards partitions ~1/e of them would hold 2+ shards;
+    # 4x partitions keeps expected collisions per partition low while
+    # the groupBy still reuses the partitioning.
+    staged = staged.repartition(n_shards * 4, "shard")
     return staged.groupBy("shard").applyInPandas(_pack, out_schema)
 
 

@@ -1342,11 +1342,7 @@ def mm_decode_audio(spark, sf_dir):
 
     from pyspark.sql import types as T
 
-    from mbai_gdb_spark.ops.multimodal import (
-        audio_stats,
-        decode_audio,
-        encode_wav,
-    )
+    from mbai_gdb_spark.ops.multimodal import decode_audio, encode_wav
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
@@ -1375,10 +1371,44 @@ def mm_decode_audio(spark, sf_dir):
                 {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
             )
 
-    decoded = decode_audio(docs.mapInPandas(gen, gen_schema))
-    stats = audio_stats(decoded)
-    return decoded.select("doc_id", "sample_rate", "channels", "n_frames").join(
-        stats, "doc_id"
+    # One pass: stats computed alongside the decoded metadata.  Joining
+    # audio_stats(decoded) back to decoded would evaluate the gen+decode
+    # mapInPandas subtree once per join branch (Spark does not reuse
+    # Python-stage subtrees), doubling the kernel work.
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("sample_sum", T.LongType()),
+            T.StructField("sample_abs_sum", T.LongType()),
+            T.StructField("sample_min", T.LongType()),
+            T.StructField("sample_max", T.LongType()),
+            T.StructField("weighted_sum", T.LongType()),
+        ]
+    )
+
+    def stats_pass(batches):
+        for pdf in batches:
+            sums, asums, mins, maxs, wsums = [], [], [], [], []
+            for b in pdf["pcm"]:
+                s = np.frombuffer(bytes(b), dtype="<i2").astype(np.int64)
+                sums.append(int(s.sum()))
+                asums.append(int(np.abs(s).sum()))
+                mins.append(int(s.min()))
+                maxs.append(int(s.max()))
+                wsums.append(int((s * (np.arange(s.size) + 1)).sum()))
+            out = pdf[["doc_id", "sample_rate", "channels", "n_frames"]].copy()
+            out["sample_sum"] = pd.Series(sums, dtype="int64", index=pdf.index)
+            out["sample_abs_sum"] = pd.Series(asums, dtype="int64", index=pdf.index)
+            out["sample_min"] = pd.Series(mins, dtype="int64", index=pdf.index)
+            out["sample_max"] = pd.Series(maxs, dtype="int64", index=pdf.index)
+            out["weighted_sum"] = pd.Series(wsums, dtype="int64", index=pdf.index)
+            yield out
+
+    return decode_audio(docs.mapInPandas(gen, gen_schema)).mapInPandas(
+        stats_pass, out_schema
     )
 
 

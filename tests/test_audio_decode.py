@@ -72,3 +72,23 @@ def test_decode_audio_stage_and_exact_stats(spark):
     assert stats.sample_abs_sum == np.abs(s).sum()
     assert (stats.sample_min, stats.sample_max) == (s.min(), s.max())
     assert stats.weighted_sum == (s * (np.arange(s.size) + 1)).sum()
+
+
+def test_audio_stats_handles_null_and_empty_pcm(spark):
+    """decode_audio -> audio_stats must survive undecodable payloads
+    (NULL pcm -> NULL stats) and valid zero-length WAVs (empty sums, no
+    extrema) without any caller-side filtering."""
+    rows = [
+        (1, bytearray(encode_wav(8000, 1, np.int16([3, -4, 5]).tobytes()))),
+        (2, bytearray(b"garbage payload")),
+        (3, bytearray(encode_wav(8000, 1, b""))),
+        # RIFF magic but corrupt body: decoder must yield NULLs, not raise
+        (4, bytearray(b"RIFF\x00\x00\x00\x00WAVEfmt \xff")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in audio_stats(decode_audio(df)).collect()}
+    assert got[1].sample_sum == 4 and got[1].sample_abs_sum == 12
+    assert (got[1].sample_min, got[1].sample_max) == (-4, 5)
+    assert got[2].sample_sum is None and got[2].sample_min is None
+    assert got[3].sample_sum == 0 and got[3].sample_min is None
+    assert got[4].sample_sum is None

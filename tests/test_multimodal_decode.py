@@ -278,3 +278,31 @@ def test_decode_image_works_under_structured_streaming(spark, tmp_path):
         for r in decode_image(df).collect()
     }
     assert streamed == batch and len(streamed) == 12
+
+
+def test_corrupt_past_magic_yields_none_not_exception():
+    """Payloads that pass the magic check but are corrupt beyond it
+    must decode to None — one broken file cannot kill a stage."""
+    # valid signature + IHDR, corrupt IDAT deflate stream
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad_idat = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", b"\x00not deflate\xff")
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_payload_bytes(bad_idat) is None
+    # truncated inside IHDR
+    assert decode_payload_bytes(b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", b"\x00\x01")) is None
+    # palette not a multiple of 3
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", b"\x01\x02\x03\x04")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x01\x00\x02\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_payload_bytes(blob) is None
+    # malformed PPM headers
+    assert decode_payload_bytes(b"P6 10 10 ") is None
+    assert decode_payload_bytes(b"P6 aa bb cc\n") is None

@@ -223,6 +223,7 @@ def test_live_feed_payloads_to_lineups_end_to_end(spark, tmp_path):
                 r.lineup_id,
                 tuple(r.player_ids),
                 r.local_start,
+                r.start_time,
             )
             for r in rows
         }
