@@ -106,10 +106,18 @@ def _png_decode(b: bytes):
     w, h, depth, ctype, _comp, _filt, interlace = hdr
     if depth != 8 or interlace != 0 or ctype not in (0, 2, 3, 4, 6):
         return None
+    if w == 0 or h == 0:
+        return None  # zero-dim header: downstream resample would IndexError
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
-    raw = zlib.decompress(b"".join(idat))
     stride = w * channels
-    if len(raw) < h * (stride + 1):
+    expected = h * (stride + 1)
+    if expected > (1 << 28):
+        return None  # >256 MB of raw rows: declared dims out of scope
+    # Bounded inflate: a crafted IDAT must not balloon past the size the
+    # header promises (decompression-bomb guard); a spec-valid stream
+    # inflates to exactly `expected` bytes.
+    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    if len(raw) != expected:
         return None
     bpp = channels
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -198,7 +206,7 @@ def _ppm_decode(b: bytes):
         return None
     w, h, maxval = (int(f) for f in fields)
     pos += 1  # single whitespace after maxval
-    if maxval != 255 or len(b) < pos + w * h * channels:
+    if w <= 0 or h <= 0 or maxval != 255 or len(b) < pos + w * h * channels:
         return None
     return w, h, channels, b[pos : pos + w * h * channels]
 
@@ -475,16 +483,22 @@ def resize_image(
         for pdf in batches:
             outs = []
             for b in pdf[payload_col]:
-                dec = decode_payload_bytes(bytes(b) if b is not None else b"")
-                if dec is None:
+                # Same contract as decode_payload_bytes: one payload that
+                # decodes but trips the resample (pathological dims) maps
+                # to NULL instead of killing the stage.
+                try:
+                    dec = decode_payload_bytes(bytes(b) if b is not None else b"")
+                    if dec is None:
+                        outs.append(None)
+                        continue
+                    _fmt, w, h, ch, pixels = dec
+                    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
+                    ys = (np.arange(height) * h) // height
+                    xs = (np.arange(width) * w) // width
+                    resized = arr[ys][:, xs]
+                    outs.append(encode_png(width, height, ch, resized.tobytes()))
+                except Exception:
                     outs.append(None)
-                    continue
-                _fmt, w, h, ch, pixels = dec
-                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, ch)
-                ys = (np.arange(height) * h) // height
-                xs = (np.arange(width) * w) // width
-                resized = arr[ys][:, xs]
-                outs.append(encode_png(width, height, ch, resized.tobytes()))
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), payload_col: outs}
             )
@@ -539,6 +553,24 @@ def encode_wav(sample_rate: int, channels: int, pcm: bytes) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _weighted_sum(s, int64_safe_size: int = 1 << 24):
+    """Exact order-sensitive Σ s_i·(i+1) over an int64 sample array.
+
+    Vectorized int64 math is provably overflow-free below
+    ``int64_safe_size`` samples (|s_i| ≤ 2^15, weights ≤ n ⇒
+    |Σ| ≤ 2^15·n²  <  2^63 for n < 2^24); longer inputs fall back to
+    arbitrary-precision Python ints, and a result outside int64 range
+    returns None (the output column cannot represent it)."""
+    import numpy as np
+
+    if s.size < int64_safe_size:
+        return int((s * (np.arange(s.size) + 1)).sum())
+    total = sum(int(v) * (i + 1) for i, v in enumerate(s.tolist()))
+    if not (-(1 << 63) <= total < (1 << 63)):
+        return None
+    return total
+
+
 DECODED_AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -590,7 +622,13 @@ def audio_stats(
     """Exact integer sample statistics over decoded PCM16 — sum, sum of
     absolute values, min/max, order-sensitive weighted sum — chosen to
     be integer-exact so an external oracle can recompute them.  Float
-    features (RMS, spectral) belong downstream of these."""
+    features (RMS, spectral) belong downstream of these.
+
+    Overflow policy: Σ s_i·(i+1) stays within int64 for clips under
+    2^24 samples (|s_i| ≤ 2^15, weights ≤ n ⇒ |Σ| ≤ 2^15·n²); longer
+    clips are summed with arbitrary-precision Python ints, and a result
+    that exceeds the int64 output column yields NULL rather than a
+    silently wrapped value."""
     import numpy as np
 
     out_schema = T.StructType(
@@ -622,7 +660,7 @@ def audio_stats(
                         int(np.abs(s).sum()),
                         int(s.min()),
                         int(s.max()),
-                        int((s * (np.arange(s.size) + 1)).sum()),
+                        _weighted_sum(s),
                     )
                 )
             out = pd.DataFrame(
