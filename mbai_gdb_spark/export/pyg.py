@@ -308,3 +308,36 @@ def to_hetero_tensors(tables: dict[str, DataFrame]) -> dict:
             for k, v in out.items()
         }
     return out
+
+
+def to_hetero_data(tensors: dict):
+    """Materialize an actual ``torch_geometric.data.HeteroData`` from a
+    :func:`to_hetero_tensors` result (reference GameManager.to_pyg
+    returns the HeteroData object itself, src/managers/game.py:324-656).
+
+    Mapping is 1:1 and lossless: string keys become node stores
+    (``x`` → float tensor, ``num_nodes`` → int), 3-tuple keys become
+    edge stores (``edge_index`` → int64 tensor).  Imports are local so
+    the numpy-only export path (:func:`to_hetero_tensors`) keeps
+    working in torch-free environments; calling THIS function without
+    ``torch_geometric`` raises ImportError."""
+    import torch as _torch  # local: optional heavy dependency
+    from torch_geometric.data import HeteroData
+
+    def _tensor(v):
+        return _torch.from_numpy(v) if isinstance(v, np.ndarray) else v
+
+    data = HeteroData()
+    for key, val in tensors.items():
+        if isinstance(key, tuple):
+            data[key].edge_index = _tensor(val).long()
+        else:
+            store = data[key]
+            if isinstance(val, dict):
+                if "x" in val:
+                    store.x = _tensor(val["x"])
+                if "num_nodes" in val:
+                    store.num_nodes = int(val["num_nodes"])
+            else:
+                store.x = _tensor(val)
+    return data
