@@ -5,6 +5,32 @@ Bolt (reference: src/manager.py:26-52, src/fetcher.py:16-115).  Here the
 sources are parquet datasets and the sinks are parquet directories; the
 reference's MERGE-by-unique-id write semantics (src/queries/setup.py:1-34)
 become :func:`write_insert_if_absent`.
+
+MERGE at 100 TB — the deployment story for the S7 sink
+------------------------------------------------------
+
+:func:`merge_upsert` implements upsert over plain parquet via a
+staging write + rename-aside swap.  On a POSIX filesystem the two
+``os.replace`` calls are each atomic, so a crash leaves either the old
+or the new dataset intact — but the pair is NOT atomic together, and
+on an object store (S3/GCS) "rename" is copy+delete: concurrent
+readers can observe a missing or half-copied prefix during the swap,
+and the full-dataset rewrite is O(table) per batch.  The production
+equivalent is a table format with transactional metadata:
+
+- Delta Lake / Apache Iceberg ``MERGE INTO target USING batch ON
+  key-equality WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` — same
+  semantics as :func:`merge_upsert`, but committed as an atomic
+  snapshot (readers see old or new, never between), touching only the
+  files whose rows matched, with the same shuffle shape underneath
+  (an equi-join of batch against target on the key).
+- :func:`write_insert_if_absent` maps to the ``WHEN NOT MATCHED
+  INSERT``-only form.
+
+Neither format ships in this container, so the parquet fallback is
+what the fixtures exercise (SURVEY §4.3 allows exactly this); the
+operator surface, key semantics, and idempotence oracle
+(``io_merge_idempotent``) carry over to the lakehouse path unchanged.
 """
 
 from __future__ import annotations
