@@ -13,10 +13,16 @@ Probes measured separately:
   random collisions (and therefore re-rank work) scale N²/2^k — the
   fixture queries use k=8 for 6k vectors; here k=16 keeps expected
   bucket occupancy ~1 at 10^5..10^6 vectors;
-- top-k search: IVF with 64 stride centroids, n_probe=2, exact re-rank
+- top-k search: IVF stride centroids, n_probe=2, exact re-rank
   (`ivf_topk`) for a 100-query batch — the ANN-serving scale path.
+  ``n_centroids`` (argv[2], default 64) is the OTHER scale dial: probe
+  lists hold N/nlist vectors, so a fixed nlist degrades query cost
+  linearly in N; growing nlist ~ sqrt(N) keeps per-query re-rank work
+  ~ n_probe*sqrt(N) at an assignment cost of N*nlist broadcast dots
+  (amortized across query batches via `ivf_persist` in production).
 
-Run: python tools/ann_scale_experiment.py [n_vecs]  (one JSON line).
+Run: python tools/ann_scale_experiment.py [n_vecs] [n_centroids]
+(one JSON line).
 """
 
 from __future__ import annotations
@@ -61,6 +67,7 @@ def build(spark, n_vecs: int):
 
 def main() -> None:
     n_vecs = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_centroids = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     spark = get_spark()
     corpus = build(spark, n_vecs).persist()
     corpus.count()  # materialize input out of the timed region
@@ -87,7 +94,7 @@ def main() -> None:
         queries,
         k=5,
         n_probe=2,
-        centroid_stride=max(1, n_vecs // 64),
+        centroid_stride=max(1, n_vecs // n_centroids),
     )
     n_results = topk.count()
     ivf_wall = time.perf_counter() - t0
@@ -104,6 +111,7 @@ def main() -> None:
                 "n_neardup_pairs": n_pairs,
                 "planted_recall": round(n_found_planted / max(1, n_planted), 3),
                 "ivf_query_batch": 100,
+                "ivf_n_centroids": n_centroids,
                 "ivf_wall_sec": round(ivf_wall, 2),
                 "ivf_queries_per_sec": round(100 / ivf_wall, 1),
                 "n_topk_results": n_results,
