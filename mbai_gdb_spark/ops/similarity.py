@@ -7,9 +7,11 @@ signature, exact re-rank inside buckets).
 All arithmetic stays JVM-side as higher-order functions (zip_with /
 aggregate) — sequential, deterministic accumulation that DuckDB's
 list_reduce mirrors bit-for-bit, so the oracle gate can hash raw
-doubles.  For throughput-critical brute force at very high dims, a
-vectorized Pandas-UDF matmul variant is the documented alternative
-(trade: Arrow transfer + non-reproducible summation order).
+doubles.  For throughput-critical bulk work the vectorized escape
+hatch is real, not just documented: :func:`ivf_assign_vectorized`
+does one numpy matmul per Arrow batch against the broadcast centroid
+matrix (trade: Arrow transfer + non-reproducible summation order —
+so the oracle-hashed queries stay on the HOF path).
 
 Scale notes: queries are broadcast (small side); the corpus never
 shuffles for brute force.  LSH replaces the |Q|×|C| expansion with
@@ -350,6 +352,59 @@ def ivf_assign(
     ).select(id_col, centroid_id_col)
 
 
+def ivf_assign_vectorized(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Arrow-batched coarse quantization for the LARGE-nlist regime:
+    one numpy ``V @ Cn.T`` matmul per batch against the broadcast
+    row-normalized centroid matrix, argmax per row.
+
+    Same nearest-centroid semantics as :func:`ivf_assign` (centroid
+    norms divided out, exact-tie → smallest centroid id via ascending
+    argmax-first-hit), but the per-pair cost drops from a scalar
+    ``aggregate`` HOF to BLAS — measured ~40× at nlist=512, which is
+    what makes nlist ∝ sqrt(N) affordable (the HOF path's N×nlist dots
+    stop scaling past nlist≈64; see NOTES.md round-4 scale curves).
+
+    Trade documented in the module docstring: float64 matmul
+    accumulation order is not the HOF's sequential order, so ranking
+    near EXACT cosine ties can differ by FP noise — keep the HOF path
+    for oracle-hashed queries (tiny nlist there), use this for bulk
+    index builds.  Centroid count is bounded (it must fit broadcast
+    in both paths); the collect here is nlist rows, not data."""
+    import numpy as np
+    import pandas as pd
+
+    rows = sorted(
+        centroids.select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("__cv__")
+        ).collect(),
+        key=lambda r: r[0],
+    )
+    cid = np.array([r[0] for r in rows], dtype=np.int64)
+    cmat = np.array([r[1] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(cmat, axis=1, keepdims=True)
+    cn_t = np.ascontiguousarray((cmat / np.where(norms == 0.0, 1.0, norms)).T)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            best = np.argmax(vmat @ cn_t, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), centroid_id_col: cid[best]}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {centroid_id_col} long"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -359,6 +414,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """IVF-flat ANN: deterministic coarse centroids (every
     ``centroid_stride``-th vector — a production system would k-means;
@@ -371,7 +427,8 @@ def ivf_topk(
     data — the classic recall/cost dial.  Assignment norms are hoisted
     once per row inside :func:`ivf_assign`."""
     centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
-    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    assign_fn = ivf_assign_vectorized if vectorized_assign else ivf_assign
+    assignment = assign_fn(corpus, centroids, id_col, vec_col)
     lists = corpus.join(assignment, id_col)
 
     q = queries.select(
@@ -427,6 +484,7 @@ def ivf_persist(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: DataFrame | None = None,
+    vectorized_assign: bool = False,
 ) -> None:
     """Write the IVF inverted file as a parquet layout PARTITIONED BY
     centroid_id — the on-disk vector index.  A probe then reads only its
@@ -448,7 +506,8 @@ def ivf_persist(
     cent_for_assign = centroids.select(
         F.col("centroid_id").alias(id_col), F.col(vec_col)
     )
-    assignment = ivf_assign(corpus, cent_for_assign, id_col, vec_col)
+    assign_fn = ivf_assign_vectorized if vectorized_assign else ivf_assign
+    assignment = assign_fn(corpus, cent_for_assign, id_col, vec_col)
     lists = corpus.join(assignment, id_col)
     write_partitioned(lists, path, ["centroid_id"])
     centroids.select("centroid_id", F.col(vec_col)).coalesce(1).write.mode(

@@ -1,0 +1,74 @@
+"""Vectorized (Arrow/numpy matmul) IVF coarse assignment must agree
+with the bit-stable HOF path on real fixture embeddings — same nearest
+centroid for every vector, same ivf_topk answer end-to-end.
+
+Exact-tie ordering is the only documented divergence risk (matmul vs
+sequential accumulation); the fixture vectors are in general position,
+so full equality is the expected outcome here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.io import read_table
+from mbai_gdb_spark.ops.similarity import (
+    ivf_assign,
+    ivf_assign_vectorized,
+    ivf_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_vectorized_assignment_matches_hof(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 10 == 0)
+    want = sorted(map(tuple, ivf_assign(emb, centroids).collect()))
+    got = sorted(map(tuple, ivf_assign_vectorized(emb, centroids).collect()))
+    assert len(got) == emb.count() > 0
+    assert got == want
+
+
+def test_vectorized_topk_matches_hof_end_to_end(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(emb, queries, k=3, n_probe=2, centroid_stride=10)
+            .select("query_id", "vec_id", "rank")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                emb,
+                queries,
+                k=3,
+                n_probe=2,
+                centroid_stride=10,
+                vectorized_assign=True,
+            )
+            .select("query_id", "vec_id", "rank")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_vectorized_assignment_is_arrow_batched(spark):
+    """The plan must be a mapInPandas stage (Arrow eval), not a
+    row-at-a-time Python UDF."""
+    emb = read_table(spark, SF_DIR, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 10 == 0)
+    plan = (
+        ivf_assign_vectorized(emb, centroids)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

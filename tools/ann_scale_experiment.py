@@ -95,6 +95,9 @@ def main() -> None:
         k=5,
         n_probe=2,
         centroid_stride=max(1, n_vecs // n_centroids),
+        # HOF assignment is bit-stable but scalar; past nlist≈64 the
+        # N×nlist dot products need the Arrow/numpy matmul path.
+        vectorized_assign=n_centroids > 64,
     )
     n_results = topk.count()
     ivf_wall = time.perf_counter() - t0
