@@ -92,6 +92,81 @@ def cosine_topk(
     )
 
 
+def cosine_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Arrow-batched brute-force cosine top-k: the query matrix is
+    row-normalized on the driver (bounded — same small-side assumption
+    as :func:`cosine_topk`'s broadcast) and each corpus Arrow batch
+    contributes ONE numpy matmul plus a batch-local top-k per query;
+    the global rank then reduces over ≤ k·n_batches candidate rows per
+    query instead of the full |C| pair expansion.
+
+    Same output contract as :func:`cosine_topk` (query_id, vec_id,
+    cosine_sim, rank; self-pair excluded; ties → smallest vec_id —
+    enforced batch-locally by a (-score, id) lexsort, so a tied global
+    winner can never be dropped by the partial top-k).  FP caveat as
+    :func:`ivf_assign_vectorized`: matmul accumulation order differs
+    from the HOF path, so oracle-hashed queries stay on
+    :func:`cosine_topk`; this is the bulk/serving variant.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("__qv__")
+        ).collect(),
+        key=lambda r: r[0],
+    )
+    qid = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn_t = np.ascontiguousarray((qmat / np.where(qnorm == 0.0, 1.0, qnorm)).T)
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            vmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vnorm = np.linalg.norm(vmat, axis=1, keepdims=True)
+            sims = (vmat / np.where(vnorm == 0.0, 1.0, vnorm)) @ qn_t
+            out_q, out_id, out_sim = [], [], []
+            for j in range(len(qid)):
+                col = sims[:, j]
+                keep = ids != qid[j]  # self-pair exclusion
+                cand_ids, cand = ids[keep], col[keep]
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out_q.append(np.full(len(order), qid[j], dtype=np.int64))
+                out_id.append(cand_ids[order])
+                out_sim.append(cand[order])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "cosine_sim": np.concatenate(out_sim),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        partial_topk,
+        schema=f"{query_id_col} long, {id_col} long, cosine_sim double",
+    )
+    return topk_per_key(
+        partial,
+        [query_id_col],
+        [F.col("cosine_sim").desc(), F.col(id_col)],
+        k,
+        rank_alias="rank",
+    )
+
+
 def _plane_component(plane: Column, j: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
     TWO LCG rounds on the flattened (plane, dim) index — reproducible in

@@ -72,3 +72,51 @@ def test_vectorized_assignment_is_arrow_batched(spark):
     )
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_vectorized_cosine_topk_matches_hof(spark):
+    from mbai_gdb_spark.ops.similarity import cosine_topk, cosine_topk_vectorized
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 7)
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk(emb, queries, k=5)
+            .select("query_id", "vec_id", "rank")
+            .collect(),
+        )
+    )
+    got_df = cosine_topk_vectorized(emb, queries, k=5)
+    got = sorted(
+        map(tuple, got_df.select("query_id", "vec_id", "rank").collect())
+    )
+    assert got == want and len(got) == 7 * 5
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+
+def test_vectorized_cosine_topk_partial_reduction_many_partitions(spark):
+    """Tie-safety across batch boundaries: repartition the corpus so
+    every batch holds few rows — the global answer must be unchanged."""
+    from mbai_gdb_spark.ops.similarity import cosine_topk, cosine_topk_vectorized
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk(emb, queries, k=4)
+            .select("query_id", "vec_id", "rank")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            cosine_topk_vectorized(emb.repartition(32), queries, k=4)
+            .select("query_id", "vec_id", "rank")
+            .collect(),
+        )
+    )
+    assert got == want

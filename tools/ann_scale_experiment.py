@@ -36,7 +36,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from mbai_gdb_spark.ops.similarity import ivf_topk, lsh_candidate_neighbors
+from mbai_gdb_spark.ops.similarity import (
+    cosine_topk_vectorized,
+    ivf_topk,
+    lsh_candidate_neighbors,
+)
 from mbai_gdb_spark.session import get_spark
 
 DIM = 64
@@ -88,6 +92,14 @@ def main() -> None:
     n_planted = (n_vecs - 1) // 50  # ids 50, 100, ... < n_vecs
 
     queries = corpus.filter(F.col("vec_id") < 100)
+
+    # Exact brute-force baseline (vectorized matmul path — the HOF pair
+    # expansion is the oracle variant, not the bulk one): ground truth
+    # cost the IVF recall/cost dial is traded against.
+    t0 = time.perf_counter()
+    n_brute = cosine_topk_vectorized(corpus, queries, k=5).count()
+    brute_wall = time.perf_counter() - t0
+
     t0 = time.perf_counter()
     topk = ivf_topk(
         corpus,
@@ -113,6 +125,8 @@ def main() -> None:
                 "lsh_vecs_per_sec": round(n_vecs / lsh_wall),
                 "n_neardup_pairs": n_pairs,
                 "planted_recall": round(n_found_planted / max(1, n_planted), 3),
+                "brute_force_wall_sec": round(brute_wall, 2),
+                "brute_force_results": n_brute,
                 "ivf_query_batch": 100,
                 "ivf_n_centroids": n_centroids,
                 "ivf_wall_sec": round(ivf_wall, 2),
