@@ -29,7 +29,11 @@ from mbai_gdb_spark.ops.dedup import (
     simhash,
 )
 from mbai_gdb_spark.ops.multimodal import binary_metadata, with_binary_payload
-from mbai_gdb_spark.ops.similarity import cosine_topk, lsh_candidate_neighbors
+from mbai_gdb_spark.ops.similarity import (
+    cosine_topk,
+    cosine_topk_vectorized,
+    lsh_candidate_neighbors,
+)
 from mbai_gdb_spark.ops.text import fingerprint, tokens
 from mbai_gdb_spark.ops.text import text_profile as text_profile_op
 from mbai_gdb_spark.queries import _t, query
@@ -341,6 +345,41 @@ def sim_cosine_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(emb, queries_df, k=5)
+
+
+@query(
+    "sim_matmul_top5",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {_SQL_DOT.format(products="list_transform(generate_series(1, len(qv)), i -> qv[i] * c.ve[i])")}
+               / ({_SQL_NORM.format(v="qv")} * {_SQL_NORM.format(v="c.ve")}) AS cosine_sim
+        FROM q, v c
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, CAST(rn AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def sim_matmul_top5(spark, sf_dir):
+    """Vectorized brute-force top-5 (`cosine_topk_vectorized`: one
+    numpy matmul + tie-safe partial top-k per Arrow batch) — the bulk
+    path beside `sim_cosine_top5`'s bit-stable HOF path.  The oracle
+    compares RANKS, not raw similarity doubles: matmul accumulation
+    order is not DuckDB's sequential list_reduce, so scores differ by
+    FP noise, but the ranking (ties → smallest vec_id) is identical on
+    vectors in general position — that invariance IS the contract the
+    vectorized variant has to honor."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_vectorized(emb, queries_df, k=5).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def _sql_lsh_pairs(threshold: float, n_planes: int = 8, n_tables: int = 8) -> str:
