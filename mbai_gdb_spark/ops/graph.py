@@ -125,22 +125,30 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
-    """Min-label propagation until fixpoint (or max_iter): each vertex
-    adopts the smallest component id among itself and its neighbours.
-    Returns (id, component).
+    """Min-label propagation WITH pointer doubling until fixpoint (or
+    max_iter): each round a vertex adopts the smallest id among itself,
+    its neighbours, and its current label's label
+    (``label[label[v]]``).  Returns (id, component).
+
+    The doubling step is what makes this safe at scale: plain
+    neighbour-min needs O(diameter) rounds, so a transitive near-dup
+    CHAIN longer than max_iter would silently return non-converged
+    labels (and diverge from the recursive-CTE oracle).  With doubling
+    the label distance halves each round — O(log diameter) — so
+    max_iter=20 covers diameters up to ~2^20; `tests/test_graph.py`
+    pins a 60-vertex chain (diameter > max_iter) to one component.
 
     Convergence is detected every iteration with a scalar aggregate:
     labels only ever decrease, so an unchanged sum(component) is exactly
     the fixpoint — one cheap agg on the just-checkpointed frame instead
     of a self-join diff, and no wasted blind iterations (a near-dup
-    cluster graph typically converges in ≲ diameter ≈ 3-5 rounds,
-    far below max_iter)."""
+    cluster graph typically converges in 3-5 rounds)."""
     sym = edges.select(src_col, dst_col).unionByName(
         edges.select(F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col))
     ).localCheckpoint(eager=True)  # joined every iteration — never recompute upstream
     comp = vertices.select(F.col(id_col), F.col(id_col).alias("component"))
     prev_sum = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.join(comp, sym[src_col] == comp[id_col])
             .groupBy(dst_col)
@@ -155,6 +163,24 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        if it > 0:
+            # Pointer doubling: also adopt label[label[v]] — halves
+            # label distance per round, so long chains converge in
+            # O(log d).  Skipped in round 0 where comp is still the
+            # identity map (label[label[v]] == label[v] by definition).
+            lut = comp.select(
+                F.col(id_col).alias("__lid__"), F.col("component").alias("__lcomp__")
+            )
+            new_comp = (
+                new_comp.join(lut, new_comp["component"] == F.col("__lid__"), "left")
+                .select(
+                    new_comp[id_col],
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("__lcomp__"), F.col("component")),
+                    ).alias("component"),
+                )
+            )
         comp = new_comp.localCheckpoint(eager=True)
         label_sum = comp.agg(F.sum("component")).collect()[0][0]
         if label_sum == prev_sum:

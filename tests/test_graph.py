@@ -55,6 +55,20 @@ def test_connected_components_two_islands(spark):
     assert comp[7] == comp[8] == comp[9] == 7
 
 
+def test_connected_components_long_chain_converges(spark):
+    """A 60-vertex transitive chain has diameter 59 > max_iter=20: plain
+    neighbour-min label propagation would return NON-converged labels
+    here; pointer doubling must close it in O(log d) rounds."""
+    n = 60
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    comp = {r.id: r.component for r in connected_components(vertices, edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n
+
+
 def test_ivf_recall_against_brute_force(spark):
     """IVF probing half the lists must beat the probed fraction on
     recall@5 (the fixture embeddings are unclustered random vectors, so
