@@ -161,3 +161,132 @@ def test_interval_join_matches_brute_force(spark, points, spans):
         if k == ik and lo <= t < lo + w
     }
     assert got == want
+
+
+spans_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=2),                     # key
+        st.floats(min_value=0, max_value=100, allow_nan=False),    # start
+        st.floats(min_value=0, max_value=30, allow_nan=False),     # width
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(spans_strategy, spans_strategy)
+def test_interval_overlap_join_matches_brute_force(spark, lspans, rspans):
+    """Binned overlap join ≡ the theta-join definition, for arbitrary
+    interval layouts (including degenerate zero-width and multi-bin
+    spans) under both closed conventions."""
+    from mbai_gdb_spark.ops.intervals import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(k, lo, lo + w, i) for i, (k, lo, w) in enumerate(lspans)],
+        "k long, ls double, le double, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, lo, lo + w, 100 + i) for i, (k, lo, w) in enumerate(rspans)],
+        "k long, rs double, re double, rid long",
+    )
+    for closed in ("left", "both"):
+        got_rows = interval_overlap_join(
+            left, right, ["k"], "ls", "le", "rs", "re", bin_width=7.0, closed=closed
+        ).collect()
+        got = [(r.lid, r.rid) for r in got_rows]
+        assert len(got) == len(set(got))  # emit-once: no duplicate pairs
+        want = set()
+        for i, (lk, llo, lw) in enumerate(lspans):
+            for j, (rk, rlo, rw) in enumerate(rspans):
+                if lk != rk:
+                    continue
+                if closed == "left":
+                    hit = llo < rlo + rw and rlo < llo + lw
+                else:
+                    hit = llo <= rlo + rw and rlo <= llo + lw
+                if hit:
+                    want.add((i, 100 + j))
+        assert set(got) == want
+
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=24),
+        st.integers(min_value=0, max_value=24),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges_strategy)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Pointer-doubling CC ≡ a driver-side union-find, for arbitrary
+    graphs — including shapes (long chains) where plain label
+    propagation would exceed its iteration budget."""
+    from mbai_gdb_spark.ops.graph import connected_components
+
+    n = 25
+    vertices = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edge_list] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r.id: r.component for r in connected_components(vertices, edges).collect()
+    }
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in range(n)}
+    # canonicalize: both sides label a component by its min member
+    assert len(got) == n
+    assert got == want
+
+
+def test_cosine_topk_vectorized_exact_ties_across_batches(spark):
+    """Duplicate corpus vectors produce EXACT score ties; with the
+    corpus split over many partitions the tie-break (smallest vec_id)
+    must still match the HOF path globally — the batch-local lexsort
+    may never drop a tied global winner."""
+    from mbai_gdb_spark.ops.similarity import cosine_topk, cosine_topk_vectorized
+
+    patterns = [
+        [10.0, 1.0, 0.0, 0.0],
+        [1.0, 10.0, 0.0, 0.0],
+        [0.0, 1.0, 10.0, 1.0],
+    ]
+    rows = [(i, patterns[i % 3]) for i in range(30)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(13)
+    queries = spark.createDataFrame(rows[:2], "vec_id long, embedding array<double>")
+    # k=12 crosses the 10-member tie group of each query's own pattern
+    want = sorted(
+        map(
+            tuple,
+            cosine_topk(corpus, queries, k=12)
+            .select("query_id", "vec_id", "rank")
+            .collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            cosine_topk_vectorized(corpus, queries, k=12)
+            .select("query_id", "vec_id", "rank")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) == 24
