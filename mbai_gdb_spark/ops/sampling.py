@@ -163,3 +163,47 @@ def mixture_weights(
             "expected_docs"
         ),
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: int = 0,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global shuffle + sharding for training-data export.
+
+    Training runs need the corpus in a pseudo-random order that is (a)
+    decoupled from ingestion order, (b) identical across re-runs,
+    engines, and input partitionings, and (c) writable as S independent
+    shard files.  ``df.orderBy(rand(seed))`` fails (b) — Spark's rand is
+    partitioning-dependent — and a single global sort fails (c)'s
+    parallelism.  Instead the stable key is LCG-hashed with the seed
+    folded in; the hash IS the shuffle order:
+
+        shard = hash % n_shards        (which shard file)
+        pos   = rank of (hash, key) within the shard   (order inside it)
+
+    Scale shape: one hash projection (map-only) + one shuffle on
+    ``shard`` + a per-shard sort — each shard sorts its own N/S rows
+    independently, so the global sort never exists.  Pick n_shards ≥
+    cluster parallelism; consumers read shards in any order and rows
+    within a shard in ``pos`` order.  Different ``seed`` → a completely
+    different permutation (epoch re-shuffling without rewriting data:
+    export positions per epoch, or just re-derive them).
+
+    The whole construction is plain integer SQL, so an external oracle
+    can re-derive the exact permutation — the reproducibility contract
+    training pipelines audit against."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from pyspark.sql import Window
+
+    h = lcg_hash(F.col(key_col) + F.lit(int(seed)))
+    out = df.withColumn("__h__", h).withColumn(
+        shard_col, (F.col("__h__") % n_shards).cast("int")
+    )
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h__"), F.col(key_col))
+    return out.withColumn(pos_col, F.row_number().over(w).cast("int")).drop("__h__")

@@ -733,6 +733,33 @@ def sample_stratified_documents(spark, sf_dir):
     )
 
 
+@query(
+    "shuffle_shards",
+    """
+    WITH h AS (
+        SELECT doc_id,
+               (((doc_id + 42) % 2147483647) * 2654435761 + 97) % 2147483647 AS hk
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hk % 64 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hk % 64
+                                   ORDER BY hk, doc_id) AS INT) AS pos
+    FROM h
+    """,
+)
+def shuffle_shards(spark, sf_dir):
+    """Reproducible global shuffle for training-data export: every doc
+    gets a (shard, pos) under seed 42 across 64 shards — the exact
+    permutation is re-derivable by any engine (plain integer LCG +
+    per-shard rank), which is the auditability contract epoch
+    shuffling needs; see ops.sampling.deterministic_shuffle."""
+    from mbai_gdb_spark.ops.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id", n_shards=64, seed=42)
+
+
 def _sql_shingles(k: int, src: str = "documents") -> str:
     """CTE body ``sh``: (doc_id, shingle) — distinct k-token shingles per
     document, mirroring ops.dedup.shingle_set (k consecutive whitespace

@@ -156,3 +156,31 @@ def test_kmv_rejects_unsupported_value_type(spark):
     df = spark.createDataFrame([("g", 1.5)], "g string, v double")
     with pytest.raises(TypeError):
         kmv_distinct(df, ["g"], "v")
+
+
+def test_deterministic_shuffle_invariants(spark):
+    from mbai_gdb_spark.ops.sampling import deterministic_shuffle
+
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = deterministic_shuffle(df, "doc_id", n_shards=16, seed=7).collect()
+    assert len(out) == 1000 and len({r.doc_id for r in out}) == 1000
+    by_shard: dict = {}
+    for r in out:
+        assert 0 <= r.shard < 16
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))  # contiguous ranks
+
+    # partitioning-independence: same permutation from a 13-way repartition
+    again = deterministic_shuffle(
+        df.repartition(13), "doc_id", n_shards=16, seed=7
+    ).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in again} == {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
+
+    # a different seed is a genuinely different permutation
+    other = deterministic_shuffle(df, "doc_id", n_shards=16, seed=8).collect()
+    assert {(r.doc_id, r.shard, r.pos) for r in other} != {
+        (r.doc_id, r.shard, r.pos) for r in out
+    }
