@@ -334,7 +334,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iter: int = 20,
+    max_iter: int = 40,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from candidate pairs: connected components
     over the pair graph, canonical = smallest id per component (the

@@ -120,7 +120,7 @@ def pagerank(
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
-    max_iter: int = 20,
+    max_iter: int = 40,
     id_col: str = "id",
     src_col: str = "src",
     dst_col: str = "dst",
@@ -134,9 +134,11 @@ def connected_components(
     neighbour-min needs O(diameter) rounds, so a transitive near-dup
     CHAIN longer than max_iter would silently return non-converged
     labels (and diverge from the recursive-CTE oracle).  With doubling
-    the label distance halves each round — O(log diameter) — so
-    max_iter=20 covers diameters up to ~2^20; `tests/test_graph.py`
-    pins a 60-vertex chain (diameter > max_iter) to one component.
+    the label distance halves each round — O(log diameter) — so the
+    max_iter=40 ceiling covers any realistic diameter (~2^40) while
+    costing nothing: the scalar convergence check exits the loop the
+    round after the fixpoint.  `tests/test_graph.py` pins a 60-vertex
+    chain (diameter > the old O(d) budget) to one component.
 
     Convergence is detected every iteration with a scalar aggregate:
     labels only ever decrease, so an unchanged sum(component) is exactly
