@@ -215,6 +215,58 @@ def _plane_matrix_lit(n_flat_planes: int, plane_dim: int) -> Column:
     )
 
 
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    plane_dim: int = 64,
+) -> DataFrame:
+    """Johnson-Lindenstrauss-style random projection: output component
+    p = dot(vec, plane_p) over the same deterministic xorshift-LCG
+    plane family the LSH signatures use (flat index ``p*64 + j``) —
+    i.e. the UNthresholded version of :func:`lsh_bucket_signature`.
+
+    Dimensionality reduction ahead of ANN / clustering: JL says
+    O(log n / eps^2) dims preserve pairwise distances within 1±eps, and
+    a shared deterministic plane family means two independently
+    processed corpora land in the SAME projected space (engine- and
+    run-reproducible, oracle-expressible in plain SQL).
+
+    Map-only: the plane matrix is a constant-folded literal, the dots
+    are sequential-accumulation HOFs (bit-stable, DuckDB-mirrorable),
+    no shuffle.  ``plane_dim`` must be ≥ the vector dimension (guarded
+    like the signature path)."""
+    v = as_double(F.col(vec_col))
+    planes_lit = _plane_matrix_lit(out_dim, plane_dim)
+    comps = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda p: F.aggregate(
+            F.zip_with(
+                v,
+                F.slice(
+                    F.element_at(planes_lit, (p + 1).cast("int")),
+                    F.lit(1),
+                    F.size(v),
+                ),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.size(v) <= plane_dim,
+            F.lit(f"vector dim exceeds plane_dim={plane_dim}"),
+        ).cast("double"),
+        F.lit(0.0),
+    )
+    return df.withColumn(
+        out_col, F.transform(comps, lambda c: c + guard)
+    )
+
+
 def lsh_bucket_signature(
     df: DataFrame,
     vec_col: str = "embedding",

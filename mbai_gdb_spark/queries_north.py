@@ -382,6 +382,44 @@ def sim_matmul_top5(spark, sf_dir):
     )
 
 
+def _sql_rp_dot(p: int) -> str:
+    """Oracle expression for random-projection component ``p``: the
+    sequential-accumulation dot of ``ve`` with xorshift-LCG plane p
+    (flat index p*64 + (i-1) — mirrors ops.similarity._plane_value)."""
+    h1 = f"((({p} * 64 + (i - 1)) * 1103515245 + 12345) % 2147483647)"
+    h2 = f"((xor({h1}, {h1} >> 13) * 1103515245 + 12345) % 2147483647)"
+    comp = f"((xor({h2}, {h2} >> 7) % 65536) / 65536.0 - 0.5)"
+    return (
+        "list_reduce(list_prepend(0.0, "
+        f"list_transform(generate_series(1, len(ve)), i -> ve[i] * {comp})), "
+        "(a, x) -> a + x)"
+    )
+
+
+@query(
+    "emb_random_projection",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings)
+    SELECT vec_id,
+           {", ".join(f"{_sql_rp_dot(p)} AS p{p}" for p in range(8))}
+    FROM v
+    """,
+)
+def emb_random_projection(spark, sf_dir):
+    """JL random projection 64 → 8 dims over the shared deterministic
+    plane family (`ops.similarity.random_projection` — the
+    unthresholded LSH signature).  Map-only, bit-stable sequential
+    dots; components emitted as scalar columns for the value hash."""
+    from mbai_gdb_spark.ops.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, out_dim=8)
+    return proj.select(
+        "vec_id",
+        *[F.element_at("projected", p + 1).alias(f"p{p}") for p in range(8)],
+    )
+
+
 def _sql_lsh_pairs(threshold: float, n_planes: int = 8, n_tables: int = 8) -> str:
     """Shared oracle prefix mirroring ops.similarity multi-table LSH:
     L hash tables of k hyperplanes each (flattened LCG plane index

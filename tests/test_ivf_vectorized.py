@@ -120,3 +120,37 @@ def test_vectorized_cosine_topk_partial_reduction_many_partitions(spark):
         )
     )
     assert got == want
+
+
+def test_random_projection_linearity_and_determinism(spark):
+    """proj is a fixed linear map: proj(2a) == 2*proj(a) exactly
+    (power-of-two scale, bit-exact), identical across repartitionings,
+    and the shared plane family means it equals the LSH signature's
+    unthresholded dots."""
+    import math
+
+    from mbai_gdb_spark.ops.similarity import random_projection
+
+    emb = read_table(spark, SF_DIR, "embeddings").limit(50)
+    base = {
+        r.vec_id: r.projected
+        for r in random_projection(emb, out_dim=6).collect()
+    }
+    doubled_in = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x * 2).alias("embedding")
+    )
+    doubled = {
+        r.vec_id: r.projected
+        for r in random_projection(doubled_in, out_dim=6).collect()
+    }
+    assert set(base) == set(doubled) and len(base) == 50
+    for k in base:
+        assert all(
+            d == 2 * b and math.isfinite(b)
+            for b, d in zip(base[k], doubled[k])
+        )
+    again = {
+        r.vec_id: r.projected
+        for r in random_projection(emb.repartition(7), out_dim=6).collect()
+    }
+    assert again == base
