@@ -49,6 +49,11 @@ HEADLINE = [
     "mm_decode_audio",
     "curate_corpus",
     "io_merge_idempotent",
+    # Round-4 additions: vectorized brute top-k, deterministic shuffle
+    # sharding, JL random projection
+    "sim_matmul_top5",
+    "shuffle_shards",
+    "emb_random_projection",
 ]
 
 
