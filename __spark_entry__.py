@@ -31,11 +31,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 101 oracle-bearing queries (98 at the r4 rotation cut + the round-4
-# tail additions sim_matmul_top5, shuffle_shards and
-# emb_random_projection, all r5 rotation candidates), so the 50-slot
-# window ROTATES each round until every query has a driver
-# CORRECTNESS row in some round's file.
+# 102 oracle-bearing queries (98 at the r4 rotation cut + the round-4
+# tail additions sim_matmul_top5, shuffle_shards,
+# emb_random_projection and sketch_decimal_quantiles, all r5 rotation
+# candidates), so the 50-slot window ROTATES each round until every
+# query has a driver CORRECTNESS row in some round's file.
 #
 # Round-4 head (exactly 50) = the complement of the round-3 head, so
 # that rounds 3+4 together driver-certify the ENTIRE 98-query registry:

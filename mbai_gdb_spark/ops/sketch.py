@@ -152,3 +152,61 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_count"))
     )
+
+
+def decimal_hist_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Mergeable quantile sketch: a DDSketch-style log-histogram whose
+    buckets are the DECIMAL mantissa of the (positive integer) value —
+    bucket = (#digits, first two digits) — so the whole sketch is exact
+    integer/string arithmetic any engine reproduces bit-for-bit (no
+    float log2 whose rounding at bucket boundaries diverges across
+    engines).  Relative error of the quantile estimate is bounded by
+    the bucket width: ≤ 10% for values ≥ 10 (two-digit mantissa), and
+    EXACT for values < 10 (each integer is its own bucket).
+
+    Output per group: n_values plus one ``p{q}_est`` column per
+    requested quantile — the UPPER bound of the first bucket whose
+    cumulative count reaches ``ceil(q*n)`` (both engines evaluate the
+    identical IEEE product, so the threshold is deterministic).
+
+    Scale shape: one partial+final count on (group, bucket) reduces the
+    data to ≤ ~9+90·digits buckets per group — the sketch a 1000-way
+    partial aggregation merges by ADDING bucket counts, which is the
+    mergeability contract (same reason KMV/CMS live here).  The window
+    pass after it runs on sketch-sized data only.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("long")
+    s = v.cast("string")
+    digits = F.length(s)
+    lead2 = F.when(digits == 1, v).otherwise(F.substring(s, 1, 2).cast("long"))
+    bucket_hi = F.when(digits == 1, v).otherwise(
+        (lead2 + 1) * F.pow(F.lit(10.0), (digits - 2).cast("double")).cast("long") - 1
+    )
+    counts = (
+        df.where(v >= 1)
+        .groupBy(*group_cols, bucket_hi.alias("__hi__"))
+        .agg(F.count(F.lit(1)).alias("__c__"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__hi__")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("__cum__", F.sum("__c__").over(w)).withColumn(
+        "__n__", F.sum("__c__").over(Window.partitionBy(*group_cols))
+    )
+    aggs = [F.max("__n__").alias("n_values")]
+    for q in qs:
+        thr = F.ceil(F.lit(q) * F.col("__n__")).cast("long")
+        name = f"p{int(round(q * 100))}_est"
+        aggs.append(
+            F.min(F.when(F.col("__cum__") >= thr, F.col("__hi__"))).alias(name)
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)

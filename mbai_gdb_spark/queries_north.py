@@ -712,6 +712,57 @@ def text_repetition(spark, sf_dir):
 
 
 @query(
+    "sketch_decimal_quantiles",
+    """
+    WITH vals AS (
+        SELECT source, length(text) AS v FROM documents WHERE length(text) >= 1
+    ),
+    b AS (
+        SELECT source,
+               CASE WHEN length(CAST(v AS VARCHAR)) = 1 THEN v
+                    ELSE (CAST(substr(CAST(v AS VARCHAR), 1, 2) AS BIGINT) + 1)
+                         * CAST(pow(10.0, length(CAST(v AS VARCHAR)) - 2) AS BIGINT)
+                         - 1
+               END AS hi
+        FROM vals
+    ),
+    c AS (SELECT source, hi, COUNT(*) AS c FROM b GROUP BY source, hi),
+    cm AS (
+        SELECT source, hi,
+               SUM(c) OVER (PARTITION BY source ORDER BY hi
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(c) OVER (PARTITION BY source) AS n
+        FROM c
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_values,
+           CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN hi END) AS BIGINT)
+               AS p50_est,
+           CAST(MIN(CASE WHEN cum >= ceil(0.9 * n) THEN hi END) AS BIGINT)
+               AS p90_est,
+           CAST(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN hi END) AS BIGINT)
+               AS p99_est
+    FROM cm GROUP BY source
+    """,
+)
+def sketch_decimal_quantiles(spark, sf_dir):
+    """Mergeable quantile sketch (decimal-mantissa log-histogram) over
+    document lengths per source — the third classic sketch beside KMV
+    distinct and count-min frequency.  Bucket = (#digits, two leading
+    digits): pure integer/string arithmetic, so the sketch (unlike
+    float-log2 DDSketch bucketing or engine-specific approx_percentile
+    bytes) is bit-reproducible in plain SQL; estimates carry a ≤10%
+    relative-error bound.  See ops.sketch.decimal_hist_quantiles."""
+    from mbai_gdb_spark.ops.sketch import decimal_hist_quantiles
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("doc_len")
+    )
+    return decimal_hist_quantiles(docs, ["source"], "doc_len")
+
+
+@query(
     "sketch_kmv_distinct",
     """
     WITH h AS (

@@ -184,3 +184,29 @@ def test_deterministic_shuffle_invariants(spark):
     assert {(r.doc_id, r.shard, r.pos) for r in other} != {
         (r.doc_id, r.shard, r.pos) for r in out
     }
+
+
+def test_decimal_hist_quantiles_error_bound_and_determinism(spark):
+    """Each p-estimate must be >= the true percentile and within the
+    documented 10% relative bucket error; identical results from any
+    input partitioning (mergeable bucket counts)."""
+    import numpy as np
+
+    from mbai_gdb_spark.ops.sketch import decimal_hist_quantiles
+
+    rng = [(1, int(v)) for v in np.random.RandomState(7).lognormal(5, 1.5, 2000)]
+    rng = [(g, v) for g, v in rng if v >= 1]
+    df = spark.createDataFrame(rng, "g long, v long")
+    out = decimal_hist_quantiles(df, ["g"], "v").collect()[0]
+    vals = sorted(v for _, v in rng)
+    n = len(vals)
+    import math
+
+    for q, est in [(0.5, out.p50_est), (0.9, out.p90_est), (0.99, out.p99_est)]:
+        true = vals[int(math.ceil(q * n)) - 1]
+        assert est >= true  # bucket UPPER bound never undershoots
+        assert est <= true * 1.11 + 9  # ≤10% mantissa error (+ exact band <10)
+    assert out.n_values == n
+
+    again = decimal_hist_quantiles(df.repartition(17), ["g"], "v").collect()[0]
+    assert again == out
