@@ -33,8 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # first 50 entries of queries() in iteration order; the registry holds
 # 102 oracle-bearing queries (98 at the r4 rotation cut + the round-4
 # tail additions sim_matmul_top5, shuffle_shards,
-# emb_random_projection and sketch_decimal_quantiles, all r5 rotation
-# candidates), so the 50-slot window ROTATES each round until every
+# emb_random_projection, sketch_decimal_quantiles, decontam_bloom,
+# graph_triangle_count, search_tfidf_topk and sketch_heavy_hitters, all
+# r5 rotation candidates), so the 50-slot window ROTATES each round until every
 # query has a driver CORRECTNESS row in some round's file.
 #
 # Round-4 head (exactly 50) = the complement of the round-3 head, so

@@ -900,6 +900,78 @@ def decontam_eval_overlap(spark, sf_dir):
     return contamination_hits(corpus, ev, k=4, min_common=1)
 
 
+def _sql_bloom_pos(j: str, m_bits: int) -> str:
+    """Oracle expression for Bloom probe position ``j`` of ``sh_id`` —
+    mirrors ops.decontam._bloom_pos exactly (stride 77, Knuth LCG)."""
+    return (
+        f"((((sh_id + ({j}) * 77) % 2147483647) * 2654435761 + 97)"
+        f" % 2147483647) % {m_bits}"
+    )
+
+
+@query(
+    "decontam_bloom",
+    f"""
+    WITH {_sql_shingles(4)},
+    sh_ids AS (
+        SELECT DISTINCT doc_id,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(shingle, ''), c -> ascii(c))),
+                   (a, x) -> (a * 31 + x) % 2147483647) AS sh_id
+        FROM sh
+    ),
+    ev_pos AS (
+        SELECT DISTINCT {_sql_bloom_pos("j.j", 1 << 20)} AS pos
+        FROM (SELECT DISTINCT sh_id FROM sh_ids WHERE doc_id % 50 = 0),
+             UNNEST(generate_series(0, 3)) AS j(j)
+    ),
+    bitmap AS (
+        SELECT pos // 32 AS word_idx,
+               bit_or(CAST(pow(2.0, pos % 32) AS BIGINT)) AS word
+        FROM ev_pos GROUP BY 1
+    ),
+    co AS (SELECT doc_id, sh_id FROM sh_ids WHERE doc_id % 50 <> 0),
+    probe AS (
+        SELECT doc_id, sh_id, {_sql_bloom_pos("j.j", 1 << 20)} AS pos
+        FROM co, UNNEST(generate_series(0, 3)) AS j(j)
+    ),
+    member AS (
+        SELECT p.doc_id, p.sh_id
+        FROM probe p JOIN bitmap b ON p.pos // 32 = b.word_idx
+        WHERE (b.word & CAST(pow(2.0, p.pos % 32) AS BIGINT)) <> 0
+        GROUP BY p.doc_id, p.sh_id
+        HAVING COUNT(*) = 4
+    ),
+    flagged AS (SELECT doc_id, COUNT(*) AS n_flagged FROM member GROUP BY doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM co GROUP BY doc_id)
+    SELECT doc_id, CAST(n_flagged AS BIGINT) AS n_flagged,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_flagged AS DOUBLE) / n_shingles AS flag_frac
+    FROM flagged JOIN sizes USING (doc_id)
+    """,
+)
+def decontam_bloom(spark, sf_dir):
+    """Bloom-filter decontamination: same eval split as
+    ``decontam_eval_overlap`` (doc_id % 50 = 0 plays the benchmark), but
+    membership goes through a packed 2^20-bit / 4-hash broadcast bitmap
+    instead of the eval shingle strings — the form that still fits in a
+    broadcast when the eval union has 100M shingles.  Corpus side is
+    map-only (broadcast-hash-join on word index, no corpus shuffle);
+    no false negatives, deterministic false positives, so the oracle
+    replays the exact bitmap and holds the result to equality.
+    See ops.decontam.bloom_contamination."""
+    from mbai_gdb_spark.ops.decontam import bloom_contamination
+    from mbai_gdb_spark.ops.dedup import char_poly_id, shingle_set
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh_ids = shingle_set(docs, "doc_id", "text", k=4).select(
+        "doc_id", char_poly_id("shingle").alias("sh_id")
+    ).distinct()
+    ev = sh_ids.filter(F.col("doc_id") % 50 == 0).select("sh_id").distinct()
+    co = sh_ids.filter(F.col("doc_id") % 50 != 0)
+    return bloom_contamination(co, ev, m_bits=1 << 20, k=4)
+
+
 @query(
     "pack_sequences",
     r"""
