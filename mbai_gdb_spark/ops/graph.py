@@ -282,3 +282,63 @@ def pagerank_integer(
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex triangle counts: (vertex, n_triangles).
+
+    Degree-ordered orientation (the MapReduce-era NodeIterator++ /
+    Suri-Vassilvitskii scheme): canonicalize the undirected edge set,
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher, enumerate wedges by self-joining oriented edges on their
+    source, and close each wedge against the oriented edge set.  After
+    orientation every vertex has out-degree <= O(sqrt(2m)), so the
+    wedge join's per-key fan-out — the quantity that explodes on
+    power-law graphs when you join on raw adjacency — is bounded by
+    sqrt(m) whatever the degree skew; total wedge volume is <= m^1.5.
+    Three hash equi-joins + one explode/groupBy; no iteration, no
+    driver-side state.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("vid"))
+        .unionAll(e.select(F.col("v").alias("vid")))
+        .groupBy("vid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = (
+        e.join(deg.withColumnRenamed("vid", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("vid", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1 = oriented.select(F.col("a"), F.col("b"), F.col("db"))
+    o2 = oriented.select(
+        F.col("a"), F.col("b").alias("c"), F.col("db").alias("dc")
+    )
+    wedges = o1.join(o2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

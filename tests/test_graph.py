@@ -107,3 +107,39 @@ def test_bfs_hop_counts(spark):
         for r in bfs(vertices, edges, sources=[3], directed=False).collect()
     }
     assert undirected == {3: 0, 2: 1, 1: 2, 0: 3, 4: 3}
+
+
+def test_triangle_count_known_graph(spark):
+    from mbai_gdb_spark.ops.graph import triangle_count
+
+    # K4 on {0,1,2,3} (4 triangles, each vertex in 3) plus a pendant
+    # edge 3-4 and an isolated edge 5-6 (no triangles).
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 4), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r.vertex: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_count_direction_and_dup_invariant(spark):
+    from mbai_gdb_spark.ops.graph import triangle_count
+
+    # Same triangle presented with mixed directions, duplicates and a
+    # self-loop — canonicalization must absorb all of it.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 2), (1, 3), (3, 1), (2, 2)], "src long, dst long"
+    )
+    got = {r.vertex: r.n_triangles for r in triangle_count(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_count_star_hub_has_none(spark):
+    from mbai_gdb_spark.ops.graph import triangle_count
+
+    # Skew shape: hub 0 connected to 50 spokes, no spoke-spoke edges →
+    # zero triangles despite the hub's degree.
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 51)], "src long, dst long"
+    )
+    assert triangle_count(edges).count() == 0
