@@ -331,3 +331,70 @@ def stub_classifier_weights(spark, n_buckets: int = 4096) -> DataFrame:
         .cast("long")
         .alias("w_micros"),
     )
+
+
+def search_topk_invdf(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Inverted-index keyword search: top-``k`` documents per query by
+    summed tf × inverse-df term weights — (query_id, rank, doc_id,
+    score).
+
+    Weighting is the integer-rational ``idf = (N * scale) div df``
+    rather than the classical ``ln(N/df)``: same monotone
+    rare-terms-win ordering, but every score is an exact BIGINT an
+    external engine reproduces bit-for-bit (ln() is not guaranteed
+    correctly rounded across libms, so a float idf could flip
+    near-tied ranks between engines).  Swap in a log idf for
+    production relevance if cross-engine exactness is not needed.
+
+    Plan shape at scale: postings (term, doc, tf) are one explode +
+    hash-groupBy over the corpus — the classic inverted index, built
+    once and reusable across query batches.  The query term set is
+    tiny and BROADCAST, so scoring touches only postings of queried
+    terms (map-side semi-join) and the per-(query, doc) aggregation
+    shuffles only those hits.  Document frequencies come from one
+    additional groupBy on the postings' term key (reuses the same
+    partitioning).  Top-k is a per-query row_number window — the
+    number of live queries bounds the window's key count.  Ties break
+    by doc_id for a deterministic, hashable ranking.
+    """
+    from pyspark.sql import Window as W
+
+    postings = (
+        docs.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # bounded scalar: one number for the idf literal
+    qterms = (
+        queries_df.select(
+            F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    scores = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(df_t, "term")
+        .withColumn("idf", F.expr(f"CAST({n_docs} AS BIGINT) * {scale} div df"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.col("tf") * F.col("idf")).alias("score"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, F.col("score").cast("long").alias("score"))
+    )

@@ -1697,3 +1697,62 @@ def sketch_cms_token_freq(spark, sf_dir):
         "true_count",
         F.col("cms_count").cast("long").alias("cms_count"),
     )
+
+
+_SEARCH_QUERIES = [
+    ("q1", "hash join merge"),
+    ("q2", "window sort order"),
+    ("q3", "stream batch dup scan"),
+]
+_SQL_SEARCH_VALUES = ", ".join(f"('{i}', '{t}')" for i, t in _SEARCH_QUERIES)
+
+
+@query(
+    "search_tfidf_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    postings AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY term, doc_id
+    ),
+    dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    q(query_id, qtext) AS (VALUES {_SQL_SEARCH_VALUES}),
+    qt AS (
+        SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term
+        FROM q
+    ),
+    scores AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(SUM(p.tf * ((n.n * 1000000) // dft.df)) AS BIGINT) AS score
+        FROM postings p JOIN qt USING (term) JOIN dft USING (term), n
+        GROUP BY qt.query_id, p.doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM scores
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def search_tfidf_topk(spark, sf_dir):
+    """Keyword search over the corpus: top-10 documents per query by
+    tf × inverse-df weight, through a proper inverted index (postings
+    built once, query terms broadcast, scoring touches only queried
+    postings).  Integer-rational idf keeps every score an exact
+    BIGINT — see ops.text.search_topk_invdf for the plan-shape and
+    weighting notes."""
+    from mbai_gdb_spark.ops.text import search_topk_invdf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = spark.createDataFrame(
+        _SEARCH_QUERIES, "query_id string, qtext string"
+    )
+    return search_topk_invdf(docs, queries_df, k=10)

@@ -1,0 +1,75 @@
+"""Tests for the inverted-index top-k keyword search
+(ops.text.search_topk_invdf)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.text import search_topk_invdf
+
+
+def _run(spark, docs_rows, query_rows, k=10):
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    qs = spark.createDataFrame(query_rows, "query_id string, qtext string")
+    return search_topk_invdf(docs, qs, k=k)
+
+
+def test_search_rare_term_outranks_common(spark):
+    # "zebra" appears in one doc of four (idf 4M), "the" in all (idf 1M).
+    rows = _run(
+        spark,
+        [
+            (1, "the zebra"),
+            (2, "the the the"),
+            (3, "the cat"),
+            (4, "the dog"),
+        ],
+        [("q", "the zebra")],
+    ).collect()
+    got = [(r.rank, r.doc_id, r.score) for r in sorted(rows, key=lambda r: r.rank)]
+    # doc1: 1*1M (the) + 1*4M (zebra) = 5M; doc2: 3*1M; docs 3,4: 1M each.
+    assert got == [(1, 1, 5_000_000), (2, 2, 3_000_000), (3, 3, 1_000_000), (4, 4, 1_000_000)]
+
+
+def test_search_tie_breaks_by_doc_id(spark):
+    rows = _run(
+        spark,
+        [(9, "apple pie"), (3, "apple tart"), (7, "banana split")],
+        [("q", "apple")],
+        k=1,
+    ).collect()
+    assert len(rows) == 1 and rows[0].doc_id == 3 and rows[0].rank == 1
+
+
+def test_search_k_bounds_output(spark):
+    docs = [(i, "common filler") for i in range(20)]
+    rows = _run(spark, docs, [("q", "common")], k=5).collect()
+    assert len(rows) == 5
+    assert sorted(r.rank for r in rows) == [1, 2, 3, 4, 5]
+    assert sorted(r.doc_id for r in rows) == [0, 1, 2, 3, 4]  # tie-break
+
+
+def test_search_multi_query_isolated(spark):
+    rows = _run(
+        spark,
+        [(1, "alpha alpha"), (2, "beta beta"), (3, "alpha beta")],
+        [("qa", "alpha"), ("qb", "beta")],
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.doc_id)
+    assert set(by_q["qa"]) == {1, 3} and set(by_q["qb"]) == {2, 3}
+
+
+def test_search_duplicate_query_terms_count_once(spark):
+    once = _run(spark, [(1, "apple"), (2, "pear")], [("q", "apple")]).collect()
+    twice = _run(spark, [(1, "apple"), (2, "pear")], [("q", "apple apple")]).collect()
+    assert [(r.doc_id, r.score) for r in once] == [(r.doc_id, r.score) for r in twice]
+
+
+def test_search_query_terms_broadcast(spark):
+    df = _run(spark, [(1, "a b c")], [("q", "a")])
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
