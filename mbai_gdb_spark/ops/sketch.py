@@ -210,3 +210,58 @@ def decimal_hist_quantiles(
             F.min(F.when(F.col("__cum__") >= thr, F.col("__hi__"))).alias(name)
         )
     return cum.groupBy(*group_cols).agg(*aggs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 512,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT counts of values occurring >= ``threshold`` times, without
+    ever shuffling the long tail: (value, n_occurrences).
+
+    The classic two-pass frequent-items shape:
+
+    1. build the bounded count-min table (:func:`count_min_sketch` —
+       map-side partials, <= depth*width rows however large the input);
+    2. annotate every input row MAP-SIDE with its CMS estimate — the
+       sketch rows arrive via ``depth`` broadcast hash joins, one per
+       sketch row, so no input-side shuffle — and drop rows whose
+       estimate is already < threshold.  CMS only overestimates, so no
+       true heavy hitter is lost here; only the tail is.
+    3. exact groupBy over the survivors (the data volume is now
+       ~(#heavy values + CMS false positives) * threshold, not the raw
+       input), then the exact HAVING filter.
+
+    The output is therefore byte-identical to ``GROUP BY value HAVING
+    COUNT(*) >= threshold`` — the sketch is purely a performance
+    structure, which is why the oracle can be plain SQL.  At 100 TB
+    the win is that step 3's shuffle carries only heavy keys: the
+    zipfian tail (the overwhelming majority of distinct values) dies
+    map-side in step 2.
+
+    ``payload_cols``: extra columns carried alongside ``value_col``
+    (e.g. the human-readable token when ``value_col`` is its hash);
+    they must be functionally dependent on the value.
+    """
+    payload_cols = payload_cols or []
+    sketch = count_min_sketch(df, value_col, depth, width)
+    cur = df.select(F.col(value_col).alias("__v__"), *payload_cols)
+    for j in range(depth):
+        sj = sketch.filter(F.col("sk_row") == j).select(
+            F.col("bucket").alias(f"__b{j}__"), F.col("cnt").alias(f"__c{j}__")
+        )
+        cur = cur.withColumn(
+            f"__b{j}__", cms_hash(F.col("__v__"), j, width)
+        ).join(F.broadcast(sj), f"__b{j}__", "left")
+    est = F.least(*[F.coalesce(F.col(f"__c{j}__"), F.lit(0)) for j in range(depth)])
+    return (
+        cur.filter(est >= threshold)
+        .groupBy("__v__", *payload_cols)
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= threshold)
+        .select(F.col("__v__").alias(value_col), *payload_cols, "n_occurrences")
+    )

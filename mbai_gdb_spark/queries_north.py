@@ -1756,3 +1756,41 @@ def search_tfidf_topk(spark, sf_dir):
         _SEARCH_QUERIES, "query_id string, qtext string"
     )
     return search_topk_invdf(docs, queries_df, k=10)
+
+
+@query(
+    "sketch_heavy_hitters",
+    f"""
+    WITH toks AS (
+        SELECT t AS token FROM (
+            SELECT unnest({_SQL_TOKS}) AS t FROM documents
+        ) WHERE t <> ''
+    ),
+    tt AS (SELECT COUNT(*) AS total FROM toks),
+    c AS (SELECT token, COUNT(*) AS n FROM toks GROUP BY token)
+    SELECT token, CAST(n AS BIGINT) AS n_occurrences
+    FROM c, tt WHERE n >= total // 40
+    """,
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Frequent tokens (count >= 2.5% of the token stream) by the
+    two-pass CMS-candidate + exact-recount scheme: the count-min table
+    bounds memory, the tail dies map-side against the broadcast sketch,
+    and only heavy keys reach the exact aggregation — so the result is
+    byte-identical to the oracle's plain GROUP BY ... HAVING while the
+    shuffle volume is proportional to the heavy set, not the vocabulary.
+    See ops.sketch.heavy_hitters."""
+    from mbai_gdb_spark.ops.dedup import char_poly_id
+    from mbai_gdb_spark.ops.sketch import heavy_hitters
+    from mbai_gdb_spark.ops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    threshold = max(toks.count() // 40, 1)  # bounded scalar, mirrors tt
+    ids = toks.select(char_poly_id("token").alias("tok_id"), "token")
+    return heavy_hitters(
+        ids, "tok_id", threshold, payload_cols=["token"]
+    ).select("token", "n_occurrences")

@@ -210,3 +210,63 @@ def test_decimal_hist_quantiles_error_bound_and_determinism(spark):
 
     again = decimal_hist_quantiles(df.repartition(17), ["g"], "v").collect()[0]
     assert again == out
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters (CMS candidates + exact recount)
+# --------------------------------------------------------------------------
+
+
+def test_heavy_hitters_matches_exact_group_by(spark):
+    from mbai_gdb_spark.ops.sketch import heavy_hitters
+
+    # zipf-ish: value v appears 200//v times
+    rows = [(v,) for v in range(1, 60) for _ in range(200 // v)]
+    df = spark.createDataFrame(rows, "val long")
+    got = {
+        r.val: r.n_occurrences
+        for r in heavy_hitters(df, "val", threshold=20).collect()
+    }
+    truth = {
+        r.val: r.n
+        for r in df.groupBy("val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 20)
+        .collect()
+    }
+    assert got == truth
+    assert got and min(got.values()) >= 20
+
+
+def test_heavy_hitters_exact_even_with_saturated_sketch(spark):
+    from mbai_gdb_spark.ops.sketch import heavy_hitters
+
+    # width=2 forces massive CMS collisions: every value becomes a
+    # candidate, but the exact recount still yields the exact answer.
+    rows = [(v,) for v in range(50) for _ in range(1 + 10 * (v % 3 == 0))]
+    df = spark.createDataFrame(rows, "val long")
+    got = {
+        r.val: r.n_occurrences
+        for r in heavy_hitters(df, "val", threshold=5, depth=2, width=2).collect()
+    }
+    assert got == {v: 11 for v in range(50) if v % 3 == 0}
+
+
+def test_heavy_hitters_payload_carried(spark):
+    from mbai_gdb_spark.ops.sketch import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(1, "one")] * 5 + [(2, "two")] * 2, "val long, name string"
+    )
+    rows = heavy_hitters(df, "val", threshold=3, payload_cols=["name"]).collect()
+    assert [(r.val, r.name, r.n_occurrences) for r in rows] == [(1, "one", 5)]
+
+
+def test_heavy_hitters_sketch_joins_are_broadcast(spark):
+    from mbai_gdb_spark.ops.sketch import heavy_hitters
+
+    df = spark.createDataFrame([(v % 5,) for v in range(100)], "val long")
+    plan = heavy_hitters(df, "val", threshold=10)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
