@@ -54,6 +54,12 @@ HEADLINE = [
     "sim_matmul_top5",
     "shuffle_shards",
     "emb_random_projection",
+    # Round-4 tail: Bloom decontamination, triangle counting, inverted-
+    # index search, CMS-candidate heavy hitters
+    "decontam_bloom",
+    "graph_triangle_count",
+    "search_tfidf_topk",
+    "sketch_heavy_hitters",
 ]
 
 

@@ -398,3 +398,68 @@ def search_topk_invdf(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, F.col("score").cast("long").alias("score"))
     )
+
+
+def mlm_mask(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mask_pct: int = 15,
+    mod: int = 2_147_483_647,
+) -> DataFrame:
+    """Deterministic BERT-style MLM masking plan: one row per MASKED
+    position — (doc_id, pos, token, action, out_token).
+
+    Selection and the 80/10/10 action split (mask / random-replace /
+    keep) are driven by an integer LCG over (doc_id, pos), so the same
+    corpus always yields the same masking plan — reproducible training
+    batches without storing a random state, re-derivable by any engine
+    (the oracle replays it in SQL).  The random replacement token is
+    drawn from the document's own token list by a second hash — a
+    self-contained stand-in for a vocabulary draw that needs no
+    dictionary broadcast.
+
+    Map-only: posexplode over the token array with the array carried
+    alongside, so the replacement lookup is an element_at, not a join.
+    Scale shape: zero shuffles, zero collects — pure narrow pipeline.
+    """
+    h1 = (
+        (F.col(id_col).cast("long") * 1_000_003 + F.col("pos")) * 48271 + 11
+    ) % mod
+    h2 = (h1 * 2_654_435_761 + 97) % mod
+    arr = tokens(text_col)
+    exploded = (
+        docs.select(F.col(id_col), arr.alias("__toks__"))
+        .filter(F.size("__toks__") > 0)
+        .select(
+            id_col,
+            "__toks__",
+            F.posexplode("__toks__").alias("pos0", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select(
+            id_col, "__toks__", (F.col("pos0") + 1).alias("pos"), "token"
+        )
+    )
+    roll = h2 % 10
+    rpos = (h2 / 10).cast("long") % F.size("__toks__") + 1
+    action = (
+        F.when(roll <= 7, F.lit("mask"))
+        .when(roll == 8, F.lit("random"))
+        .otherwise(F.lit("keep"))
+    )
+    out_token = (
+        F.when(roll <= 7, F.lit("[MASK]"))
+        .when(roll == 8, F.element_at("__toks__", rpos.cast("int")))
+        .otherwise(F.col("token"))
+    )
+    return (
+        exploded.filter(h1 % 100 < mask_pct)
+        .select(
+            id_col,
+            "pos",
+            "token",
+            action.alias("action"),
+            out_token.alias("out_token"),
+        )
+    )

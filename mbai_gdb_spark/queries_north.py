@@ -1794,3 +1794,48 @@ def sketch_heavy_hitters(spark, sf_dir):
     return heavy_hitters(
         ids, "tok_id", threshold, payload_cols=["token"]
     ).select("token", "n_occurrences")
+
+
+@query(
+    "text_mlm_mask",
+    f"""
+    WITH tok_arrays AS (
+        SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, t, i AS pos, t[i] AS token
+        FROM tok_arrays, UNNEST(generate_series(1, len(t))) AS u(i)
+        WHERE t[i] <> ''
+    ),
+    hashed AS (
+        SELECT *,
+               ((doc_id * 1000003 + pos) * 48271 + 11) % 2147483647 AS h1
+        FROM toks
+    ),
+    rolled AS (
+        SELECT *, (h1 * 2654435761 + 97) % 2147483647 AS h2
+        FROM hashed WHERE h1 % 100 < 15
+    )
+    SELECT doc_id, CAST(pos AS BIGINT) AS pos, token,
+           CASE WHEN h2 % 10 <= 7 THEN 'mask'
+                WHEN h2 % 10 = 8 THEN 'random'
+                ELSE 'keep' END AS action,
+           CASE WHEN h2 % 10 <= 7 THEN '[MASK]'
+                WHEN h2 % 10 = 8 THEN t[CAST((h2 // 10) % len(t) + 1 AS INT)]
+                ELSE token END AS out_token
+    FROM rolled
+    """,
+)
+def text_mlm_mask(spark, sf_dir):
+    """Deterministic MLM masking plan (BERT 80/10/10) over the corpus —
+    LCG-selected 15% of token positions, map-only, zero shuffles; the
+    oracle replays the identical integer arithmetic.  See
+    ops.text.mlm_mask for why determinism (reproducible batches, no
+    stored random state) is the 100 TB-friendly formulation."""
+    from mbai_gdb_spark.ops.text import mlm_mask
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = mlm_mask(docs)
+    return out.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "token", "action", "out_token"
+    )

@@ -73,3 +73,53 @@ def test_search_query_terms_broadcast(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------------------
+# mlm_mask (deterministic MLM masking plan)
+# --------------------------------------------------------------------------
+
+
+def _mask(spark, rows, **kw):
+    from mbai_gdb_spark.ops.text import mlm_mask
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return mlm_mask(docs, **kw)
+
+
+def test_mlm_mask_deterministic_and_in_range(spark):
+    rows = [(i, " ".join(f"tok{j}" for j in range(40))) for i in range(50)]
+    a = _mask(spark, rows).collect()
+    b = _mask(spark, rows).collect()
+    key = lambda r: (r.doc_id, r.pos)
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    n_tokens = 50 * 40
+    # ~15% selection with slack
+    assert 0.10 * n_tokens < len(a) < 0.20 * n_tokens
+    for r in a:
+        assert 1 <= r.pos <= 40
+        assert r.token == f"tok{r.pos - 1}"
+
+
+def test_mlm_mask_action_semantics(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(30))) for i in range(100)]
+    out = _mask(spark, rows).collect()
+    by_action = {}
+    for r in out:
+        by_action.setdefault(r.action, []).append(r)
+    # 80/10/10 split within slack
+    n = len(out)
+    assert 0.7 < len(by_action["mask"]) / n < 0.9
+    for r in by_action["mask"]:
+        assert r.out_token == "[MASK]"
+    for r in by_action["keep"]:
+        assert r.out_token == r.token
+    for r in by_action["random"]:
+        # replacement is drawn from the same document's vocabulary
+        assert r.out_token.startswith("w")
+
+
+def test_mlm_mask_empty_and_single_token_docs(spark):
+    out = _mask(spark, [(1, ""), (2, "   "), (3, "solo")]).collect()
+    for r in out:
+        assert r.doc_id == 3 and r.token == "solo"
