@@ -100,12 +100,11 @@ def bloom_bitmap(
     (``bit_or`` has a map-side partial), so the eval side never
     concentrates on one task however large the benchmark union is.
     """
-    positions = None
-    for j in range(k):
-        pj = shingle_ids.select(
-            _bloom_pos(F.col(id_col), j, m_bits).alias("pos")
-        )
-        positions = pj if positions is None else positions.unionAll(pj)
+    positions = shingle_ids.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(id_col), j, m_bits) for j in range(k)])
+        ).alias("pos")
+    )
     return (
         positions.distinct()
         .select(
@@ -138,13 +137,13 @@ def bloom_contamination(
     given (m_bits, k) and the LCG family.
     """
     bitmap = bloom_bitmap(eval_shingle_ids, id_col=id_col, m_bits=m_bits, k=k)
-    probes = None
-    for j in range(k):
-        pj = corpus_shingle_ids.select(
-            doc_col, id_col, _bloom_pos(F.col(id_col), j, m_bits).alias("pos")
-        )
-        probes = pj if probes is None else probes.unionAll(pj)
-    probes = probes.select(
+    probes = corpus_shingle_ids.select(
+        doc_col,
+        id_col,
+        F.explode(
+            F.array(*[_bloom_pos(F.col(id_col), j, m_bits) for j in range(k)])
+        ).alias("pos"),
+    ).select(
         doc_col,
         id_col,
         F.floor(F.col("pos") / WORD_BITS).cast("long").alias("word_idx"),
