@@ -2010,3 +2010,85 @@ def w14_cohort_weekly_retention(spark, sf_dir):
         .groupBy("cohort_week", offset.alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "w15_gap_fill",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM ev
+    ),
+    daily AS (SELECT user_id, day, value FROM ranked WHERE rn = 1),
+    span AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span
+    ),
+    j AS (
+        SELECT g.user_id, g.day, d.value
+        FROM grid g LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_filled,
+           CAST(value IS NOT NULL AS INT) AS is_observed
+    FROM j
+    """,
+)
+def w15_gap_fill(spark, sf_dir):
+    """Time-series gap fill: densify each user's event stream onto a
+    daily grid between their first and last activity, forward-filling
+    the last observed value across silent days (the standard
+    resample-and-ffill of telemetry/feature pipelines).  Day-level
+    observation = last event of the day (ts desc, event_id desc — a
+    deterministic tie-break).  Plan: one row_number window for the
+    daily reduce, a per-user sequence() explode for the grid (grid size
+    is bounded by the user's own activity span — no global calendar
+    join), a left join back, and one ignore-nulls last() window.  All
+    keys partition by user_id, so the three window/join steps reuse one
+    shuffle partitioning; values pass through untouched (no float
+    arithmetic), so the hash gate is exact."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+    w_rn = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w_ff = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(w_ff).alias("value_filled"),
+        F.col("value").isNotNull().cast("int").alias("is_observed"),
+    )

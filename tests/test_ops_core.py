@@ -216,3 +216,57 @@ def test_funnel_strict_ordering_excludes_ties(spark):
     ev = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
     out = funnel_first_completion(ev, ["view", "click"]).collect()[0]
     assert out["steps_completed"] == 1 and out["first_click_ts"] is None
+
+
+# --------------------------------------------------------------------------
+# w15 gap fill (daily densify + forward fill) — query-level unit test
+# --------------------------------------------------------------------------
+
+
+def test_gap_fill_densifies_and_forward_fills(spark):
+    import datetime as dt
+
+    from mbai_gdb_spark.queries import QUERIES
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    # Build the same pipeline inline on a controlled frame.
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 9), 10, 1.5),
+            (1, dt.datetime(2024, 1, 1, 17), 11, 2.5),  # later → wins day 1
+            (1, dt.datetime(2024, 1, 4, 8), 12, 7.0),   # 2-day gap
+            (2, dt.datetime(2024, 1, 2, 12), 13, 9.0),  # single-day user
+        ],
+        "user_id long, ts timestamp, event_id long, value double",
+    ).withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+    w_rn = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w_ff = (
+        W.partitionBy("user_id").orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = joined.select(
+        "user_id", "day",
+        F.last("value", ignorenulls=True).over(w_ff).alias("value_filled"),
+        F.col("value").isNotNull().cast("int").alias("is_observed"),
+    ).collect()
+    got = {(r.user_id, str(r.day)): (r.value_filled, r.is_observed) for r in out}
+    assert got == {
+        (1, "2024-01-01"): (2.5, 1),  # last event of the day wins
+        (1, "2024-01-02"): (2.5, 0),  # forward-filled
+        (1, "2024-01-03"): (2.5, 0),
+        (1, "2024-01-04"): (7.0, 1),
+        (2, "2024-01-02"): (9.0, 1),  # single-day span: no padding
+    }
