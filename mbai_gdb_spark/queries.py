@@ -2092,3 +2092,53 @@ def w15_gap_fill(spark, sf_dir):
         F.last("value", ignorenulls=True).over(w_ff).alias("value_filled"),
         F.col("value").isNotNull().cast("int").alias("is_observed"),
     )
+
+
+@query(
+    "w16_rolling_7d",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ets,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_id, user_id, ets,
+           CAST(SUM(cents) OVER w AS BIGINT) AS roll_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS roll_n
+    FROM ev
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ets
+        RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w16_rolling_7d(spark, sf_dir):
+    """Rolling 7-day per-user aggregate: for every event, the sum/count
+    of that user's events in the trailing week — the standard
+    time-RANGE sliding window of feature pipelines (not a row-count
+    frame: gaps and bursts change how many rows the frame holds).
+    RANGE frames include all epoch ties as peers, so the result is
+    deterministic under any shuffle order; sums run in integer cents
+    (exact).  One shuffle on user_id; the frame is evaluated by a
+    single running-window pass over each partition's sort — no
+    self-join, no explode."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("ets"),
+        scaled_long(F.col("value"), 100).alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ets")
+        .rangeBetween(-604_800_000_000, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ets",
+        F.sum("cents").over(w).alias("roll_cents"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )

@@ -270,3 +270,38 @@ def test_gap_fill_densifies_and_forward_fills(spark):
         (1, "2024-01-04"): (7.0, 1),
         (2, "2024-01-02"): (9.0, 1),  # single-day span: no padding
     }
+
+
+def test_rolling_range_window_semantics(spark):
+    """RANGE frame includes ties and excludes events older than the
+    window; gaps change the frame row count (unlike ROWS frames)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    day = 86_400_000_000
+    rows = [
+        (1, 1, 0 * day, 100),
+        (2, 1, 3 * day, 200),
+        (3, 1, 7 * day, 400),   # exactly 7 days after e1 → e1 included
+        (4, 1, 8 * day, 800),   # e1 now out of range
+        (5, 1, 8 * day, 1600),  # epoch tie with e4 → peers, both in both frames
+        (6, 2, 0 * day, 7),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ets long, cents long")
+    w = W.partitionBy("user_id").orderBy("ets").rangeBetween(-7 * day, W.currentRow)
+    got = {
+        r.event_id: (r.roll, r.n)
+        for r in ev.select(
+            "event_id",
+            F.sum("cents").over(w).alias("roll"),
+            F.count(F.lit(1)).over(w).alias("n"),
+        ).collect()
+    }
+    assert got == {
+        1: (100, 1),
+        2: (300, 2),
+        3: (700, 3),
+        4: (3000, 4),  # e2,e3,e4,e5 (tie peer included)
+        5: (3000, 4),
+        6: (7, 1),
+    }
