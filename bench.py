@@ -60,6 +60,9 @@ HEADLINE = [
     "graph_triangle_count",
     "search_tfidf_topk",
     "sketch_heavy_hitters",
+    "text_mlm_mask",
+    "w15_gap_fill",
+    "w16_rolling_7d",
 ]
 
 
