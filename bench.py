@@ -63,6 +63,8 @@ HEADLINE = [
     "text_mlm_mask",
     "w15_gap_fill",
     "w16_rolling_7d",
+    "emb_pq_codes",
+    "sim_pq_adc_top5",
 ]
 
 

@@ -727,3 +727,154 @@ def ivf_probe_persisted(
         k,
         rank_alias="rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compact codes + asymmetric-distance search
+# ---------------------------------------------------------------------------
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Sequential-order squared L2 distance (deterministic accumulation,
+    mirrored 1:1 by the SQL oracles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    stride: int = 50,
+) -> DataFrame:
+    """Deterministic PQ codebook: (sub_id, code_id, cw).
+
+    Codewords are the sub_vectors of every ``stride``-th corpus vector
+    (ids 0, stride, 2*stride, ... < n_codes*stride) — the same
+    stride-sampled quantizer trick as the IVF oracle path: no k-means
+    in the oracled pipeline, so an external engine rebuilds the exact
+    codebook.  ``ops.kmeans.kmeans_fit`` remains the production
+    trainer; swap its centroids in for better codes when cross-engine
+    exactness is not required.
+    """
+    vid = F.col(id_col)
+    base = emb.filter((vid % stride == 0) & (vid < n_codes * stride)).select(
+        F.expr(f"{id_col} div {stride}").alias("code_id"),
+        as_double(F.col(vec_col)).alias("__v__"),
+    )
+    slices = F.array(
+        *[F.slice("__v__", m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+    )
+    return base.select(
+        "code_id", F.posexplode(slices).alias("sub_id", "cw")
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """PQ-encode the corpus: (vec_id, sub_id, code_id) — each vector's
+    sub_vector mapped to its nearest codeword (squared-L2, code_id
+    tie-break).
+
+    Plan shape: the corpus explodes to m_sub rows, broadcast-hash-joins
+    the <= m_sub*n_codes-row codebook, and a (vec, sub)-partitioned
+    row_number picks the argmin — no shuffle of the corpus beyond the
+    m_sub-way explode, and the 64-float vector compresses to m_sub
+    small ints (the whole point: a billion-vector index fits where the
+    raw vectors never would).
+    """
+    from pyspark.sql import Window as W
+
+    vecs = emb.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v__"))
+    slices = F.array(
+        *[F.slice("__v__", m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+    )
+    vsubs = vecs.select(id_col, F.posexplode(slices).alias("sub_id", "sv"))
+    dists = vsubs.join(F.broadcast(codebook), "sub_id").withColumn(
+        "__d__", l2_sq(F.col("sv"), F.col("cw"))
+    )
+    w = W.partitionBy(id_col, "sub_id").orderBy(
+        F.col("__d__").asc(), F.col("code_id").asc()
+    )
+    return (
+        dists.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(id_col, "sub_id", "code_id")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    stride: int = 50,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: (query_id, vec_id, adc_dist, rank).
+
+    Classic ADC (Jegou et al., PAMI 2011): the corpus is scanned only
+    as codes; each query precomputes an m_sub × n_codes distance table
+    (query sub_vector vs every codeword), and a candidate's approximate
+    distance is the sum of m_sub table lookups — no corpus-side float
+    math at query time.  Here the lookup is a broadcast join of the
+    tiny table against the code rows, the per-(query, vec) sum pivots
+    the m_sub rows to columns and adds them in a FIXED left-to-right
+    chain (doubles stay bit-identical across engines and shuffle
+    orders), and ties rank by vec_id.
+    """
+    from pyspark.sql import Window as W
+
+    cb = pq_codebook(
+        corpus, id_col, vec_col, m_sub, sub_dim, n_codes, stride
+    )
+    codes = pq_encode(corpus, cb, id_col, vec_col, m_sub, sub_dim)
+    qvecs = queries.select(
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__q__")
+    )
+    qslices = F.array(
+        *[F.slice("__q__", m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+    )
+    qsubs = qvecs.select(query_id_col, F.posexplode(qslices).alias("sub_id", "sv"))
+    table = qsubs.join(F.broadcast(cb), "sub_id").select(
+        query_id_col, "sub_id", "code_id", l2_sq(F.col("sv"), F.col("cw")).alias("__d__")
+    )
+    pivoted = (
+        codes.join(F.broadcast(table), ["sub_id", "code_id"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("sub_id") == m, F.col("__d__"))).alias(f"__d{m}__")
+                for m in range(m_sub)
+            ]
+        )
+    )
+    adc = F.lit(0.0)
+    for m in range(m_sub):
+        adc = adc + F.col(f"__d{m}__")
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        pivoted.filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

@@ -1839,3 +1839,112 @@ def text_mlm_mask(spark, sf_dir):
     return out.select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "token", "action", "out_token"
     )
+
+
+def _sql_pq_common() -> str:
+    """Shared PQ CTEs: deterministic stride-sampled codebook (cb),
+    per-vector sub_vectors (vs), and nearest-codeword codes (codes) —
+    mirrors ops.similarity.pq_codebook / pq_encode exactly (8 subspaces
+    x 8 dims, squared-L2 sequential fold, code_id tie-break)."""
+    d = (
+        "list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (a, x) -> a + x)"
+    )
+    return f"""
+    v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    cb AS (
+        SELECT CAST(vec_id // 50 AS BIGINT) AS code_id, s.m AS sub_id,
+               ve[s.m * 8 + 1 : s.m * 8 + 8] AS cw
+        FROM v, UNNEST(generate_series(0, 7)) AS s(m)
+        WHERE vec_id % 50 = 0 AND vec_id < 800
+    ),
+    vs AS (
+        SELECT vec_id, s.m AS sub_id, ve[s.m * 8 + 1 : s.m * 8 + 8] AS sv
+        FROM v, UNNEST(generate_series(0, 7)) AS s(m)
+    ),
+    dist AS (
+        SELECT vs.vec_id, vs.sub_id, cb.code_id,
+               {d.format(a="sv", b="cw")} AS dd
+        FROM vs JOIN cb USING (sub_id)
+    ),
+    codes AS (
+        SELECT vec_id, sub_id, code_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, sub_id ORDER BY dd, code_id
+            ) AS rn FROM dist
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "emb_pq_codes",
+    f"""
+    WITH {_sql_pq_common()}
+    SELECT vec_id,
+           {", ".join(f"MAX(CASE WHEN sub_id = {m} THEN code_id END) AS c{m}" for m in range(8))}
+    FROM codes GROUP BY vec_id
+    """,
+)
+def emb_pq_codes(spark, sf_dir):
+    """Product-quantization codes for the corpus: each 64-float vector
+    compressed to 8 nearest-codeword ids (deterministic stride-sampled
+    codebook — the oracle rebuilds it exactly).  The compressed
+    representation is what makes billion-vector ANN storage feasible;
+    see ops.similarity.pq_codebook / pq_encode."""
+    from mbai_gdb_spark.ops.similarity import pq_codebook, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb)
+    codes = pq_encode(emb, cb)
+    return codes.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("sub_id") == m, F.col("code_id"))).alias(f"c{m}")
+            for m in range(8)
+        ]
+    )
+
+
+@query(
+    "sim_pq_adc_top5",
+    f"""
+    WITH {_sql_pq_common()},
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    qs AS (
+        SELECT query_id, s.m AS sub_id, qv[s.m * 8 + 1 : s.m * 8 + 8] AS sv
+        FROM q, UNNEST(generate_series(0, 7)) AS s(m)
+    ),
+    tab AS (
+        SELECT query_id, sub_id, code_id,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+                   i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), (a, x) -> a + x) AS dd
+        FROM qs JOIN cb USING (sub_id)
+    ),
+    pivoted AS (
+        SELECT t.query_id, c.vec_id,
+               {", ".join(f"MAX(CASE WHEN sub_id = {m} THEN dd END) AS d{m}" for m in range(8))}
+        FROM codes c JOIN tab t USING (sub_id, code_id)
+        GROUP BY t.query_id, c.vec_id
+    ),
+    adc AS (
+        SELECT query_id, vec_id,
+               {"".join(["(" * 8, "0.0"] + [f" + d{m})" for m in range(8)])} AS adc_dist
+        FROM pivoted WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, vec_id
+        ) AS rn FROM adc
+    ) WHERE rn <= 5
+    """,
+)
+def sim_pq_adc_top5(spark, sf_dir):
+    """PQ asymmetric-distance search (Jegou et al. ADC): corpus scanned
+    as 8-byte codes, per-query distance table broadcast, approximate
+    distance = fixed-order sum of 8 table lookups — the
+    compressed-domain member of the ANN family (brute / LSH / IVF /
+    PQ).  See ops.similarity.pq_adc_topk."""
+    from mbai_gdb_spark.ops.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(emb, queries_df, k=5)
