@@ -2142,3 +2142,77 @@ def w16_rolling_7d(spark, sf_dir):
         F.sum("cents").over(w).alias("roll_cents"),
         F.count(F.lit(1)).over(w).alias("roll_n"),
     )
+
+
+@query(
+    "a12_cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                AS BIGINT) AS revenue_e4
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def a12_cube_revenue(spark, sf_dir):
+    """CUBE multidimensional rollup: revenue/count at every grain of
+    (returnflag, linestatus) including the two marginals and the grand
+    total, with grouping_id disambiguating aggregate NULLs — the
+    OLAP-cube member of the aggregation family (A5/A10 cover
+    single-path rollups).  One pass: Spark expands the cube map-side
+    into the grouping-set union and shares the shuffle; revenue in
+    exact integer ten-thousandths."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(rev).alias("revenue_e4"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_items", "revenue_e4")
+    )
+
+
+@query(
+    "a13_pivot_order_matrix",
+    """
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2_high,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3_medium,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4_not_specified,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5_low
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a13_pivot_order_matrix(spark, sf_dir):
+    """PIVOT: order counts as a status × priority matrix via the
+    DataFrame pivot API with an EXPLICIT value list (an implicit list
+    costs an extra distinct-scan job and makes the output schema
+    data-dependent — never acceptable at 100 TB).  Catalyst compiles it
+    to exactly the oracle's conditional-sum form: one shuffle, no
+    transpose materialization."""
+    o = _t(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    out = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    renames = {
+        "1-URGENT": "p1_urgent",
+        "2-HIGH": "p2_high",
+        "3-MEDIUM": "p3_medium",
+        "4-NOT SPECIFIED": "p4_not_specified",
+        "5-LOW": "p5_low",
+    }
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in prios],
+    )
