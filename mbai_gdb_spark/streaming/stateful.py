@@ -101,3 +101,134 @@ def run_stateful_totals_available_now(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value_cents", "n_events").alias("total_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries summaries as bounded group state
+# ---------------------------------------------------------------------------
+
+MG_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.LongType()),
+        T.StructField("value", T.LongType()),
+        T.StructField("mg_count", T.LongType()),
+    ]
+)
+
+_MG_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("vals", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _mg_fold(counters: dict[int, int], values, capacity: int) -> None:
+    """Classic Misra-Gries fold: at most ``capacity`` counters; when a
+    new value arrives with the table full, ALL counters decrement (and
+    zeroed ones drop) instead of admitting it."""
+    for v in values:
+        v = int(v)
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < capacity:
+            counters[v] = 1
+        else:
+            dead = []
+            for k in counters:
+                counters[k] -= 1
+                if counters[k] == 0:
+                    dead.append(k)
+            for k in dead:
+                del counters[k]
+
+
+def make_mg_update(capacity: int):
+    """Build the applyInPandasWithState update function for a given
+    counter capacity (state per shard: two parallel long arrays)."""
+
+    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            vals, counts = state.get
+            counters = dict(zip(vals, counts))
+        else:
+            counters = {}
+        for pdf in pdfs:
+            _mg_fold(counters, pdf["value"].to_numpy(), capacity)
+        items = sorted(counters.items())
+        state.update((list(k for k, _ in items), list(c for _, c in items)))
+        yield pd.DataFrame(
+            {
+                "shard": [key[0]] * len(items),
+                "value": [k for k, _ in items],
+                "mg_count": [c for _, c in items],
+            }
+        )
+
+    return _update
+
+
+def streaming_heavy_hitters(
+    events: DataFrame, shard_col: str, value_col: str, capacity: int = 8
+) -> DataFrame:
+    """Misra-Gries frequent-items summaries maintained across
+    micro-batches: per shard, at most ``capacity`` counters of state
+    however long the stream runs, with the MG guarantee that any value
+    whose true frequency exceeds n/(capacity+1) is in the table and its
+    count is under-estimated by at most n/(capacity+1).
+
+    The streaming twin of ops.sketch.heavy_hitters' candidate phase:
+    run the exact recount over the emitted candidates (batch, or a
+    second keyed aggregation) when exact figures are needed.  Output
+    mode is "update" — each micro-batch re-emits the shard's current
+    table.
+    """
+    src = events.select(
+        F.col(shard_col).cast("long").alias("shard"),
+        F.col(value_col).cast("long").alias("value"),
+    )
+    return src.groupBy("shard").applyInPandasWithState(
+        make_mg_update(capacity),
+        outputStructType=MG_SCHEMA,
+        stateStructType=_MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_heavy_hitters_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    shard_col: str,
+    value_col: str,
+    capacity: int = 8,
+    max_files_per_trigger: int = 1,
+) -> dict[int, dict[int, int]]:
+    """Test/driver harness: drain a parquet directory one file per
+    micro-batch through :func:`streaming_heavy_hitters` and return the
+    FINAL MG table per shard ({shard: {value: mg_count}}).  'update'
+    mode re-emits a shard's whole table each batch it appears in, so
+    the final table is the shard's last emission."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    hh = streaming_heavy_hitters(stream, shard_col, value_col, capacity)
+    final: dict[int, dict[int, int]] = {}
+
+    def _sink(df, _epoch_id):
+        batch: dict[int, dict[int, int]] = {}
+        for r in df.collect():
+            batch.setdefault(r.shard, {})[r.value] = r.mg_count
+        final.update(batch)  # shards emitted this batch replace wholesale
+
+    q = (
+        hh.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return final
