@@ -2216,3 +2216,41 @@ def a13_pivot_order_matrix(spark, sf_dir):
         "o_orderstatus",
         *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p]) for p in prios],
     )
+
+
+@query(
+    "u2_set_ops_customers",
+    """
+    WITH y95 AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    ),
+    y96 AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    both_years AS (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96),
+    only_95 AS (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+    SELECT 'retained' AS cohort, o_custkey FROM both_years
+    UNION ALL
+    SELECT 'churned' AS cohort, o_custkey FROM only_95
+    """,
+)
+def u2_set_ops_customers(spark, sf_dir):
+    """INTERSECT / EXCEPT set algebra (U-family beyond U1's union):
+    1995 buyers split into retained (also bought in 1996) and churned
+    (did not).  Spark's intersect/exceptAll compile to left-semi /
+    left-anti hash joins over the deduped keysets — same shuffle shape
+    as J8/J9, no sort-based set operator involved."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = (
+        o.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    )
+    y96 = (
+        o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    both_years = y95.intersect(y96).select(
+        F.lit("retained").alias("cohort"), "o_custkey"
+    )
+    only_95 = y95.exceptAll(y96).select(
+        F.lit("churned").alias("cohort"), "o_custkey"
+    )
+    return both_years.unionAll(only_95)
