@@ -215,10 +215,11 @@ def decimal_hist_quantiles(
 def heavy_hitters(
     df: DataFrame,
     value_col: str,
-    threshold: int,
+    threshold: int | None = None,
     depth: int = 4,
     width: int = 512,
     payload_cols: list[str] | None = None,
+    threshold_fn=None,
 ) -> DataFrame:
     """EXACT counts of values occurring >= ``threshold`` times, without
     ever shuffling the long tail: (value, n_occurrences).
@@ -226,12 +227,17 @@ def heavy_hitters(
     The classic two-pass frequent-items shape:
 
     1. build the bounded count-min table (:func:`count_min_sketch` —
-       map-side partials, <= depth*width rows however large the input);
-    2. annotate every input row MAP-SIDE with its CMS estimate — the
-       sketch rows arrive via ``depth`` broadcast hash joins, one per
-       sketch row, so no input-side shuffle — and drop rows whose
-       estimate is already < threshold.  CMS only overestimates, so no
-       true heavy hitter is lost here; only the tail is.
+       map-side partials, <= depth*width rows however large the input)
+       and collect it: the mergeable-sketch contract is precisely that
+       the table fits anywhere, so this is a bounded driver collect
+       (<= 2048 longs at the defaults), inlined back as a dense array
+       literal;
+    2. filter every input row MAP-SIDE by its CMS estimate — expressed
+       as depth static InSet probes against the heavy-bucket sets of
+       each sketch row (no join, no input-side shuffle) — dropping
+       rows whose estimate is already < threshold.  CMS only
+       overestimates, so no true heavy hitter is lost here; only the
+       tail is.
     3. exact groupBy over the survivors (the data volume is now
        ~(#heavy values + CMS false positives) * threshold, not the raw
        input), then the exact HAVING filter.
@@ -246,20 +252,37 @@ def heavy_hitters(
     ``payload_cols``: extra columns carried alongside ``value_col``
     (e.g. the human-readable token when ``value_col`` is its hash);
     they must be functionally dependent on the value.
+
+    Relative thresholds come free: each sketch row sums to the exact
+    input count n, so ``threshold_fn`` (n -> threshold) derives e.g.
+    "n // 40" from the already-collected sketch without a separate
+    COUNT pass — the whole operator reads the input exactly twice.
+    Pass exactly one of ``threshold`` / ``threshold_fn``.
     """
+    if (threshold is None) == (threshold_fn is None):
+        raise ValueError("pass exactly one of threshold / threshold_fn")
     payload_cols = payload_cols or []
-    sketch = count_min_sketch(df, value_col, depth, width)
+    table = [0] * (depth * width)
+    n = 0
+    for r in count_min_sketch(df, value_col, depth, width).collect():
+        table[r.sk_row * width + r.bucket] = r.cnt
+        if r.sk_row == 0:
+            n += r.cnt
+    if threshold_fn is not None:
+        threshold = threshold_fn(n)
     cur = df.select(F.col(value_col).alias("__v__"), *payload_cols)
+    # min_j cnt_j >= t  <=>  for all j: bucket_j is a heavy bucket of
+    # sketch row j.  The per-row heavy-bucket sets are tiny (~n/t plus
+    # collisions), so the whole estimate-filter compiles to depth
+    # static InSet probes — no per-row table materialization (an
+    # element_at over a 2048-literal array re-built the array every
+    # row: measured 4.8 us/row; InSet is ~0).
+    est_ge_t = F.lit(True)
     for j in range(depth):
-        sj = sketch.filter(F.col("sk_row") == j).select(
-            F.col("bucket").alias(f"__b{j}__"), F.col("cnt").alias(f"__c{j}__")
-        )
-        cur = cur.withColumn(
-            f"__b{j}__", cms_hash(F.col("__v__"), j, width)
-        ).join(F.broadcast(sj), f"__b{j}__", "left")
-    est = F.least(*[F.coalesce(F.col(f"__c{j}__"), F.lit(0)) for j in range(depth)])
+        heavy = [b for b in range(width) if table[j * width + b] >= threshold]
+        est_ge_t = est_ge_t & cms_hash(F.col("__v__"), j, width).isin(heavy)
     return (
-        cur.filter(est >= threshold)
+        cur.filter(est_ge_t)
         .groupBy("__v__", *payload_cols)
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= threshold)

@@ -1789,10 +1789,12 @@ def sketch_heavy_hitters(spark, sf_dir):
         docs.select(F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
     )
-    threshold = max(toks.count() // 40, 1)  # bounded scalar, mirrors tt
     ids = toks.select(char_poly_id("token").alias("tok_id"), "token")
+    # threshold_fn derives n//40 from the collected sketch itself (each
+    # sketch row sums to n) — no separate COUNT pass; mirrors tt.
     return heavy_hitters(
-        ids, "tok_id", threshold, payload_cols=["token"]
+        ids, "tok_id", payload_cols=["token"],
+        threshold_fn=lambda n: max(n // 40, 1),
     ).select("token", "n_occurrences")
 
 

@@ -262,11 +262,15 @@ def test_heavy_hitters_payload_carried(spark):
     assert [(r.val, r.name, r.n_occurrences) for r in rows] == [(1, "one", 5)]
 
 
-def test_heavy_hitters_sketch_joins_are_broadcast(spark):
+def test_heavy_hitters_probe_pass_is_joinless(spark):
+    """The collected sketch is inlined as an array literal, so the
+    candidate-filter pass is pure map-side: the final plan has NO join
+    and exactly one exchange (the exact recount of survivors)."""
     from mbai_gdb_spark.ops.sketch import heavy_hitters
 
     df = spark.createDataFrame([(v % 5,) for v in range(100)], "val long")
     plan = heavy_hitters(df, "val", threshold=10)._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
