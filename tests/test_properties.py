@@ -290,3 +290,61 @@ def test_cosine_topk_vectorized_exact_ties_across_batches(spark):
         )
     )
     assert got == want and len(got) == 24
+
+
+# ---------------------------------------------------------------------------
+# triangle_count vs brute-force enumeration
+# ---------------------------------------------------------------------------
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)),
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges_strategy)
+def test_triangle_count_matches_brute_force(spark, edges):
+    from itertools import combinations
+
+    from mbai_gdb_spark.ops.graph import triangle_count
+
+    eset = {(min(u, v), max(u, v)) for u, v in edges if u != v}
+    expected: dict[int, int] = {}
+    for a, b, c in combinations(sorted({x for e in eset for x in e}), 3):
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset:
+            for v in (a, b, c):
+                expected[v] = expected.get(v, 0) + 1
+    if edges:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.vertex: r.n_triangles for r in triangle_count(df).collect()}
+    else:
+        got = {}
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters vs exact GROUP BY ... HAVING
+# ---------------------------------------------------------------------------
+
+multiset_strategy = st.lists(
+    st.integers(min_value=0, max_value=15), min_size=1, max_size=120
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(multiset_strategy, st.integers(min_value=1, max_value=10))
+def test_heavy_hitters_matches_exact_having(spark, values, threshold):
+    from collections import Counter
+
+    from mbai_gdb_spark.ops.sketch import heavy_hitters
+
+    df = spark.createDataFrame([(v,) for v in values], "val long")
+    # width=4 stresses CMS collisions: candidates widen, output must not.
+    got = {
+        r.val: r.n_occurrences
+        for r in heavy_hitters(df, "val", threshold, depth=2, width=4).collect()
+    }
+    expected = {v: c for v, c in Counter(values).items() if c >= threshold}
+    assert got == expected
