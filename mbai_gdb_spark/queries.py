@@ -2254,3 +2254,58 @@ def u2_set_ops_customers(spark, sf_dir):
         F.lit("churned").alias("cohort"), "o_custkey"
     )
     return both_years.unionAll(only_95)
+
+
+@query(
+    "a14_corr_qty_price",
+    """
+    WITH sums AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(ROUND(l_extendedprice) AS BIGINT)
+                        * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS syy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                        * CAST(ROUND(l_extendedprice) AS BIGINT)) AS BIGINT) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n, sx, sy, sxx, syy, sxy,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr_qty_price
+    FROM sums
+    """,
+)
+def a14_corr_qty_price(spark, sf_dir):
+    """Pearson correlation per return flag — computed from EXACT
+    integer moment sums (n, Σx, Σy, Σx², Σy², Σxy as BIGINTs; price
+    rounded to whole units so Σy² stays in int64), with the float
+    formula applied once per GROUP to the exact sums.  Spark's builtin
+    corr() streams float partials whose accumulation order varies run
+    to run; this form is order-independent and bit-reproducible on any
+    engine — the moment sums are also exactly what a 1000-way partial
+    aggregation merges by addition.  The raw moments are emitted
+    alongside for the hash gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.round(F.col("l_extendedprice"), 0).cast("long")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
+    )
+    return sums.select(
+        "l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy",
+        corr.alias("corr_qty_price"),
+    )

@@ -1950,3 +1950,35 @@ def sim_pq_adc_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(emb, queries_df, k=5)
+
+
+@query(
+    "text_quality_tiers",
+    f"""
+    WITH t AS (
+        SELECT doc_id, source, len({_SQL_TOKS}) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(NTILE(4) OVER (
+               PARTITION BY source ORDER BY n_tokens, doc_id
+           ) AS INT) AS tier
+    FROM t
+    """,
+)
+def text_quality_tiers(spark, sf_dir):
+    """Curriculum tiers: quartile assignment (ntile) of documents by
+    token count WITHIN each source — the bucketing step of
+    quality-curriculum training schedules.  The order-by carries a
+    doc_id tie-break so tile boundaries are deterministic (ntile splits
+    peers by position, so an ambiguous order would be
+    engine-dependent); partitioning by source keeps the window keyed
+    (no single-partition global sort)."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy("source").orderBy("n_tokens", "doc_id")
+    return t.withColumn("tier", F.ntile(4).over(w))
