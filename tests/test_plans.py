@@ -67,3 +67,24 @@ def test_w11_kernel_fanout_is_pinned_against_aqe_coalescing(spark):
     ev.write.format("noop").mode("overwrite").save()
     plan = ev._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_hive_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    """Writing a table hive-partitioned by a filter column and reading
+    with an equality predicate must prune at the PARTITION level
+    (PartitionFilters in the scan, not a post-scan Filter) — the layout
+    that turns a 100 TB scan into a single-directory read."""
+    from mbai_gdb_spark.io import read_table
+
+    base = str(tmp_path / "events_by_type")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    ev.write.partitionBy("event_type").parquet(base)
+
+    df = spark.read.parquet(base).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert df.count() == ev.filter(F.col("event_type") == "click").count()
