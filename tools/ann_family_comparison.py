@@ -82,12 +82,25 @@ def main() -> None:
         "   2-probe inverted lists, exact re-rank"
     )
 
+    # PQ-ADC ranks by (approximate) L2; on UNIT vectors L2^2 = 2 - 2cos,
+    # so normalizing first makes its ranking comparable to the cosine
+    # ground truth.
+    from mbai_gdb_spark.ops.similarity import as_double, l2_norm
+
+    unit = emb.select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")), lambda x: x / l2_norm(F.col("embedding"))
+        ).alias("embedding"),
+    )
+    uq = unit.filter(F.col("vec_id") < 10)
     t0 = time.perf_counter()
-    pq = pairs(pq_adc_topk(emb, queries, k=k).select("query_id", "vec_id"))
+    pq = pairs(pq_adc_topk(unit, uq, k=k).select("query_id", "vec_id"))
     t_pq = time.perf_counter() - t0
     print(
         f"{'pq-adc':<12}{len(truth & pq) / len(truth):>10.2f}{t_pq:>8.2f}"
-        "   compressed-domain scan (8 bytes/vector), untrained codebook"
+        "   compressed-domain scan (8 bytes/vector), untrained codebook,"
+        " unit-normalized"
     )
 
 
