@@ -168,3 +168,68 @@ def merge_upsert(
         shutil.rmtree(old)
     else:
         batch.write.mode("append").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Text-format sources: CSV and JSONL with EXPLICIT schemas
+# ---------------------------------------------------------------------------
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV source with an explicit schema and quarantine semantics.
+
+    At scale the two non-negotiables are (1) NEVER ``inferSchema`` — it
+    is a full extra pass over the data and makes the schema a function
+    of the sample — and (2) never let one malformed line kill a
+    multi-hour job: PERMISSIVE mode routes bad lines to
+    ``_corrupt_record`` so the pipeline can count/quarantine them
+    (same one-broken-file-cannot-kill-a-stage contract as
+    ops.multimodal's decoders).
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> DataFrame:
+    """JSON-lines source with an explicit schema (same rules as
+    :func:`read_csv`: no inference pass, malformed lines quarantined in
+    ``_corrupt_record`` instead of failing the stage)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) split of a PERMISSIVE read: clean rows with
+    the corrupt-record column dropped, bad rows as full rows (parsed
+    NULLs + the raw line) for reprocessing.  The bad side keeps every
+    column on purpose: Spark refuses queries that reference ONLY the
+    internal corrupt-record column of a raw text read
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN), and the
+    raw line alone is rarely enough to triage anyway."""
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    return good, bad

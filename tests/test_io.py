@@ -62,3 +62,78 @@ def test_partitioned_layout_prunes_partitions(spark, tmp_path):
     plan = read._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(game_id" in plan, plan
     assert read.count() == 100
+
+
+# --------------------------------------------------------------------------
+# CSV / JSONL sources (explicit schema + quarantine)
+# --------------------------------------------------------------------------
+
+
+def test_read_csv_quarantines_malformed_lines(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.io import quarantine_split, read_csv
+
+    p = tmp_path / "rows.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"   # malformed: score not long
+        "3,gamma,30\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    good, bad = quarantine_split(read_csv(spark, str(p), schema))
+    assert {(r.id, r.name, r.score) for r in good.collect()} == {
+        (1, "alpha", 10),
+        (3, "gamma", 30),
+    }
+    assert [r._corrupt_record for r in bad.collect()] == ["2,beta,not_a_number"]
+
+
+def test_read_jsonl_schema_and_quarantine(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.io import quarantine_split, read_jsonl
+
+    p = tmp_path / "rows.jsonl"
+    p.write_text(
+        '{"id": 1, "tags": ["a", "b"]}\n'
+        "this is not json\n"
+        '{"id": 2, "tags": []}\n'
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("tags", T.ArrayType(T.StringType())),
+        ]
+    )
+    good, bad = quarantine_split(read_jsonl(spark, str(p), schema))
+    assert {(r.id, tuple(r.tags)) for r in good.collect()} == {
+        (1, ("a", "b")),
+        (2, ()),
+    }
+    bad_rows = bad.collect()  # full rows: count() alone would prune to
+    # the corrupt-only column set, which Spark disallows on raw reads
+    assert len(bad_rows) == 1 and bad_rows[0]._corrupt_record == "this is not json"
+
+
+def test_read_csv_no_inference_pass(spark, tmp_path):
+    """The explicit-schema read must not trigger an inference job: the
+    schema of the returned frame is exactly the declared one plus the
+    quarantine column."""
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.io import read_csv
+
+    p = tmp_path / "one.csv"
+    p.write_text("id\n7\n")
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    df = read_csv(spark, str(p), schema)
+    assert [f.name for f in df.schema.fields] == ["id", "_corrupt_record"]
+    assert df.schema["id"].dataType == T.LongType()
