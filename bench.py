@@ -65,6 +65,11 @@ HEADLINE = [
     "w16_rolling_7d",
     "emb_pq_codes",
     "sim_pq_adc_top5",
+    "a12_cube_revenue",
+    "a13_pivot_order_matrix",
+    "u2_set_ops_customers",
+    "a14_corr_qty_price",
+    "text_quality_tiers",
 ]
 
 

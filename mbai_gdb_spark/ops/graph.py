@@ -327,16 +327,24 @@ def triangle_count(
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
     )
+    # SHUFFLE_HASH on the edge-sized build sides: the probe side of both
+    # joins is wedge-volume-sized (up to m^1.5 rows) while the build
+    # side is only edge-sized (m rows) — hashing the small side beats
+    # sort-merge's sort of the huge probe side, and pins the strategy
+    # so AQE's stats-dependent SMJ/broadcast flip-flopping (measured
+    # 9.5-20 s swings on the same input; 5.6-5.8 s hinted) goes away.
+    # The same asymmetry holds at any scale, so the hint is not a
+    # local-mode tune.
     o1 = oriented.select(F.col("a"), F.col("b"), F.col("db"))
     o2 = oriented.select(
         F.col("a"), F.col("b").alias("c"), F.col("db").alias("dc")
     )
-    wedges = o1.join(o2, "a").filter(
+    wedges = o1.join(o2.hint("SHUFFLE_HASH"), "a").filter(
         (F.col("db") < F.col("dc"))
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+    tri = wedges.join(closing.hint("SHUFFLE_HASH"), ["b", "c"]).select("a", "b", "c")
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
         .groupBy("vertex")
