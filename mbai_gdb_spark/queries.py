@@ -2309,3 +2309,80 @@ def a14_corr_qty_price(spark, sf_dir):
         "l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy",
         corr.alias("corr_qty_price"),
     )
+
+
+@query(
+    "w17_scd2_user_value",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC
+        ) AS rn FROM ev
+    ),
+    daily AS (SELECT user_id, day, value FROM ranked WHERE rn = 1),
+    flagged AS (
+        SELECT user_id, day, value,
+               ROW_NUMBER() OVER w AS pos,
+               LAG(value) OVER w AS prev_value
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day)
+    ),
+    changes AS (
+        SELECT user_id, day AS valid_from, value
+        FROM flagged
+        WHERE pos = 1 OR value IS DISTINCT FROM prev_value
+    )
+    SELECT user_id, valid_from,
+           LEAD(valid_from) OVER w2 AS valid_to,
+           value,
+           CAST(ROW_NUMBER() OVER w2 AS INT) AS version
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    """,
+)
+def w17_scd2_user_value(spark, sf_dir):
+    """Slowly-changing-dimension type 2 built from the raw event
+    stream: each user's day-level value collapsed to validity
+    intervals — a row per VALUE CHANGE with [valid_from, valid_to)
+    and a version number (valid_to NULL = current).  The standard
+    warehouse dimension-history shape, derived with three windows that
+    all share the user_id partitioning (one shuffle): day-level last
+    value (deterministic tie-break), change detection via
+    null-safe lag comparison, and interval closing via lead."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    ).withColumn("day", F.date_trunc("day", F.col("ts")).cast("date"))
+    w_rn = W.partitionBy("user_id", "day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        ev.withColumn("rn", F.row_number().over(w_rn))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    flagged = daily.select(
+        "user_id",
+        "day",
+        "value",
+        F.row_number().over(w).alias("pos"),
+        F.lag("value").over(w).alias("prev_value"),
+    )
+    changes = flagged.filter(
+        (F.col("pos") == 1) | ~F.col("value").eqNullSafe(F.col("prev_value"))
+    ).select("user_id", F.col("day").alias("valid_from"), "value")
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "value",
+        F.row_number().over(w2).alias("version"),
+    )

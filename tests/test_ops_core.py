@@ -305,3 +305,41 @@ def test_rolling_range_window_semantics(spark):
         5: (3000, 4),
         6: (7, 1),
     }
+
+
+def test_scd2_intervals_contract(spark):
+    """SCD2 pipeline on a controlled frame: change rows only, intervals
+    chain (valid_to = next valid_from), versions count from 1, last row
+    open-ended."""
+    import datetime as dt
+
+    from mbai_gdb_spark.queries import QUERIES
+
+    # Reuse the query's logic via a temp parquet fixture shaped like events.
+    import tempfile, os, shutil
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9), 1, "t", 5.0, "{}"),
+        (1, dt.datetime(2024, 1, 2, 9), 2, "t", 5.0, "{}"),   # same value: no new version
+        (1, dt.datetime(2024, 1, 3, 9), 3, "t", 7.0, "{}"),   # change
+        (1, dt.datetime(2024, 1, 3, 18), 4, "t", 9.0, "{}"),  # later same day wins
+        (2, dt.datetime(2024, 1, 5, 9), 5, "t", 1.0, "{}"),
+    ]
+    base = tempfile.mkdtemp(prefix="scd2_fix_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long, event_type string,"
+            " value double, props string",
+        ).write.mode("overwrite").parquet(os.path.join(base, "events.parquet"))
+        out = QUERIES["w17_scd2_user_value"](spark, base).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    got = sorted(
+        ((r.user_id, str(r.valid_from), str(r.valid_to), r.value, r.version) for r in out)
+    )
+    assert got == [
+        (1, "2024-01-01", "2024-01-03", 5.0, 1),
+        (1, "2024-01-03", "None", 9.0, 2),
+        (2, "2024-01-05", "None", 1.0, 1),
+    ]
