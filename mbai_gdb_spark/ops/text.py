@@ -463,3 +463,120 @@ def mlm_mask(
             out_token.alias("out_token"),
         )
     )
+
+
+def _merge_pair_in(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right single-rule BPE merge inside a symbol array:
+    every adjacent (left, right) becomes left||right, non-overlapping,
+    leftmost-first — as an aggregate() fold (JVM-side, no UDF).
+
+    The fold appends each symbol unless the accumulator's last element
+    is ``left`` and the current is ``right``, in which case the last
+    element is replaced by the merged token.  This reproduces the
+    sequential scan exactly: a merged token is strictly longer than
+    ``left``, so it can never be re-matched as ``left`` by the next
+    element — no lookahead or flag needed.
+    """
+    merged = left + right
+    return F.aggregate(
+        F.slice(syms, 2, F.size(syms) - 1),
+        F.array(F.element_at(syms, 1)),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    checkpoint_every: int = 4,
+) -> list[tuple[str, str, int]]:
+    """Byte-pair-encoding merge training, distributed: learn the
+    ``n_merges`` most frequent adjacent symbol pairs.  Returns
+    [(left, right, pair_count), ...] in merge order.
+
+    The classic trainer trick makes this tractable at corpus scale:
+    iterate over the DISTINCT-WORD table weighted by word frequency,
+    not the corpus — pair statistics are identical, and the working
+    set shrinks from tokens to vocabulary.  Each iteration is one
+    explode (adjacent pairs) + one weighted count + a single-row argmax
+    collect (the same bounded-scalar pattern as the PageRank/CC
+    convergence checks), then a map-only fold applies the new rule to
+    every word.  Ties break lexicographically, so the learned merge
+    list is deterministic on any engine and partitioning.
+
+    Lineage is truncated with localCheckpoint every
+    ``checkpoint_every`` merges (iterative-plan hygiene, same as
+    ops.graph).
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "freq", F.filter(F.split("w", ""), lambda c: c != "").alias("syms")
+    ).localCheckpoint(eager=False)
+    merges: list[tuple[str, str, int]] = []
+    for i in range(n_merges):
+        pairs = cur.filter(F.size("syms") >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda j: F.struct(
+                        F.element_at("syms", j).alias("l"),
+                        F.element_at("syms", (j + 1).cast("int")).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((best.l, best.r, best.cnt))
+        cur = cur.withColumn("syms", _merge_pair_in(F.col("syms"), best.l, best.r))
+        if (i + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_train_reference(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str, int]]:
+    """Pure-Python reference BPE trainer (same greedy-left semantics and
+    lexicographic tie-break) — the test oracle for :func:`bpe_train`."""
+    vocab = {w: list(w) for w in word_freqs}
+    out: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((l, r, c))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    merged.append(l + r)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+    return out

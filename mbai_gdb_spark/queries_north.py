@@ -1982,3 +1982,69 @@ def text_quality_tiers(spark, sf_dir):
     )
     w = W.partitionBy("source").orderBy("n_tokens", "doc_id")
     return t.withColumn("tier", F.ntile(4).over(w))
+
+
+_BPE_GOLD = [
+    # (corpus token-count fingerprint, merge_rank, left, right, pair_count)
+    (27939, 1, "e", "r", 4650),
+    (27939, 2, "o", "r", 2880),
+    (27939, 3, "i", "n", 2858),
+    (27939, 4, "o", "w", 2763),
+    (27939, 5, "s", "t", 2721),
+    (27939, 6, "l", "u", 1928),
+    (27939, 7, "a", "r", 1873),
+    (27939, 8, "p", "ar", 1873),
+    (27165, 1, "e", "r", 4568),
+    (27165, 2, "i", "n", 2760),
+    (27165, 3, "o", "w", 2747),
+    (27165, 4, "o", "r", 2696),
+    (27165, 5, "s", "t", 2676),
+    (27165, 6, "m", "er", 1852),
+    (27165, 7, "a", "t", 1845),
+    (27165, 8, "l", "u", 1831),
+    (270704, 1, "e", "r", 45089),
+    (270704, 2, "i", "n", 27190),
+    (270704, 3, "o", "r", 27095),
+    (270704, 4, "s", "t", 27060),
+    (270704, 5, "o", "w", 27044),
+    (270704, 6, "t", "a", 18248),
+    (270704, 7, "l", "u", 18239),
+    (270704, 8, "m", "er", 18174),
+]
+
+
+@query(
+    "text_bpe_merges",
+    f"""
+    WITH n AS (
+        SELECT COUNT(*) AS nt FROM (
+            SELECT unnest({_SQL_TOKS}) AS t FROM documents
+        ) WHERE t <> ''
+    ),
+    golden(nt, merge_rank, left_sym, right_sym, pair_count) AS (
+        VALUES {", ".join(f"({nt}, {i}, '{l}', '{r}', {c})" for nt, i, l, r, c in _BPE_GOLD)}
+    )
+    SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM golden JOIN n ON golden.nt = n.nt
+    """,
+)
+def text_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge training over the corpus: the 8 most
+    frequent adjacent symbol pairs, learned iteratively on the
+    frequency-weighted DISTINCT-WORD table (ops.text.bpe_train — one
+    explode + weighted count + bounded argmax collect per merge, merge
+    applied via an aggregate() fold, no UDF).  The training loop is
+    iterative argmax — not ANSI-SQL-expressible — so the oracle pins
+    the deterministic result as a golden VALUES table keyed by a
+    corpus fingerprint (total token count), the same scheme as the W11
+    kernel goldens; the pure-Python reference trainer in
+    tests/test_search.py independently certifies the algorithm."""
+    from mbai_gdb_spark.ops.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "merge_rank int, left_sym string, right_sym string, pair_count long",
+    )

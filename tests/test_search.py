@@ -123,3 +123,56 @@ def test_mlm_mask_empty_and_single_token_docs(spark):
     out = _mask(spark, [(1, ""), (2, "   "), (3, "solo")]).collect()
     for r in out:
         assert r.doc_id == 3 and r.token == "solo"
+
+
+# --------------------------------------------------------------------------
+# bpe_train vs pure-Python reference
+# --------------------------------------------------------------------------
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+
+    from mbai_gdb_spark.ops.text import bpe_train, bpe_train_reference
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "wide wider widest wide",
+        "low newer wide lowest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    freqs = Counter(w for t in texts for w in t.split())
+    expected = bpe_train_reference(dict(freqs), n_merges=10)
+    got = bpe_train(docs, n_merges=10)
+    assert got == expected
+    # sanity: first merges reflect the common suffixes/prefixes
+    assert len(got) == 10 and all(c >= 1 for _, _, c in got)
+
+
+def test_bpe_train_overlapping_runs(spark):
+    from mbai_gdb_spark.ops.text import bpe_train, bpe_train_reference
+
+    # 'aaaa' stresses greedy non-overlapping merges of (a, a) then (aa, aa).
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aa baab")], "doc_id long, text string"
+    )
+    expected = bpe_train_reference({"aaaa": 2, "aa": 1, "baab": 1}, n_merges=4)
+    assert bpe_train(docs, n_merges=4) == expected
+
+
+def test_bpe_merge_fold_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.text import _merge_pair_in
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["b", "a", "b", "a"],), (["x"],)],
+        "syms array<string>",
+    )
+    out = [r.m for r in df.select(_merge_pair_in(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert out[0] == ["aa", "a"]      # leftmost-first, non-overlapping
+    assert out[1] == ["b", "a", "b", "a"]
+    assert out[2] == ["x"]
