@@ -70,6 +70,7 @@ HEADLINE = [
     "u2_set_ops_customers",
     "a14_corr_qty_price",
     "text_quality_tiers",
+    "w17_scd2_user_value",
 ]
 
 
