@@ -2057,10 +2057,10 @@ def w15_gap_fill(spark, sf_dir):
     deterministic tie-break).  Plan: one row_number window for the
     daily reduce, a per-user sequence() explode for the grid (grid size
     is bounded by the user's own activity span — no global calendar
-    join), a left join back, and one ignore-nulls last() window.  All
-    keys partition by user_id, so the three window/join steps reuse one
-    shuffle partitioning; values pass through untouched (no float
-    arithmetic), so the hash gate is exact."""
+    join), a left join back, and one ignore-nulls last() window.  The
+    day-level reduce keys on (user_id, day) — map-side-partial-friendly
+    — and every later join/window keys on user_id; values pass through
+    untouched (no float arithmetic), so the hash gate is exact."""
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events").select(
@@ -2350,10 +2350,11 @@ def w17_scd2_user_value(spark, sf_dir):
     stream: each user's day-level value collapsed to validity
     intervals — a row per VALUE CHANGE with [valid_from, valid_to)
     and a version number (valid_to NULL = current).  The standard
-    warehouse dimension-history shape, derived with three windows that
-    all share the user_id partitioning (one shuffle): day-level last
-    value (deterministic tie-break), change detection via
-    null-safe lag comparison, and interval closing via lead."""
+    warehouse dimension-history shape: a (user_id, day)-keyed window
+    picks each day's last value (deterministic tie-break), then the
+    change-detection lag and interval-closing lead windows both run on
+    the user_id partitioning — two exchanges total, the second shared
+    by both interval windows."""
     from pyspark.sql import Window as W
 
     ev = _t(spark, sf_dir, "events").select(
