@@ -502,3 +502,54 @@ def hot_bucket_clusters(
         .groupBy("band", "bucket", "cluster_rep", "member_count")
         .agg(F.array_sort(F.collect_list(id_col)).alias("member_sample"))
     )
+
+
+def typo_pairs(
+    tokens_df: DataFrame,
+    token_col: str = "token",
+    count_col: str | None = None,
+    max_token_len: int = 24,
+) -> DataFrame:
+    """Edit-distance-1 token pairs via the deletion-neighborhood join
+    (SymSpell/FastSS): (tok_a, tok_b, dist) with tok_a < tok_b.
+
+    Every token emits itself plus its 1-deletion variants; two tokens
+    within edit distance 1 (insert / delete / substitute) necessarily
+    share a variant, so an equi-join on the variant string finds ALL
+    such pairs with an inverted-index shape — never the all-pairs
+    levenshtein cross join that naive fuzzy matching does.  The exact
+    levenshtein filter then removes the (few) distance-2 collisions
+    (e.g. two different substitutions sharing a deletion).  Linear in
+    tokens × token-length; ``max_token_len`` caps the variant fan-out.
+    """
+    t = tokens_df.select(F.col(token_col).alias("tok")).distinct().filter(
+        (F.length("tok") > 0) & (F.length("tok") <= max_token_len)
+    )
+    variants = t.select(
+        "tok",
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.array(F.col("tok")),
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("tok")),
+                        lambda i: F.concat(
+                            F.col("tok").substr(F.lit(1), i - 1),
+                            F.col("tok").substr(i + 1, F.length("tok")),
+                        ),
+                    ),
+                )
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(F.col("tok").alias("tok_a"), "variant")
+    b = variants.select(F.col("tok").alias("tok_b"), "variant")
+    pairs = (
+        a.join(b, "variant")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
+        .filter(F.col("dist") <= 1)
+    )
+    return pairs

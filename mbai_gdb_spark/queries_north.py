@@ -2107,3 +2107,42 @@ def sample_negatives(spark, sf_dir):
     return out.select(
         "anchor_id", "pos_id", F.col("neg_item").alias("neg_id"), "neg_rank"
     )
+
+
+@query(
+    "dedup_typo_pairs",
+    """
+    WITH names AS (
+        SELECT DISTINCT c_name AS tok FROM customer
+        WHERE len(c_name) > 0 AND len(c_name) <= 24
+    ),
+    variants AS (
+        SELECT tok,
+               unnest(list_distinct(list_prepend(tok,
+                   list_transform(generate_series(1, len(tok)),
+                       i -> substr(tok, 1, i - 1) || substr(tok, i + 1))))) AS variant
+        FROM names
+    ),
+    pairs AS (
+        SELECT DISTINCT a.tok AS tok_a, b.tok AS tok_b
+        FROM variants a JOIN variants b USING (variant)
+        WHERE a.tok < b.tok
+    )
+    SELECT tok_a, tok_b, CAST(levenshtein(tok_a, tok_b) AS INT) AS dist
+    FROM pairs WHERE levenshtein(tok_a, tok_b) <= 1
+    """,
+)
+def dedup_typo_pairs(spark, sf_dir):
+    """Edit-distance-1 entity-name pairs via the deletion-neighborhood
+    join (SymSpell/FastSS scheme, ops.dedup.typo_pairs): every name
+    emits itself + its 1-deletion variants, candidates equi-join on the
+    shared variant, exact levenshtein filters the distance-2
+    collisions.  Linear in names × name-length — the fuzzy-match shape
+    that replaces the all-pairs levenshtein cross join (which the plan
+    audit would reject).  Run on customer names, whose zero-padded
+    numeric tails give a dense one-substitution neighborhood — the
+    entity-resolution near-duplicate case."""
+    from mbai_gdb_spark.ops.dedup import typo_pairs
+
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("token"))
+    return typo_pairs(c)

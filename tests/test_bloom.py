@@ -124,3 +124,44 @@ def test_bloom_partitioning_invariant(spark):
     ).collect()
     key = lambda r: (r.doc_id, r.n_flagged, r.n_shingles)
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+# --------------------------------------------------------------------------
+# typo_pairs (deletion-neighborhood edit-distance-1 join)
+# --------------------------------------------------------------------------
+
+
+def test_typo_pairs_matches_brute_force(spark):
+    import itertools
+
+    from mbai_gdb_spark.ops.dedup import typo_pairs
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    words = ["cat", "car", "cart", "bat", "hello", "helo", "hallo", "xyz",
+             "abcd", "abed", "abd", "dcba"]
+    expected = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(words), 2)
+        if lev(a, b) <= 1
+    }
+    toks = spark.createDataFrame([(w,) for w in words], "token string")
+    got = {(r.tok_a, r.tok_b) for r in typo_pairs(toks).collect()}
+    assert got == expected
+    assert ("abcd", "abd") in got and ("abcd", "abed") in got
+
+
+def test_typo_pairs_caps_token_length(spark):
+    from mbai_gdb_spark.ops.dedup import typo_pairs
+
+    toks = spark.createDataFrame(
+        [("a" * 30,), ("a" * 29,), ("hi",), ("ho",)], "token string"
+    )
+    got = {(r.tok_a, r.tok_b) for r in typo_pairs(toks, max_token_len=24).collect()}
+    assert got == {("hi", "ho")}  # long tokens excluded by the cap
