@@ -71,6 +71,8 @@ HEADLINE = [
     "a14_corr_qty_price",
     "text_quality_tiers",
     "w17_scd2_user_value",
+    "sample_negatives",
+    "dedup_typo_pairs",
 ]
 
 
