@@ -258,18 +258,7 @@ def lsh_candidate_pairs(
     """LSH banding over LONG-format signatures (doc, hash_idx, minhash):
     docs sharing any full band become a candidate pair.  See
     :func:`pairs_from_buckets` for the hot-bucket cap."""
-    banded = signatures.withColumn(
-        "band", F.expr(f"hash_idx div {rows_per_band}")
-    )
-    buckets = banded.groupBy(id_col, "band").agg(
-        F.concat_ws(
-            "_",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
-                lambda s: s["minhash"].cast("string"),
-            ),
-        ).alias("bucket")
-    )
+    buckets = lsh_bucket_table(signatures, id_col, rows_per_band)
     return pairs_from_buckets(buckets, id_col, max_bucket_size)
 
 
@@ -553,3 +542,100 @@ def typo_pairs(
         .filter(F.col("dist") <= 1)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH index: persist band buckets once, probe new batches
+# ---------------------------------------------------------------------------
+
+
+def lsh_bucket_table(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band, bucket) banded-bucket rows — the unit the persisted
+    index stores and a probe batch computes for itself."""
+    banded = signatures.withColumn(
+        "band", F.expr(f"hash_idx div {rows_per_band}")
+    )
+    return banded.groupBy(id_col, "band").agg(
+        F.concat_ws(
+            "_",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("hash_idx", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
+            ),
+        ).alias("bucket")
+    )
+
+
+def lsh_index_persist(
+    signatures: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    rows_per_band: int = 4,
+) -> None:
+    """Materialize the LSH band buckets as a parquet index partitioned
+    by band.  Computed ONCE per corpus; daily increments then probe it
+    (:func:`lsh_probe_incremental`) without touching corpus text,
+    tokens, or signatures again — the O(batch) ingestion path that
+    replaces the O(corpus + batch) full recompute.  Partitioning by
+    band lets a probe read only the bands it needs (all of them for
+    MinHash banding, but partition-sized files keep the join's scan
+    parallel and pruned under predicate variants)."""
+    buckets = lsh_bucket_table(signatures, id_col, rows_per_band)
+    buckets.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def lsh_probe_incremental(
+    spark,
+    new_signatures: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs of a NEW batch against the persisted
+    corpus index plus within the batch itself: (id_a, id_b) distinct,
+    id_a < id_b.
+
+    Plan shape: the batch's bucket rows equi-join the index on
+    (band, bucket) — batch-sized build side, corpus index only ever
+    READ — plus a batch-internal self-join.  Cost scales with the
+    batch, not the corpus.  The union of (old index) + (batch buckets)
+    is exactly the full-batch bucket table, so probing is equivalent
+    to re-running LSH over the union corpus (tested) — no recall loss
+    from incrementality.
+    """
+    idx = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("__old__"), "band", "bucket"
+    )
+    new_b = lsh_bucket_table(new_signatures, id_col, rows_per_band)
+    if max_bucket_size is not None:
+        # Cap on the UNION bucket size (old + new members), mirroring
+        # pairs_from_buckets' df-cut semantics on the union corpus.
+        sizes = (
+            idx.select("band", "bucket")
+            .unionAll(new_b.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz__"))
+            .filter(F.col("__bsz__") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        idx = idx.join(sizes, ["band", "bucket"], "left_semi")
+        new_b = new_b.join(sizes, ["band", "bucket"], "left_semi")
+    cross = (
+        new_b.join(idx, ["band", "bucket"])
+        .select(
+            F.least(F.col(id_col), F.col("__old__")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("__old__")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    a = new_b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = new_b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    within = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return cross.unionAll(within).distinct()
