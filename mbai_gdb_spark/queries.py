@@ -2387,3 +2387,70 @@ def w17_scd2_user_value(spark, sf_dir):
         "value",
         F.row_number().over(w2).alias("version"),
     )
+
+
+_KCORE_GOLD = [
+    # (distinct co-purchase edge-count fingerprint, k, n_vertices, n_edges)
+    (8899, 48, 200, 8899),
+    (8899, 80, 0, 0),
+    (8899, 112, 0, 0),
+    (115729, 48, 1999, 115687),
+    (115729, 80, 1857, 105232),
+    (115729, 112, 0, 0),
+    (1196000, 48, 19989, 1195519),
+    (1196000, 80, 18863, 1114197),
+    (1196000, 112, 0, 0),
+]
+
+
+@query(
+    "graph_kcore_profile",
+    f"""
+    WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+        SELECT DISTINCT a.pk AS u, b.pk AS v
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+    ),
+    m AS (SELECT COUNT(*) AS m FROM e),
+    golden(m, k, n_vertices, n_edges) AS (
+        VALUES {", ".join(f"({m}, {k}, {n}, {s})" for m, k, n, s in _KCORE_GOLD)}
+    )
+    SELECT CAST(k AS INT) AS k, CAST(n_vertices AS BIGINT) AS n_vertices,
+           CAST(n_edges AS BIGINT) AS n_edges
+    FROM golden JOIN m USING (m)
+    """,
+)
+def graph_kcore_profile(spark, sf_dir):
+    """k-core decomposition profile of the co-purchase graph: for k in
+    (48, 80, 112), the size of the maximal subgraph where every part
+    co-occurs with >= k others (ops.graph.kcore — iterative peel, one
+    degree agg + two anti-joins per round, bounded-scalar convergence).
+    The peel is iterative-to-fixpoint — not ANSI-SQL-expressible — so
+    the oracle pins the deterministic profile as golden VALUES keyed by
+    the SQL-computable edge-count fingerprint (the W11/BPE golden
+    scheme); the k-core's uniqueness makes the result peel-order- and
+    partitioning-independent, and unit tests certify the algorithm on
+    closed-form graphs."""
+    from mbai_gdb_spark.ops.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)  # shared by the three peels
+    )
+    rows = []
+    for k in (48, 80, 112):
+        out = kcore(edges, k, "u", "v")
+        r = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("core_degree"), F.lit(0)).alias("s"),
+        ).first()
+        rows.append((k, r.n, r.s // 2))
+    return spark.createDataFrame(rows, "k int, n_vertices long, n_edges long")

@@ -143,3 +143,35 @@ def test_triangle_count_star_hub_has_none(spark):
         [(0, i) for i in range(1, 51)], "src long, dst long"
     )
     assert triangle_count(edges).count() == 0
+
+
+def test_kcore_closed_form_graphs(spark):
+    from mbai_gdb_spark.ops.graph import kcore
+
+    # K5 (every vertex degree 4) + a tail 4-5-6 chain.
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k5 + [(4, 10), (10, 11)], "src long, dst long")
+    # 3-core = exactly the K5 (tail peels away), in-core degree 4 each.
+    got = {r.vertex: r.core_degree for r in kcore(edges, 3).collect()}
+    assert got == {v: 4 for v in range(5)}
+    # 5-core of K5 is empty (max degree 4).
+    assert kcore(edges, 5).count() == 0
+    # 1-core keeps everything.
+    assert kcore(edges, 1).count() == 7
+
+
+def test_kcore_cascade_peel(spark):
+    from mbai_gdb_spark.ops.graph import kcore
+
+    # A chain: every 2-core peel cascades from the endpoints inward
+    # until nothing is left — the multi-round worst case.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    assert kcore(edges, 2).count() == 0
+    # Close the chain into a cycle: the 2-core is the whole cycle.
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long"
+    )
+    got = {r.vertex: r.core_degree for r in kcore(cyc, 2).collect()}
+    assert got == {v: 2 for v in range(20)}
