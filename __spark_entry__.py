@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 121 oracle-bearing queries: 98 at the r4 rotation cut plus 23
+# 123 oracle-bearing queries: 98 at the r4 rotation cut plus 25
 # round-4 tail additions (sim_matmul_top5, shuffle_shards,
 # emb_random_projection, sketch_decimal_quantiles, decontam_bloom,
 # graph_triangle_count, search_tfidf_topk, sketch_heavy_hitters,
@@ -39,7 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # sim_pq_adc_top5, a12_cube_revenue, a13_pivot_order_matrix,
 # u2_set_ops_customers, a14_corr_qty_price, text_quality_tiers,
 # w17_scd2_user_value, text_bpe_merges, sample_negatives,
-# dedup_typo_pairs, graph_kcore_profile — all r5
+# dedup_typo_pairs, graph_kcore_profile, a15_mode_order_priority,
+# a16_revenue_share — all r5
 # rotation candidates),
 # so the 50-slot window ROTATES each round until every
 # query has a driver CORRECTNESS row in some round's file.

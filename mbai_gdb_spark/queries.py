@@ -2454,3 +2454,104 @@ def graph_kcore_profile(spark, sf_dir):
         ).first()
         rows.append((k, r.n, r.s // 2))
     return spark.createDataFrame(rows, "k int, n_vertices long, n_edges long")
+
+
+@query(
+    "a15_mode_order_priority",
+    """
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority
+        ) AS rn FROM counts
+    ) WHERE rn = 1
+    """,
+)
+def a15_mode_order_priority(spark, sf_dir):
+    """Mode (most frequent value) per group with a deterministic
+    tie-break — built as count + top-1 window rather than Spark's
+    ``mode()`` aggregate, whose tie choice is undefined and therefore
+    unhashable cross-engine.  The window runs on group-count rows (one
+    per (status, priority)), not the fact table."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("mode_priority"), "n"
+        )
+    )
+
+
+@query(
+    "a16_revenue_share",
+    """
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) AS rev_e4
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, rev_e4,
+           CAST(rev_e4 AS DOUBLE)
+           / SUM(rev_e4) OVER (PARTITION BY region) AS region_share,
+           CAST(rev_e4 AS DOUBLE) / SUM(rev_e4) OVER () AS global_share
+    FROM nat
+    """,
+)
+def a16_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its region's revenue and
+    of the global total — the percent-of-parent idiom of every OLAP
+    report.  Revenue aggregates in exact integer ten-thousandths, so
+    the two window sums are integer-exact and the final share division
+    is one deterministic float op; the windows run over the 25-row
+    nation rollup, not the fact table (the global-total window's single
+    partition holds 25 rows — allowlisted scale-wise by construction)."""
+    from pyspark.sql import Window as W
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 10_000
+    )
+    nat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).alias("rev_e4"))
+    )
+    return nat.select(
+        "region",
+        "nation",
+        "rev_e4",
+        (
+            F.col("rev_e4").cast("double")
+            / F.sum("rev_e4").over(W.partitionBy("region"))
+        ).alias("region_share"),
+        (
+            F.col("rev_e4").cast("double")
+            / F.sum("rev_e4").over(W.partitionBy())
+        ).alias("global_share"),
+    )

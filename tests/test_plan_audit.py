@@ -34,6 +34,7 @@ SINGLEPART_OK = {
     "mix_source_weights",  # normalizers fold over the #sources-row count table
     "q11_important_parts",  # grand-total scalar over per-part partials
     "q15_top_supplier",  # scalar MAX over the per-supplier revenue table
+    "a16_revenue_share",  # global-share window over the 25-row nation rollup
 }
 
 
