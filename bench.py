@@ -73,6 +73,9 @@ HEADLINE = [
     "w17_scd2_user_value",
     "sample_negatives",
     "dedup_typo_pairs",
+    "a15_mode_order_priority",
+    "a16_revenue_share",
+    "graph_kcore_profile",
 ]
 
 
