@@ -31,91 +31,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 123 oracle-bearing queries: 98 at the r4 rotation cut plus 25
-# round-4 tail additions (sim_matmul_top5, shuffle_shards,
-# emb_random_projection, sketch_decimal_quantiles, decontam_bloom,
-# graph_triangle_count, search_tfidf_topk, sketch_heavy_hitters,
-# text_mlm_mask, w15_gap_fill, w16_rolling_7d, emb_pq_codes,
-# sim_pq_adc_top5, a12_cube_revenue, a13_pivot_order_matrix,
-# u2_set_ops_customers, a14_corr_qty_price, text_quality_tiers,
-# w17_scd2_user_value, text_bpe_merges, sample_negatives,
-# dedup_typo_pairs, graph_kcore_profile, a15_mode_order_priority,
-# a16_revenue_share — all r5
-# rotation candidates),
-# so the 50-slot window ROTATES each round until every
-# query has a driver CORRECTNESS row in some round's file.
+# 123 oracle-bearing queries, so the 50-slot window ROTATES each round
+# until every query has a driver CORRECTNESS row in some round's file.
+# Overflow queries keep full oracles and are re-verified locally every
+# round by tools/check_parity.py over the ENTIRE registry.
 #
-# Round-4 head (exactly 50) = the complement of the round-3 head, so
-# that rounds 3+4 together driver-certify the ENTIRE 98-query registry:
-# the 3 never-driver-checked queries (graph_pagerank_trade,
-# sketch_cms_token_freq, w14_cohort_weekly_retention — judge-verified
-# green at sf0.01 in the round-3 session), the 44 queries whose latest
-# driver row is r02, q18_large_orders (latest row r01),
-# q12_late_shipment_priority (r03 hash-red from an oracle HUGEINT cast,
-# fixed this round — values were already identical), and the flagship
-# anchor. Overflow queries keep full oracles and are re-verified
-# locally every round by tools/check_parity.py over the ENTIRE registry.
-_HEAD_R4 = [
+# Round-5 head (exactly 50): the flagship anchor; all 28 queries with
+# no driver row in CORRECTNESS_r01–r03 (the 25 round-4 tail additions
+# plus graph_pagerank_trade / sketch_cms_token_freq /
+# w14_cohort_weekly_retention, which were in the r4 head but whose
+# CORRECTNESS_r04.json never landed in the repo — re-listed so the
+# certification cannot be lost); q12_late_shipment_priority (r03 row
+# was hash-red from an oracle HUGEINT cast, fixed in r4 — values were
+# already identical); and 20 backfills whose latest driver row is r03.
+# The remaining 28 r03-latest queries rotate into the r6 head.
+_HEAD_R5 = [
     # standing anchor
     "flagship_session_attribution",
-    # red row in r03 (oracle cast fixed this round)
+    # red row in r03 (oracle cast fixed in round 4)
     "q12_late_shipment_priority",
-    # never driver-checked before round 4
+    # in the r4 head but no CORRECTNESS_r04.json delivered
     "graph_pagerank_trade",
     "sketch_cms_token_freq",
     "w14_cohort_weekly_retention",
-    # latest driver row r01
-    "q18_large_orders",
-    # latest driver row r02 (44)
-    "a5_nation_customer_rollup",
-    "a7_distinct_segments",
-    "j1_region_revenue",
-    "j5_local_supplier_revenue",
-    "j6_customer_order_counts",
-    "j8_customers_without_orders",
-    "j9_customers_with_urgent_orders",
-    "w10_latest_event_per_user",
-    "o3_top10_customers_by_revenue",
-    "j7_asof_click_to_view",
-    "j3_purchases_in_sessions",
-    "u1_union_trading_nations",
-    "f_string_part_features",
-    "f_datetime_orders",
-    "f_json_event_props",
-    "j10_motif_customer_supplier_nation",
-    "graph_bfs_trade_hops",
-    "f_array_ops",
-    "a10_rollup_revenue",
-    "a11_quantity_percentiles",
-    "tpch_scalar_suite",
-    "nba_score_chain",
-    "nba_action_next_chain",
-    "nba_rebound_attribution",
-    "nba_season_next_game",
-    "nba_player_dimension",
-    "nba_export_edge_index",
-    "nba_possessions",
-    "nba_team_graph",
-    "text_profile",
-    "text_fingerprint",
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "sim_lsh_neighbors",
-    "mm_binary_metadata",
-    "dedup_embedding_cosine",
-    "text_bpe_token_count",
-    "text_repetition",
-    "sketch_kmv_distinct",
-    "sample_stratified_documents",
-    "decontam_eval_overlap",
-    "pack_sequences",
-    "text_top_ngrams",
+    # round-4 tail additions, never driver-checked (25)
+    "sim_matmul_top5",
+    "shuffle_shards",
+    "emb_random_projection",
+    "sketch_decimal_quantiles",
+    "decontam_bloom",
+    "graph_triangle_count",
+    "search_tfidf_topk",
+    "sketch_heavy_hitters",
+    "text_mlm_mask",
+    "w15_gap_fill",
+    "w16_rolling_7d",
+    "emb_pq_codes",
+    "sim_pq_adc_top5",
+    "a12_cube_revenue",
+    "a13_pivot_order_matrix",
+    "u2_set_ops_customers",
+    "a14_corr_qty_price",
+    "text_quality_tiers",
+    "w17_scd2_user_value",
+    "text_bpe_merges",
+    "sample_negatives",
+    "dedup_typo_pairs",
+    "graph_kcore_profile",
+    "a15_mode_order_priority",
+    "a16_revenue_share",
+    # backfills whose latest driver row is r03 (20)
+    "a1_pricing_summary",
+    "a4_conditional_event_sums",
+    "j3_lineitem_ship_window",
+    "w1_next_event_chain",
+    "w5_sessionize_events",
+    "w8_running_total_reset",
+    "w7_priority_ordered_chain",
+    "a2_order_span_per_customer",
+    "nba_lineup_plus_minus",
+    "nba_player_stints",
+    "sim_ivf_top5",
+    "dedup_minhash_clusters",
+    "j12_concurrent_sessions",
+    "w13_ranking_family",
+    "funnel_view_click_purchase",
+    "io_merge_idempotent",
+    "dedup_minhash_lsh",
+    "curate_corpus",
+    "mm_decode_image",
+    "mm_decode_audio",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: QUERIES[k] for k in _HEAD_R4 if k in QUERIES}
+    head = {k: QUERIES[k] for k in _HEAD_R5 if k in QUERIES}
     tail = {k: v for k, v in QUERIES.items() if k not in head}
     return {**head, **tail}
 

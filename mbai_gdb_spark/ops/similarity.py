@@ -878,3 +878,70 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate detection: cluster the
+    corpus by nearest centroid, then compare pairs ONLY within a
+    cluster; a vector whose cosine to a lower-id cluster-mate is
+    ``>= threshold`` is marked a duplicate of its lowest-id match.
+
+    Scale shape (the reason SemDeDup exists): the quadratic pair
+    comparison is confined to single clusters — with K centroids the
+    candidate volume drops from N² to Σ|cluster|², and the cluster
+    join is a plain equi-join on ``centroid_id`` (shuffle-partitioned,
+    never a global crossJoin).  Centroids are a broadcast-sized side
+    artifact, exactly like a trained tokenizer; at 100 TB K grows
+    ∝ sqrt(N) and per-cluster size stays bounded, with the hot-cluster
+    cap pattern of ops.dedup available for degenerate corpora.
+
+    Output: one row per duplicate vector — (vec_id, centroid_id,
+    dup_of, best_cosine, n_dup_candidates).  Representatives (lowest
+    id in each near-dup group) don't appear, mirroring
+    dedup_embedding_cosine's greedy-keep convention.
+    """
+    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    v = (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v__"))
+        .withColumn("__n__", l2_norm(F.col("__v__")))
+        .join(assign, id_col)
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"),
+        F.col("centroid_id"),
+        F.col("__v__").alias("__va__"),
+        F.col("__n__").alias("__na__"),
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"),
+        F.col("centroid_id"),
+        F.col("__v__").alias("__vb__"),
+        F.col("__n__").alias("__nb__"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "centroid_id",
+            "id_a",
+            "id_b",
+            (
+                dot(F.col("__va__"), F.col("__vb__"))
+                / (F.col("__na__") * F.col("__nb__"))
+            ).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return pairs.groupBy(
+        F.col("id_b").alias(id_col), F.col("centroid_id")
+    ).agg(
+        F.min("id_a").alias("dup_of"),
+        F.max("cosine_sim").alias("best_cosine"),
+        F.count(F.lit(1)).alias("n_dup_candidates"),
+    )

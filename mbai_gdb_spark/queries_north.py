@@ -2146,3 +2146,186 @@ def dedup_typo_pairs(spark, sf_dir):
 
     c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("token"))
     return typo_pairs(c)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: semantic dedup, HLL sketch, BPE tokenizer application
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_semantic",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, ve AS cv FROM v WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id, ve, nv FROM (
+            SELECT v.vec_id, c.centroid_id, v.ve,
+                   {_SQL_NORM.format(v="v.ve")} AS nv,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_SQL_COS.format(a="v.ve", b="c.cv")} DESC,
+                                               c.centroid_id) AS rn
+            FROM v, cent c
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               {_SQL_DOT.format(products="list_transform(generate_series(1, len(a.ve)), i -> a.ve[i] * b.ve[i])")}
+                   / (a.nv * b.nv) AS cosine_sim
+        FROM assign a JOIN assign b ON a.centroid_id = b.centroid_id
+                                   AND a.vec_id < b.vec_id
+    )
+    SELECT id_b AS vec_id, centroid_id,
+           MIN(id_a) AS dup_of,
+           MAX(cosine_sim) AS best_cosine,
+           COUNT(*) AS n_dup_candidates
+    FROM pairs WHERE cosine_sim >= 0.25
+    GROUP BY id_b, centroid_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) semantic near-dedup: k-means-style
+    clustering confines the quadratic cosine comparison to single
+    clusters, then greedy lowest-id keep within each near-dup group.
+    Here the coarse quantizer is the deterministic stride-sampled
+    centroid set shared with sim_ivf_top5 (SQL-reproducible; swap in
+    ops.kmeans centroids for production).  Candidate volume is
+    Σ|cluster|², reached via a plain equi-join on centroid_id — no
+    global crossJoin; see ops.similarity.semantic_dedup for the 100 TB
+    shape notes."""
+    from mbai_gdb_spark.ops.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 50 == 0)
+    return semantic_dedup(emb, centroids, threshold=0.25)
+
+
+def _sql_mul32(h: str, c: int) -> str:
+    """``({h} * c) mod 2^32`` in overflow-safe split-multiply form —
+    mirrors ops.sketch._mul32 exactly."""
+    return (
+        f"(({h} % 65536) * {c} + (({h} // 65536 * {c}) % 65536) * 65536)"
+        f" % 4294967296"
+    )
+
+
+@query(
+    "sketch_hll_distinct",
+    f"""
+    WITH h0 AS (SELECT o_orderpriority, o_custkey % 4294967296 AS h FROM orders),
+    h1 AS (SELECT o_orderpriority, xor(h, h // 65536) AS h FROM h0),
+    h2 AS (SELECT o_orderpriority, {_sql_mul32("h", 0x85EBCA6B)} AS h FROM h1),
+    h3 AS (SELECT o_orderpriority, xor(h, h // 8192) AS h FROM h2),
+    h4 AS (SELECT o_orderpriority, {_sql_mul32("h", 0xC2B2AE35)} AS h FROM h3),
+    h5 AS (SELECT o_orderpriority, xor(h, h // 65536) AS h FROM h4),
+    r AS (
+        SELECT o_orderpriority, h % 64 AS reg,
+               CASE WHEN h // 64 = 0 THEN 27
+                    ELSE 26 - length(bin(h // 64)) + 1 END AS rho
+        FROM h5
+    ),
+    regs AS (
+        SELECT o_orderpriority, reg, MAX(rho) AS mx FROM r GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_registers_set,
+           CAST((SUM(pow(2.0, -mx)) + (64 - COUNT(*))) * 134217728.0 AS BIGINT)
+               AS harmonic_scaled,
+           2905.460551022604 / (SUM(pow(2.0, -mx)) + (64 - COUNT(*)))
+               AS hll_estimate
+    FROM regs GROUP BY o_orderpriority
+    """,
+)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct customers per order priority, with a
+    register state the oracle recomputes EXACTLY (ops.sketch.
+    hll_distinct): murmur3-fmix32 hash (overflow-safe split-multiply,
+    bit-exact in both engines — an LCG's lattice bias inflates HLL's
+    leading-zero ranks on structured keys) → register = h%64, rank =
+    bitlen(h//64) via the bin() string both engines expose; every 2^-M harmonic
+    term is an exact float64 power of two, so the sum is order-free
+    and safely value-hashed (harmonic_scaled is its 2^27-scaled
+    integer proof).  Beside sketch_kmv_distinct: HLL is the
+    fixed-size (m registers, MAX-mergeable) production sketch,
+    KMV the k-sample one."""
+    from mbai_gdb_spark.ops.sketch import hll_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    return hll_distinct(o, ["o_orderpriority"], "o_custkey", m=64)
+
+
+# Fixed tokenizer artifact for text_bpe_encode: the stable top merges
+# observed across all three test SFs (see _BPE_GOLD) plus two
+# second-level rules that consume first-level outputs.
+_ENCODE_MERGES = [
+    ("e", "r"), ("i", "n"), ("o", "r"), ("s", "t"),
+    ("o", "w"), ("er", "s"), ("t", "h"), ("a", "n"),
+]
+
+
+def _sql_bpe_fold(syms_expr: str, merges: list[tuple[str, str]]) -> str:
+    """Nested DuckDB fold mirroring ops.text.bpe_apply exactly: the
+    accumulator is a chr(31)-joined string (merging = appending WITHOUT
+    the separator — l||r is literally the concatenation), one
+    list_reduce per rule, re-split between rules.  chr(31) (ASCII unit
+    separator) never occurs in whitespace-tokenized text."""
+    cur = syms_expr
+    for left, right in merges:
+        folded = (
+            f"list_reduce({cur}, (a, x) -> "
+            f"CASE WHEN string_split(a, chr(31))[-1] = '{left}' AND x = '{right}' "
+            f"THEN a || x ELSE a || chr(31) || x END)"
+        )
+        cur = f"string_split({folded}, chr(31))"
+    return cur
+
+
+@query(
+    "text_bpe_encode",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, t FROM (
+            SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+        ) WHERE t <> ''
+    ),
+    words AS (SELECT DISTINCT t AS w FROM toks),
+    enc AS (
+        SELECT w,
+               len({_sql_bpe_fold("list_filter(string_split(w, ''), c -> c <> '')", _ENCODE_MERGES)})
+                   AS n_syms
+        FROM words
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(length(t)) AS BIGINT) AS n_chars,
+           CAST(SUM(n_syms) AS BIGINT) AS n_bpe_symbols
+    FROM toks JOIN enc ON enc.w = toks.t
+    GROUP BY doc_id
+    """,
+)
+def text_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION at corpus scale (the other half of
+    text_bpe_merges): a fixed 8-rule BPE merge list — the trained
+    artifact — applied greedily per word via aggregate() folds
+    (ops.text.bpe_apply), on the DISTINCT-WORD table and joined back
+    to occurrences, so fold cost scales with vocabulary, not corpus.
+    Rules include second-level merges ('er'+'s') that consume
+    first-level outputs, exercising true multi-level BPE.  Per doc:
+    word / char / post-merge symbol counts (all integers)."""
+    from mbai_gdb_spark.ops.text import bpe_apply
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    words = toks.select("w").distinct()
+    syms = bpe_apply(
+        F.filter(F.split("w", ""), lambda c: c != ""), _ENCODE_MERGES
+    )
+    enc = words.select("w", F.size(syms).alias("n_syms"))
+    return toks.join(enc, "w").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.length("w")).alias("n_chars"),
+        F.sum("n_syms").alias("n_bpe_symbols"),
+    )

@@ -1,0 +1,138 @@
+"""Round-5 operators: semantic dedup, HyperLogLog, BPE application."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.similarity import semantic_dedup
+from mbai_gdb_spark.ops.sketch import hll_distinct
+from mbai_gdb_spark.ops.text import bpe_apply
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup
+# ---------------------------------------------------------------------------
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_marks_within_cluster_dups(spark):
+    # Two well-separated clusters; ids 1 and 2 are near-dups of 0.
+    rows = [
+        (0, (1.0, 0.0)),
+        (1, (0.999, 0.01)),
+        (2, (0.98, 0.05)),
+        (10, (0.0, 1.0)),
+        (11, (0.02, 0.999)),
+    ]
+    corpus = _emb_df(spark, rows)
+    centroids = _emb_df(spark, [(0, (1.0, 0.0)), (10, (0.0, 1.0))])
+    out = semantic_dedup(corpus, centroids, threshold=0.95)
+    got = {r.vec_id: (r.dup_of, r.centroid_id) for r in out.collect()}
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+    assert got[11] == (10, 10)
+    assert 0 not in got and 10 not in got  # representatives kept
+
+
+def test_semantic_dedup_never_pairs_across_clusters(spark):
+    # Identical vectors land in the SAME cluster; near-identical ones
+    # that straddle the centroid boundary are never compared — the
+    # SemDeDup contract (quadratic work confined to clusters).
+    rows = [(0, (1.0, 0.0)), (1, (0.6, 0.8)), (2, (0.8, 0.6))]
+    corpus = _emb_df(spark, rows)
+    centroids = _emb_df(spark, [(0, (1.0, 0.0)), (1, (0.0, 1.0))])
+    out = semantic_dedup(corpus, centroids, threshold=0.0).collect()
+    # vec 1 → centroid 1, vecs 0/2 → centroid 0: only (0,2) compared
+    assert {(r.dup_of, r.vec_id) for r in out} == {(0, 2)}
+
+
+# ---------------------------------------------------------------------------
+# hll_distinct
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_tracks_cardinality(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") * 7 + 13).alias("v")
+    )
+    out = {r.g: r for r in hll_distinct(df, ["g"], "v", m=64).collect()}
+    for g in (0, 1):
+        # HLL with m=64 has ~13% relative stderr; allow 3 sigma.
+        assert out[g].hll_estimate == pytest.approx(2500, rel=0.4)
+        assert out[g].n_registers_set == 64
+
+
+def test_hll_registers_duplicate_invariant(spark):
+    # Register state depends only on the distinct value set.
+    base = spark.range(0, 500).select(F.lit("a").alias("g"), F.col("id").alias("v"))
+    dup = base.union(base).union(base)
+    a = hll_distinct(base, ["g"], "v").collect()[0]
+    b = hll_distinct(dup, ["g"], "v").collect()[0]
+    assert (a.harmonic_scaled, a.hll_estimate, a.n_registers_set) == (
+        b.harmonic_scaled,
+        b.hll_estimate,
+        b.n_registers_set,
+    )
+
+
+def test_hll_string_values_and_m_validation(spark):
+    df = spark.range(0, 100).select(
+        F.lit("g").alias("g"), F.concat(F.lit("u"), F.col("id")).alias("v")
+    )
+    row = hll_distinct(df, ["g"], "v", m=128).collect()[0]
+    assert row.hll_estimate == pytest.approx(100, rel=0.5)
+    with pytest.raises(ValueError):
+        hll_distinct(df, ["g"], "v", m=48)
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply
+# ---------------------------------------------------------------------------
+
+
+def _encode_reference(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word)
+    for left, right in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_matches_reference_incl_multilevel(spark):
+    merges = [("e", "r"), ("er", "s"), ("s", "t"), ("t", "h")]
+    words = ["ers", "erers", "sters", "the", "ersther", "x", "ss", "erer"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    enc = df.select(
+        "w",
+        bpe_apply(F.filter(F.split("w", ""), lambda c: c != ""), merges).alias(
+            "syms"
+        ),
+    )
+    got = {r.w: list(r.syms) for r in enc.collect()}
+    for w in words:
+        assert got[w] == _encode_reference(w, merges), w
+
+
+def test_bpe_apply_greedy_nonoverlap(spark):
+    # 'eee' + rule (e,e): leftmost pair merges, third 'e' stays single.
+    df = spark.createDataFrame([("eee",)], "w string")
+    enc = df.select(
+        bpe_apply(
+            F.filter(F.split("w", ""), lambda c: c != ""), [("e", "e")]
+        ).alias("syms")
+    )
+    assert list(enc.collect()[0].syms) == ["ee", "e"]
