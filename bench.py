@@ -76,6 +76,10 @@ HEADLINE = [
     "a15_mode_order_priority",
     "a16_revenue_share",
     "graph_kcore_profile",
+    # Round-5 additions: semantic dedup, HLL, tokenizer application
+    "dedup_semantic",
+    "sketch_hll_distinct",
+    "text_bpe_encode",
 ]
 
 

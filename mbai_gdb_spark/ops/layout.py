@@ -1,0 +1,102 @@
+"""Data-layout operators: Z-order (Morton) multi-dimensional clustering.
+
+At 100 TB the cheapest query is the one that never reads the file:
+parquet min/max footer stats prune files only when the file's value
+RANGE on the filtered column is narrow.  Sorting by one column makes
+that column's ranges tight and every other column's ranges global;
+interleaving the bits of two columns (the Z-/Morton curve) makes BOTH
+columns' per-file ranges shrink like sqrt of the file fraction — the
+layout trick behind Delta/Iceberg ``OPTIMIZE ZORDER BY``.
+
+Everything here is integer arithmetic (``//``, ``%``, exact small
+powers of two) expressible identically in Spark and ANSI SQL, so the
+z-values themselves are oracle-checkable; the write path is plain
+``repartitionByRange`` + ``sortWithinPartitions`` — Spark's own range
+exchange does the global ordering, no driver-side sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def z_value(x: Column, y: Column, bits: int = 16) -> Column:
+    """Morton interleave of the low ``bits`` bits of two non-negative
+    integer columns: result bit ``2i`` is bit ``i`` of ``x``, bit
+    ``2i+1`` is bit ``i`` of ``y``.  ``bits <= 31`` keeps every
+    intermediate exact in a long (and in float64's 2^53 window, so the
+    ``pow``-based powers are exact in both engines).
+
+    One aggregate() fold over ``sequence(0, bits-1)`` — map-only,
+    no shuffle, no UDF.
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    xm = F.pmod(x.cast("long"), F.lit(1 << bits))
+    ym = F.pmod(y.cast("long"), F.lit(1 << bits))
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + (
+            F.floor(xm / F.pow(F.lit(2.0), i)).cast("long") % 2
+            + (F.floor(ym / F.pow(F.lit(2.0), i)).cast("long") % 2) * 2
+        )
+        * F.pow(F.lit(4.0), i).cast("long"),
+    )
+
+
+def zorder_profile(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 16,
+    bucket_shift: int = 26,
+) -> DataFrame:
+    """Per-Z-bucket locality profile: fixed-width buckets of the Morton
+    value (``z // 2^bucket_shift`` — map-only, no global window) with
+    row count and the min/max of BOTH source dimensions.  Reading the
+    output shows the data-skipping effect directly: each bucket bounds
+    x AND y, which a single-column sort cannot do.
+    """
+    z = z_value(F.col(x_col), F.col(y_col), bits)
+    return (
+        df.select(
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+            F.floor(z / F.lit(1 << bucket_shift)).cast("long").alias("z_bucket"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered along the Z-curve of
+    ``(x_col, y_col)``: a range exchange on the Morton value (Spark
+    samples quantile boundaries — balanced files even under skew) and
+    a within-partition sort, so every output file covers one contiguous
+    Z-range and its parquet footer min/max is tight on BOTH columns."""
+    z = z_value(F.col(x_col), F.col(y_col), bits).alias("__z__")
+    (
+        df.withColumn("__z__", z)
+        .repartitionByRange(n_files, "__z__")
+        .sortWithinPartitions("__z__")
+        .drop("__z__")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -2329,3 +2329,40 @@ def text_bpe_encode(spark, sf_dir):
         F.sum(F.length("w")).alias("n_chars"),
         F.sum("n_syms").alias("n_bpe_symbols"),
     )
+
+
+@query(
+    "io_zorder_profile",
+    """
+    WITH z AS (
+        SELECT l_orderkey % 65536 AS x, l_partkey % 65536 AS y,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(0, 15), i ->
+                       ((l_orderkey % 65536) // CAST(pow(2.0, i) AS BIGINT) % 2
+                        + (l_partkey % 65536) // CAST(pow(2.0, i) AS BIGINT) % 2 * 2)
+                       * CAST(pow(4.0, i) AS BIGINT))),
+                   (a, v) -> a + v) AS zv
+        FROM lineitem
+    )
+    SELECT zv // 1048576 AS z_bucket,
+           COUNT(*) AS n_rows,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM z GROUP BY 1
+    """,
+)
+def io_zorder_profile(spark, sf_dir):
+    """Z-order (Morton) layout profile over lineitem (orderkey ×
+    partkey): bit-interleaved z-values in fixed-width buckets, each
+    bucket reporting min/max of BOTH dimensions — the footer-stats
+    data-skipping effect behind OPTIMIZE ZORDER BY, as pure map-side
+    integer folds (ops.layout.z_value; write path write_zordered uses
+    repartitionByRange on the z-value).  A single-column sort bounds
+    one dimension per file; the Z-curve bounds both at ~sqrt rates."""
+    from mbai_gdb_spark.ops.layout import zorder_profile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 65536).alias("x"),
+        (F.col("l_partkey") % 65536).alias("y"),
+    )
+    return zorder_profile(li, "x", "y", bits=16, bucket_shift=20)

@@ -136,3 +136,61 @@ def test_bpe_apply_greedy_nonoverlap(spark):
         ).alias("syms")
     )
     assert list(enc.collect()[0].syms) == ["ee", "e"]
+
+
+# ---------------------------------------------------------------------------
+# z-order layout
+# ---------------------------------------------------------------------------
+
+
+def _morton_ref(x: int, y: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_z_value_matches_reference(spark):
+    from mbai_gdb_spark.ops.layout import z_value
+
+    pts = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", z_value(F.col("x"), F.col("y")).alias("z")).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _morton_ref(x, y), (x, y)
+    with pytest.raises(ValueError):
+        z_value(F.col("x"), F.col("y"), bits=0)
+
+
+def test_write_zordered_bounds_both_dims(spark, tmp_path):
+    import itertools
+
+    from mbai_gdb_spark.ops.layout import write_zordered
+
+    # Uniform 64x64 grid: a perfect worst case for single-column sort.
+    rows = [(x * 64 + 13, y * 64 + 7) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    zpath = str(tmp_path / "zord")
+    write_zordered(df, zpath, "x", "y", n_files=16, bits=12)
+
+    spans_x, spans_y = [], []
+    import glob as _glob
+
+    for f in _glob.glob(zpath + "/part-*.parquet"):
+        pf = spark.read.parquet(f)
+        mm = pf.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()[0]
+        spans_x.append(mm[1] - mm[0])
+        spans_y.append(mm[3] - mm[2])
+    assert len(spans_x) >= 8
+    global_span = 63 * 64
+    # Z-clustering must bound BOTH dims well below global span on
+    # average; a single-column sort leaves the other dim at ~full span.
+    assert sum(spans_x) / len(spans_x) < 0.6 * global_span
+    assert sum(spans_y) / len(spans_y) < 0.6 * global_span
