@@ -76,10 +76,13 @@ HEADLINE = [
     "a15_mode_order_priority",
     "a16_revenue_share",
     "graph_kcore_profile",
-    # Round-5 additions: semantic dedup, HLL, tokenizer application
+    # Round-5 additions: semantic dedup, HLL, tokenizer application,
+    # z-order layout, IVF-PQ
     "dedup_semantic",
     "sketch_hll_distinct",
     "text_bpe_encode",
+    "io_zorder_profile",
+    "sim_ivfpq_top5",
 ]
 
 

@@ -945,3 +945,101 @@ def semantic_dedup(
         F.max("cosine_sim").alias("best_cosine"),
         F.count(F.lit(1)).alias("n_dup_candidates"),
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    centroid_stride: int = 50,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    code_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the production billion-scale ANN shape (Jegou et al.) —
+    IVF's inverted lists prune WHICH vectors are scored (n_probe/K of
+    the corpus), PQ's 8-byte codes prune WHAT is read per vector (no
+    raw floats touched in the scan).  Composition of
+    :func:`ivf_assign` + :func:`pq_codebook`/:func:`pq_encode` +
+    the ADC distance-table join of :func:`pq_adc_topk`.
+
+    This variant encodes RAW vectors (IVF prunes, PQ compresses) so
+    the whole pipeline stays oracle-exact; classic IVF-PQ encodes
+    residuals against the coarse centroid for tighter codes — swap
+    ``pq_encode``'s input for (vector - centroid) with trained
+    codebooks when cross-engine exactness is not required.
+
+    Plan shape: centroids + codebook + per-query distance tables are
+    all broadcast; the corpus shuffles once to (vec, sub) codes; the
+    candidate scan is an equi-join on centroid_id then (sub, code) —
+    never a crossJoin against the corpus.
+    """
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
+    cb = pq_codebook(corpus, id_col, vec_col, m_sub, sub_dim, n_codes, code_stride)
+    codes = pq_encode(corpus, cb, id_col, vec_col, m_sub, sub_dim).join(
+        assignment, id_col
+    )
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
+    ).withColumn("__qn__", l2_norm(F.col("__qv__")))
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("__cv__"),
+        ).withColumn("__cn__", l2_norm(F.col("__cv__")))
+    )
+    q_probes = topk_per_key(
+        q.crossJoin(cents).select(
+            query_id_col,
+            "centroid_id",
+            (
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("__csim__"),
+        ),
+        [query_id_col],
+        [F.col("__csim__").desc(), F.col("centroid_id")],
+        n_probe,
+    ).select(query_id_col, "centroid_id")
+
+    qslices = F.array(
+        *[F.slice("__qv__", m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+    )
+    qsubs = q.select(query_id_col, F.posexplode(qslices).alias("sub_id", "sv"))
+    table = qsubs.join(F.broadcast(cb), "sub_id").select(
+        query_id_col, "sub_id", "code_id", l2_sq(F.col("sv"), F.col("cw")).alias("__d__")
+    )
+
+    from pyspark.sql import Window as W
+
+    pivoted = (
+        codes.join(q_probes, "centroid_id")
+        .join(F.broadcast(table), [query_id_col, "sub_id", "code_id"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("sub_id") == m, F.col("__d__"))).alias(f"__d{m}__")
+                for m in range(m_sub)
+            ]
+        )
+    )
+    adc = F.lit(0.0)
+    for m in range(m_sub):
+        adc = adc + F.col(f"__d{m}__")
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        pivoted.filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )

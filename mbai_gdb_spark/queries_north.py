@@ -2366,3 +2366,74 @@ def io_zorder_profile(spark, sf_dir):
         (F.col("l_partkey") % 65536).alias("y"),
     )
     return zorder_profile(li, "x", "y", bits=16, bucket_shift=20)
+
+
+@query(
+    "sim_ivfpq_top5",
+    f"""
+    WITH {_sql_pq_common()},
+    cent AS (SELECT vec_id AS centroid_id, ve AS cv FROM v WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_SQL_COS.format(a="v.ve", b="c.cv")} DESC,
+                                               c.centroid_id) AS rn
+            FROM v, cent c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_SQL_COS.format(a="q.qv", b="c.cv")} DESC,
+                                               c.centroid_id) AS rn
+            FROM q, cent c
+        ) WHERE rn <= 2
+    ),
+    qs AS (
+        SELECT query_id, s.m AS sub_id, qv[s.m * 8 + 1 : s.m * 8 + 8] AS sv
+        FROM q, UNNEST(generate_series(0, 7)) AS s(m)
+    ),
+    tab AS (
+        SELECT query_id, sub_id, code_id,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+                   i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), (a, x) -> a + x) AS dd
+        FROM qs JOIN cb USING (sub_id)
+    ),
+    pivoted AS (
+        SELECT t.query_id, c.vec_id,
+               {", ".join(f"MAX(CASE WHEN t.sub_id = {m} THEN dd END) AS d{m}" for m in range(8))}
+        FROM codes c
+        JOIN assign a ON a.vec_id = c.vec_id
+        JOIN probes p ON p.centroid_id = a.centroid_id
+        JOIN tab t ON t.query_id = p.query_id
+                  AND t.sub_id = c.sub_id AND t.code_id = c.code_id
+        GROUP BY t.query_id, c.vec_id
+    ),
+    adc AS (
+        SELECT query_id, vec_id,
+               {"".join(["(" * 8, "0.0"] + [f" + d{m})" for m in range(8)])} AS adc_dist
+        FROM pivoted WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, vec_id
+        ) AS rn FROM adc
+    ) WHERE rn <= 5
+    """,
+)
+def sim_ivfpq_top5(spark, sf_dir):
+    """IVF-PQ search — the billion-scale production ANN: inverted
+    lists prune which vectors are scored (2 of ~K lists per query),
+    8-byte PQ codes prune what is read per vector, ADC distance
+    tables score without touching raw floats.  Completes the ANN
+    family ladder (brute → LSH → IVF-flat → PQ-ADC → IVF-PQ); see
+    ops.similarity.ivf_pq_topk for plan shape and the residual-
+    encoding production note."""
+    from mbai_gdb_spark.ops.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_topk(emb, queries_df, k=5, n_probe=2)

@@ -194,3 +194,37 @@ def test_write_zordered_bounds_both_dims(spark, tmp_path):
     # average; a single-column sort leaves the other dim at ~full span.
     assert sum(spans_x) / len(spans_x) < 0.6 * global_span
     assert sum(spans_y) / len(spans_y) < 0.6 * global_span
+
+
+# ---------------------------------------------------------------------------
+# ivf_pq_topk
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_subset_of_probed_lists(spark):
+    # Candidates must come only from the query's probed inverted lists,
+    # and ranks must be dense 1..k by (adc, vec_id).
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, [float(x) for x in rng.randn(64)]) for i in range(400)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    from mbai_gdb_spark.ops.similarity import ivf_assign, ivf_pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = ivf_pq_topk(emb, queries, k=5, n_probe=2).collect()
+    assert {r.query_id for r in out} == {0, 1, 2}
+    for qid in (0, 1, 2):
+        ranks = sorted(r.rank for r in out if r.query_id == qid)
+        assert ranks == [1, 2, 3, 4, 5]
+
+    cents = emb.filter(F.col("vec_id") % 50 == 0)
+    assign = {r.vec_id: r.centroid_id for r in ivf_assign(emb, cents).collect()}
+    # each result's list membership must be one of the query's 2 probes
+    from collections import defaultdict
+
+    probed = defaultdict(set)
+    for r in out:
+        probed[r.query_id].add(assign[r.vec_id])
+    for qid, lists in probed.items():
+        assert len(lists) <= 2
