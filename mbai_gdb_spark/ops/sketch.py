@@ -357,6 +357,21 @@ def hll_distinct(
     ``m``-bounded rollup per group.  Register states merge by MAX, so
     the sketch is also a valid streaming/mergeable accumulator.
     """
+    return hll_finalize(
+        hll_registers(df, group_cols, value_col, m), group_cols, m
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    m: int = 64,
+) -> DataFrame:
+    """The mergeable HLL state: (group cols, __reg__, __m__ = max rho).
+    Register states merge by MAX, so this works unchanged as a
+    STREAMING aggregation (update mode) — see streaming.sketches —
+    and sketches from different partitions/days union + re-max."""
     if m & (m - 1) or m < 64:
         raise ValueError("m must be a power of two >= 64")
     from pyspark.sql import types as T
@@ -374,11 +389,19 @@ def hll_distinct(
     rho = F.when(suffix == 0, F.lit(bitbudget + 1)).otherwise(
         F.lit(bitbudget) - F.length(F.bin(suffix)) + 1
     )
-    regs = (
+    return (
         df.select(*group_cols, (hv % m).alias("__reg__"), rho.alias("__rho__"))
         .groupBy(*group_cols, "__reg__")
         .agg(F.max("__rho__").alias("__m__"))
     )
+
+
+def hll_finalize(
+    regs: DataFrame, group_cols: list[str], m: int = 64
+) -> DataFrame:
+    """Collapse an HLL register table to per-group estimates (see
+    :func:`hll_distinct` for the exactness argument)."""
+    bitbudget = 32 - (m.bit_length() - 1)
     z_set = F.sum(F.pow(F.lit(2.0), -F.col("__m__")))
     n_set = F.count(F.lit(1))
     z = z_set + (F.lit(m) - n_set).cast("double")

@@ -2433,7 +2433,7 @@ def graph_kcore_profile(spark, sf_dir):
     scheme); the k-core's uniqueness makes the result peel-order- and
     partitioning-independent, and unit tests certify the algorithm on
     closed-form graphs."""
-    from mbai_gdb_spark.ops.graph import kcore
+    from mbai_gdb_spark.ops.graph import kcore_edges
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
@@ -2446,8 +2446,16 @@ def graph_kcore_profile(spark, sf_dir):
         .localCheckpoint(eager=True)  # shared by the three peels
     )
     rows = []
+    core = edges
     for k in (48, 80, 112):
-        out = kcore(edges, k, "u", "v")
+        # cores nest: peel each k from the PREVIOUS core's edge frame
+        core = kcore_edges(core, k, "u", "v", canonical=True)
+        out = (
+            core.select(F.col("u").alias("vertex"))
+            .unionAll(core.select(F.col("v").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
         r = out.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("core_degree"), F.lit(0)).alias("s"),
