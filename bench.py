@@ -83,6 +83,7 @@ HEADLINE = [
     "text_bpe_encode",
     "io_zorder_profile",
     "sim_ivfpq_top5",
+    "text_chunk_windows",
 ]
 
 

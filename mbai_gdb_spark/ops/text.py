@@ -605,3 +605,58 @@ def bpe_apply(
     for left, right in merges:
         syms = _merge_pair_in(syms, left, right)
     return syms
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_len: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Sliding-window document chunking — the training-prep step between
+    raw documents and :mod:`ops.packing`: split each document's token
+    stream into windows of ``max_len`` tokens with ``overlap`` tokens
+    of context carried between consecutive windows (stride =
+    ``max_len - overlap``).
+
+    Window starts are ``1 + i*stride`` for
+    ``i in 0..ceil(max(0, n - max_len) / stride)`` — the last window
+    always reaches the final token (no tail loss), every window except
+    possibly the last has exactly ``max_len`` tokens, and a document
+    with ``n <= max_len`` yields one window.
+
+    Map-only: one explode per document, no shuffle, no UDF — chunk
+    counts scale the row count by ~n/stride, the same fan-out shape as
+    token explodes elsewhere.  Output: (id, chunk_id, start_pos,
+    n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < max_len:
+        raise ValueError("need 0 <= overlap < max_len")
+    stride = max_len - overlap
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.filter(toks, lambda t: t != "").alias("__toks__"),
+    ).withColumn("__n__", F.size("__toks__"))
+    n_chunks = (
+        F.ceil(
+            F.greatest(F.lit(0), F.col("__n__") - max_len) / F.lit(stride)
+        ).cast("int")
+        + 1
+    )
+    exploded = base.filter(F.col("__n__") > 0).select(
+        id_col,
+        "__toks__",
+        "__n__",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id", "__i__"),
+    )
+    start = F.col("__i__") * stride + 1
+    piece = F.slice("__toks__", start, max_len)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id"),
+        start.alias("start_pos"),
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )

@@ -2437,3 +2437,36 @@ def sim_ivfpq_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_pq_topk(emb, queries_df, k=5, n_probe=2)
+
+
+@query(
+    "text_chunk_windows",
+    f"""
+    WITH base AS (
+        SELECT doc_id, list_filter({_SQL_TOKS}, t -> t <> '') AS toks
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, toks, len(toks) AS n FROM base WHERE len(toks) > 0),
+    chunks AS (
+        SELECT doc_id, toks, n, i.i AS chunk_id, i.i * 24 + 1 AS start_pos
+        FROM sized, UNNEST(generate_series(0,
+            CAST(ceil(greatest(0, n - 32) / 24.0) AS BIGINT))) AS i(i)
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(start_pos AS INT) AS start_pos,
+           len(toks[start_pos : start_pos + 31]) AS n_chunk_tokens,
+           array_to_string(toks[start_pos : start_pos + 31], ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def text_chunk_windows(spark, sf_dir):
+    """Sliding-window chunking of the corpus into 32-token windows with
+    8 tokens of overlap (stride 24) — the context-window prep step
+    ahead of sequence packing; last window always reaches the final
+    token, no tail loss.  Map-only explode (ops.text.chunk_documents);
+    at 100 TB the fan-out is ~n/stride rows per doc with no shuffle."""
+    from mbai_gdb_spark.ops.text import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_len=32, overlap=8
+    )

@@ -228,3 +228,38 @@ def test_ivfpq_subset_of_probed_lists(spark):
         probed[r.query_id].add(assign[r.vec_id])
     for qid, lists in probed.items():
         assert len(lists) <= 2
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_window_algebra(spark):
+    from mbai_gdb_spark.ops.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(1, 101))),  # 100 tokens
+            (2, "a b c"),  # n <= max_len: one window
+            (3, ""),  # empty: no rows
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, max_len=32, overlap=8)
+    rows = sorted(out.collect(), key=lambda r: (r.doc_id, r.chunk_id))
+    d1 = [r for r in rows if r.doc_id == 1]
+    # stride 24: starts 1,25,49,73 — last window reaches token 100
+    assert [(r.start_pos, r.n_chunk_tokens) for r in d1] == [
+        (1, 32), (25, 32), (49, 32), (73, 28),
+    ]
+    assert d1[0].chunk_text.startswith("t1 t2 ") and d1[-1].chunk_text.endswith("t100")
+    # consecutive windows overlap by exactly 8 tokens
+    assert d1[0].chunk_text.split()[-8:] == d1[1].chunk_text.split()[:8]
+    d2 = [r for r in rows if r.doc_id == 2]
+    assert len(d2) == 1 and d2[0].n_chunk_tokens == 3
+    assert not [r for r in rows if r.doc_id == 3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_len=8, overlap=8)
