@@ -84,6 +84,7 @@ HEADLINE = [
     "io_zorder_profile",
     "sim_ivfpq_top5",
     "text_chunk_windows",
+    "io_incremental_rollup",
 ]
 
 

@@ -108,9 +108,14 @@ def write_insert_if_absent(
 
 
 def _path_has_data(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") for f in os.listdir(path)
-    )
+    """True if the dataset dir holds any parquet file — including under
+    partition subdirectories (day=.../part-*.parquet)."""
+    if not os.path.isdir(path):
+        return False
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def write_partitioned(
@@ -168,6 +173,72 @@ def merge_upsert(
         shutil.rmtree(old)
     else:
         batch.write.mode("append").parquet(path)
+
+
+def incremental_rollup(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    part_col: str,
+    key_cols: list[str],
+    measures: dict[str, tuple[str, "Column"]],
+) -> None:
+    """Continuous-aggregate maintenance: merge a new fact batch into a
+    persisted rollup, touching ONLY the partitions the batch lands in.
+
+    ``measures`` maps output column -> (merge_kind, batch_agg_column)
+    with merge_kind in {"sum", "min", "max"} — the MERGEABLE aggregate
+    algebra (counts merge as sums), which is what makes partial
+    per-batch aggregation + partition-scoped re-merge equal to a full
+    recompute; AVG-style measures must be carried as (sum, count)
+    pairs and finalized at read.
+
+    Scale shape — the reason this exists: at 100 TB the rollup spans
+    years of partitions but a batch touches one or two, so (1) the
+    batch is pre-aggregated FIRST (map-side shrink to rollup grain),
+    (2) affected partition VALUES are collected (bounded by the batch's
+    partition span — the bounded-scalar pattern), (3) existing rows are
+    read with an ``isin`` filter on the partition column — static
+    partition pruning, untouched partitions are never read — and
+    (4) the merged result is written with dynamic partitionOverwrite,
+    replacing only those directories.  The lakehouse equivalent is
+    ``MERGE INTO`` on a partitioned Delta/Iceberg table.
+    """
+    partial = batch.groupBy(part_col, *key_cols).agg(
+        *[expr.alias(name) for name, (_, expr) in measures.items()]
+    )
+    merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
+    if _path_has_data(path):
+        affected = [
+            r[0] for r in partial.select(part_col).distinct().collect()
+        ]
+        existing = spark.read.parquet(path).filter(
+            F.col(part_col).isin(affected)
+        )
+        merged = (
+            existing.unionByName(partial)
+            .groupBy(part_col, *key_cols)
+            .agg(
+                *[
+                    merge_fns[kind](F.col(name)).alias(name)
+                    for name, (kind, _) in measures.items()
+                ]
+            )
+        )
+        # Materialize BEFORE the overwrite: the merged plan reads the
+        # same path it is about to replace, and a lazy self-overwrite
+        # silently drops the existing rows (same trap merge_upsert's
+        # staging dir guards against).  The checkpoint is rollup-grain
+        # rows for the affected partitions only — bounded.
+        merged = merged.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            merged.write.mode("overwrite").partitionBy(part_col).parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    else:
+        partial.write.mode("overwrite").partitionBy(part_col).parquet(path)
 
 
 # ---------------------------------------------------------------------------

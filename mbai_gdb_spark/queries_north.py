@@ -2470,3 +2470,54 @@ def text_chunk_windows(spark, sf_dir):
     return chunk_documents(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_len=32, overlap=8
     )
+
+
+@query(
+    "io_incremental_rollup",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS max_event_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def io_incremental_rollup(spark, sf_dir):
+    """Continuous-aggregate maintenance, driver-checked end-to-end:
+    the daily x event-type rollup is built by merging THREE disjoint
+    fact batches (event_id % 3) through io.incremental_rollup — batch
+    pre-aggregated to rollup grain, affected partition values
+    collected (bounded scalar), existing rows read under an isin
+    partition-pruning filter, merged partitions replaced via dynamic
+    partitionOverwrite.  The oracle is the one-shot full rollup: the
+    incremental path must equal it exactly (mergeable sum/max algebra
+    on integer cents)."""
+    import os
+    import shutil
+    import tempfile
+
+    from mbai_gdb_spark.io import incremental_rollup
+    from mbai_gdb_spark.queries import scaled_long
+
+    ev = _t(spark, sf_dir, "events")
+    facts = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "event_type",
+        scaled_long(F.col("value"), 100).alias("cents"),
+        "event_id",
+    )
+    measures = {
+        "n_events": ("sum", F.count(F.lit(1))),
+        "value_cents": ("sum", F.sum("cents")),
+        "max_event_cents": ("max", F.max("cents")),
+    }
+    path = os.path.join(tempfile.gettempdir(), f"mbai_rollup_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    for b in range(3):
+        batch = facts.filter(F.pmod(F.col("event_id"), F.lit(3)) == b).drop(
+            "event_id"
+        )
+        incremental_rollup(spark, path, batch, "day", ["event_type"], measures)
+    return spark.read.parquet(path).select(
+        "day", "event_type", "n_events", "value_cents", "max_event_cents"
+    )

@@ -263,3 +263,39 @@ def test_chunk_documents_window_algebra(spark):
 
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_len=8, overlap=8)
+
+
+# ---------------------------------------------------------------------------
+# incremental_rollup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_rollup_only_touches_affected_partitions(spark, tmp_path):
+    import os
+
+    from mbai_gdb_spark.io import incremental_rollup
+
+    path = str(tmp_path / "roll")
+    measures = {
+        "n": ("sum", F.count(F.lit(1))),
+        "total": ("sum", F.sum("v")),
+        "mx": ("max", F.max("v")),
+    }
+    b1 = spark.createDataFrame(
+        [("d1", "a", 10), ("d1", "a", 5), ("d2", "b", 7)], "day string, k string, v long"
+    )
+    incremental_rollup(spark, path, b1, "day", ["k"], measures)
+    # record d2's file set, then merge a batch touching ONLY d1
+    d2_files = sorted(os.listdir(os.path.join(path, "day=d2")))
+    b2 = spark.createDataFrame([("d1", "a", 1), ("d1", "c", 2)], "day string, k string, v long")
+    incremental_rollup(spark, path, b2, "day", ["k"], measures)
+    assert sorted(os.listdir(os.path.join(path, "day=d2"))) == d2_files  # untouched
+    got = {
+        (r.day, r.k): (r.n, r.total, r.mx)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("d1", "a"): (3, 16, 10),
+        ("d1", "c"): (1, 2, 2),
+        ("d2", "b"): (1, 7, 7),
+    }
