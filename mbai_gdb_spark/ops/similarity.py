@@ -886,6 +886,7 @@ def semantic_dedup(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate detection: cluster the
     corpus by nearest centroid, then compare pairs ONLY within a
@@ -905,8 +906,15 @@ def semantic_dedup(
     dup_of, best_cosine, n_dup_candidates).  Representatives (lowest
     id in each near-dup group) don't appear, mirroring
     dedup_embedding_cosine's greedy-keep convention.
+
+    ``vectorized_assign=True`` swaps the HOF nearest-centroid pass for
+    the BLAS matmul path (ivf_assign_vectorized) — required when K
+    grows with sqrt(N)/cluster-size bounds at real scale; keep the HOF
+    default for oracle-hashed queries (see ivf_assign_vectorized's
+    FP-tie note).
     """
-    assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    assign_fn = ivf_assign_vectorized if vectorized_assign else ivf_assign
+    assign = assign_fn(corpus, centroids, id_col, vec_col)
     v = (
         corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v__"))
         .withColumn("__n__", l2_norm(F.col("__v__")))
