@@ -299,3 +299,98 @@ def test_incremental_rollup_only_touches_affected_partitions(spark, tmp_path):
         ("d1", "c"): (1, 2, 2),
         ("d2", "b"): (1, 7, 7),
     }
+
+
+# ---------------------------------------------------------------------------
+# property-based checks (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="erstho", min_size=1, max_size=12),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_bpe_apply_property_vs_reference(spark, words):
+    merges = [("e", "r"), ("er", "s"), ("s", "t"), ("t", "h"), ("e", "e")]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    enc = df.select(
+        "w",
+        bpe_apply(F.filter(F.split("w", ""), lambda c: c != ""), merges).alias("s"),
+    )
+    got = {r.w: list(r.s) for r in enc.collect()}
+    for w in words:
+        assert got[w] == _encode_reference(w, merges), w
+        assert "".join(got[w]) == w  # merges never lose characters
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 31) - 1),
+            st.integers(min_value=0, max_value=(1 << 31) - 1),
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+def test_z_value_property_vs_reference(spark, pts):
+    from mbai_gdb_spark.ops.layout import z_value
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", z_value(F.col("x"), F.col("y"), bits=16).alias("z")
+        ).collect()
+    }
+    for x, y in pts:
+        assert got[(x, y)] == _morton_ref(x % 65536, y % 65536), (x, y)
+
+
+def _hll_reference(values, m=64):
+    """Pure-Python twin of ops.sketch.hll_registers + finalize."""
+    def mul32(h, c):
+        return ((h % 65536) * c + ((h // 65536 * c) % 65536) * 65536) % 4294967296
+
+    def fmix32(x):
+        h = x % 4294967296
+        h ^= h // 65536
+        h = mul32(h, 0x85EBCA6B)
+        h ^= h // 8192
+        h = mul32(h, 0xC2B2AE35)
+        return h ^ (h // 65536)
+
+    bb = 32 - (m.bit_length() - 1)
+    regs = {}
+    for v in values:
+        h = fmix32(v)
+        reg, suf = h % m, h // m
+        rho = bb + 1 if suf == 0 else bb - suf.bit_length() + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    z = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+    return len(regs), int(z * (1 << (bb + 1)))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=1 << 40), min_size=1, max_size=60
+    )
+)
+def test_hll_property_vs_reference(spark, values):
+    df = spark.createDataFrame(
+        [("g", v) for v in values], "g string, v long"
+    )
+    row = hll_distinct(df, ["g"], "v", m=64).collect()[0]
+    n_set, scaled = _hll_reference(set(values))
+    assert (row.n_registers_set, row.harmonic_scaled) == (n_set, scaled)
