@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from mbai_gdb_spark.io import read_table
 from mbai_gdb_spark.ops.similarity import (
     cosine_topk,
+    ivf_pq_topk,
     ivf_topk,
     lsh_candidate_neighbors,
     pq_adc_topk,
@@ -100,6 +101,17 @@ def main() -> None:
     print(
         f"{'pq-adc':<12}{len(truth & pq) / len(truth):>10.2f}{t_pq:>8.2f}"
         "   compressed-domain scan (8 bytes/vector), untrained codebook,"
+        " unit-normalized"
+    )
+
+    t0 = time.perf_counter()
+    ivfpq = pairs(
+        ivf_pq_topk(unit, uq, k=k, n_probe=2).select("query_id", "vec_id")
+    )
+    t_ivfpq = time.perf_counter() - t0
+    print(
+        f"{'ivf-pq(2p)':<12}{len(truth & ivfpq) / len(truth):>10.2f}{t_ivfpq:>8.2f}"
+        "   2-probe lists x compressed codes (the billion-scale shape),"
         " unit-normalized"
     )
 
