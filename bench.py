@@ -85,6 +85,8 @@ HEADLINE = [
     "sim_ivfpq_top5",
     "text_chunk_windows",
     "io_incremental_rollup",
+    "w18_ohlc_bars",
+    "w19_time_weighted_value",
 ]
 
 

@@ -2521,3 +2521,118 @@ def io_incremental_rollup(spark, sf_dir):
     return spark.read.parquet(path).select(
         "day", "event_type", "n_events", "value_cents", "max_event_cents"
     )
+
+
+@query(
+    "w18_ohlc_bars",
+    """
+    WITH ev AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+               date_diff('microsecond', date_trunc('hour', ts), ts) * 2097152
+                   + event_id AS ord,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type, bar_ts,
+           arg_min(cents, ord) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           arg_max(cents, ord) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents
+    FROM ev GROUP BY event_type, bar_ts
+    """,
+)
+def w18_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC bars per event type — the time-series downsampling
+    idiom (hypertable rollup / financial bars): open = first value of
+    the bar, close = last — ordered by a packed scalar key
+    (micros-within-bar * 2^21 + event_id, exact in int64; the event_id
+    tie-break makes the result partitioning-independent, and DuckDB
+    1.0's arg_min takes only scalar keys) — high/low/volume as plain
+    min/max/sum on integer cents.  One groupBy on (type, hour) with
+    map-side partials: min_by/max_by ARE mergeable aggregates, so no
+    window pass and no per-bar sort — the shape that rolls a 100 TB
+    event stream into bars in one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    from mbai_gdb_spark.queries import scaled_long
+
+    cents = scaled_long(F.col("value"), 100)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    bar = F.date_trunc("hour", F.col("ts"))
+    base = ev.select(
+        "event_type",
+        bar.alias("bar_ts"),
+        (
+            (micros - F.unix_micros(bar.cast("timestamp"))) * 2097152
+            + F.col("event_id")
+        ).alias("ord"),
+        cents.alias("cents"),
+    )
+    return base.groupBy("event_type", "bar_ts").agg(
+        F.min_by("cents", "ord").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "ord").alias("close_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("volume_cents"),
+    )
+
+
+@query(
+    "w19_time_weighted_value",
+    """
+    WITH ev AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stepped AS (
+        SELECT user_id, cents,
+               CAST(date_diff('microsecond', ts,
+                    LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id)) AS BIGINT)
+                   AS micros_held
+        FROM ev
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN micros_held IS NOT NULL
+                         THEN cents * micros_held ELSE 0 END) AS BIGINT)
+               AS weighted_cents_micros,
+           CAST(SUM(CASE WHEN micros_held IS NOT NULL
+                         THEN micros_held ELSE 0 END) AS BIGINT)
+               AS total_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM stepped GROUP BY user_id
+    """,
+)
+def w19_time_weighted_value(spark, sf_dir):
+    """Duration-weighted value sums per user (the TWAP building block):
+    each event's value is held until the user's next event (LEAD), and
+    the weighted sum accumulates value x holding-duration in EXACT
+    integer units (cents x microseconds — well inside int64 for any
+    realistic horizon; ~92k years of a $1 value).  The final
+    time-weighted average is weighted_cents_micros / total_micros,
+    computed by the reader so the oracle hash stays integer-exact.
+    One window (user shuffle) + one groupBy on the same key — Catalyst
+    reuses the partitioning, so it is a single exchange."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    from mbai_gdb_spark.queries import scaled_long
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    stepped = ev.select(
+        "user_id",
+        scaled_long(F.col("value"), 100).alias("cents"),
+        (F.lead(micros).over(w) - micros).alias("micros_held"),
+    )
+    held = F.col("micros_held").isNotNull()
+    return stepped.groupBy("user_id").agg(
+        F.sum(F.when(held, F.col("cents") * F.col("micros_held")).otherwise(0)).alias(
+            "weighted_cents_micros"
+        ),
+        F.sum(F.when(held, F.col("micros_held")).otherwise(0)).alias("total_micros"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
