@@ -394,3 +394,35 @@ def test_hll_property_vs_reference(spark, values):
     row = hll_distinct(df, ["g"], "v", m=64).collect()[0]
     n_set, scaled = _hll_reference(set(values))
     assert (row.n_registers_set, row.harmonic_scaled) == (n_set, scaled)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.integers(min_value=1, max_value=120),  # n tokens
+    st.integers(min_value=2, max_value=40),   # max_len
+    st.integers(min_value=0, max_value=39),   # overlap (clamped below)
+)
+def test_chunk_documents_property_coverage(spark, n, max_len, overlap):
+    from mbai_gdb_spark.ops.text import chunk_documents
+
+    overlap = min(overlap, max_len - 1)
+    stride = max_len - overlap
+    words = [f"w{i}" for i in range(1, n + 1)]
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(df, max_len=max_len, overlap=overlap).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    # starts advance by stride; last window reaches the final token
+    assert [r.start_pos for r in rows] == [1 + i * stride for i in range(len(rows))]
+    assert rows[-1].start_pos + rows[-1].n_chunk_tokens - 1 == n
+    # every window except possibly the last is full
+    for r in rows[:-1]:
+        assert r.n_chunk_tokens == max_len
+    # token coverage: union of windows == the document, in order
+    seen = set()
+    for r in rows:
+        piece = r.chunk_text.split()
+        assert piece == words[r.start_pos - 1 : r.start_pos - 1 + r.n_chunk_tokens]
+        seen.update(piece)
+    assert seen == set(words)
