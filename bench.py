@@ -87,6 +87,7 @@ HEADLINE = [
     "io_incremental_rollup",
     "w18_ohlc_bars",
     "w19_time_weighted_value",
+    "mm_decode_gif",
 ]
 
 

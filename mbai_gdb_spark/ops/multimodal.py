@@ -211,13 +211,143 @@ def _ppm_decode(b: bytes):
     return w, h, channels, b[pos : pos + w * h * channels]
 
 
+def _gif_lzw(data: bytes, mcs: int, max_pixels: int):
+    """GIF-flavor LZW decode (LSB-first bitstream, clear/end codes,
+    variable code width growing at 2^width up to 12 bits) → palette
+    indices, or None on any malformation.  Output is hard-capped at
+    ``max_pixels`` — an LZW bomb cannot outgrow the declared image
+    size (same bounded-decompress stance as the PNG IDAT cap)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = {i: bytes([i]) for i in range(clear)}
+    table = dict(base)
+    next_code, width = end + 1, mcs + 1
+    out = bytearray()
+    prev = None
+    acc = nacc = pos = 0
+    while True:
+        while nacc < width:
+            if pos >= len(data):
+                return None  # ran out before END code
+            acc |= data[pos] << nacc
+            pos += 1
+            nacc += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nacc -= width
+        if code == clear:
+            table = dict(base)
+            next_code, width = end + 1, mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                return None
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+        out += entry
+        if len(out) > max_pixels:
+            return None
+        prev = entry
+    if len(out) != max_pixels:
+        return None
+    return bytes(out)
+
+
+def _gif_decode(b: bytes):
+    """GIF87a/89a first frame → (w, h, 3, row-major RGB).  Real LZW
+    inflate + palette mapping; extensions are skipped; interlaced
+    images and truncated/corrupt streams yield None (they are rare in
+    web corpora and deinterlacing is a row permutation away if ever
+    needed)."""
+    import struct
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if len(b) < pos + 3 * n:
+            return None
+        gct = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        pos += 1
+        if blk == 0x21:  # extension: label then length-prefixed sub-blocks
+            pos += 1
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            if pos + 9 > len(b):
+                return None
+            _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", b[pos : pos + 9])
+            pos += 9
+            if iw == 0 or ih == 0 or ipacked & 0x40:  # zero-dim / interlaced
+                return None
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                if len(b) < pos + 3 * n:
+                    return None
+                pal = b[pos : pos + 3 * n]
+                pos += 3 * n
+            if pal is None or pos >= len(b):
+                return None
+            mcs = b[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                return None
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                pos += 1
+                data += b[pos : pos + ln]
+                pos += ln
+            idx = _gif_lzw(bytes(data), mcs, iw * ih)
+            if idx is None:
+                return None
+            npal = len(pal) // 3
+            rgb = bytearray(iw * ih * 3)
+            for i, ix in enumerate(idx):
+                if ix >= npal:
+                    return None
+                rgb[3 * i : 3 * i + 3] = pal[3 * ix : 3 * ix + 3]
+            return iw, ih, 3, bytes(rgb)
+        elif blk == 0x3B:
+            return None
+        else:
+            return None
+    return None
+
+
 def decode_payload_bytes(b: bytes):
     """Dispatch on magic bytes → (format, width, height, channels,
     raw row-major pixels) or None.  A payload that passes a magic-byte
     check but is corrupt past it (truncated IHDR, bad IDAT deflate,
     non-multiple-of-3 palette, malformed PPM header ...) must yield
     None, not an exception — one broken file cannot kill a stage."""
-    for fmt, fn in (("png", _png_decode), ("bmp", _bmp_decode), ("ppm", _ppm_decode)):
+    for fmt, fn in (
+        ("png", _png_decode),
+        ("bmp", _bmp_decode),
+        ("ppm", _ppm_decode),
+        ("gif", _gif_decode),
+    ):
         try:
             out = fn(b)
         except Exception:
@@ -675,3 +805,50 @@ def audio_stats(
             yield out
 
     return df.select(id_col, pcm_col).mapInPandas(stats, out_schema)
+
+
+def encode_gif(
+    width: int, height: int, palette: list[tuple[int, int, int]], indices: bytes
+) -> bytes:
+    """Minimal GIF89a writer, the write half of :func:`_gif_decode`:
+    global color table + one image, LZW stream emitted with a CLEAR
+    code after every pixel (keeps the code width fixed at mcs+1 — a
+    valid, simple stream; real compressors grow the dictionary, which
+    the decoder handles and tests exercise via an independent LZW
+    compressor)."""
+    import struct
+
+    ncol = len(palette)
+    depth = max(2, (ncol - 1).bit_length())
+    gct_size = 1 << depth
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (depth - 1), 0, 0)
+    for j in range(gct_size):
+        r, g, b = palette[j] if j < ncol else (0, 0, 0)
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    mcs = depth
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    cw = mcs + 1
+    codes = [clear]
+    for px in indices:
+        codes.append(px)
+        codes.append(clear)
+    codes[-1] = end
+    acc = nacc = 0
+    data = bytearray()
+    for code in codes:
+        acc |= code << nacc
+        nacc += cw
+        while nacc >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nacc -= 8
+    if nacc:
+        data.append(acc & 0xFF)
+    out += bytes([mcs])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + bytes(chunk)
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -2636,3 +2636,108 @@ def w19_time_weighted_value(spark, sf_dir):
         F.sum(F.when(held, F.col("micros_held")).otherwise(0)).alias("total_micros"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+_GIF_PALETTE = [
+    ((j * 31 + 5) % 256, (j * 57 + 11) % 256, (j * 91 + 23) % 256)
+    for j in range(8)
+]
+_GIF_PAL_FLAT = ", ".join(str(c) for rgb in _GIF_PALETTE for c in rgb)
+
+
+@query(
+    "mm_decode_gif",
+    f"""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           'gif' AS format,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, w * h * 3 - 1),
+                    j -> [{_GIF_PAL_FLAT}][
+                        ((doc_id * 48271 + (j // 3) * 25 + 7) % 8) * 3
+                        + (j % 3) + 1])),
+                (a, x) -> a + x) AS BIGINT) AS pixel_sum,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, w * h * 3 - 1),
+                    j -> (j + 1) * [{_GIF_PAL_FLAT}][
+                        ((doc_id * 48271 + (j // 3) * 25 + 7) % 8) * 3
+                        + (j % 3) + 1])),
+                (a, x) -> a + x) AS BIGINT) AS pixel_weighted_sum
+    FROM dims
+    """,
+)
+def mm_decode_gif(spark, sf_dir):
+    """REAL GIF decode, driver-checked end-to-end (the LZW sibling of
+    mm_decode_image): per doc, deterministic palette indices are
+    wrapped in a standard GIF89a container (ops.multimodal.encode_gif)
+    and decoded back by the real LZW inflater (_gif_decode — variable
+    code width, dictionary growth, bounded at the declared pixel
+    count), then reduced to the order-SENSITIVE weighted pixel
+    checksum the oracle recomputes from the palette algebra in pure
+    SQL.  Dictionary-growth LZW streams are certified separately
+    against an independent compressor in tests/test_gif_decode.py."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.ops.multimodal import decode_image, encode_gif
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 9, 3 + did % 5
+                idx = (
+                    (did * 48271 + np.arange(w * h, dtype=np.int64) * 25 + 7) % 8
+                ).astype(np.uint8)
+                payloads.append(encode_gif(w, h, _GIF_PALETTE, idx.tobytes()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    sum_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("pixel_weighted_sum", T.LongType()),
+        ]
+    )
+
+    def checksum(batches):
+        for pdf in batches:
+            sums, wsums = [], []
+            for b in pdf["pixels"]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                sums.append(int(raw.sum()))
+                wsums.append(int((raw * (np.arange(raw.size) + 1)).sum()))
+            out = pdf[["doc_id", "format", "width", "height", "channels"]].copy()
+            out["pixel_sum"] = pd.Series(sums, dtype="int64", index=pdf.index)
+            out["pixel_weighted_sum"] = pd.Series(
+                wsums, dtype="int64", index=pdf.index
+            )
+            yield out
+
+    payloads = docs.mapInPandas(gen, gen_schema)
+    decoded = decode_image(payloads)
+    return decoded.mapInPandas(checksum, sum_schema)
