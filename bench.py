@@ -88,6 +88,7 @@ HEADLINE = [
     "w18_ohlc_bars",
     "w19_time_weighted_value",
     "mm_decode_gif",
+    "mm_gif_frame_sample",
 ]
 
 

@@ -266,23 +266,25 @@ def _gif_lzw(data: bytes, mcs: int, max_pixels: int):
     return bytes(out)
 
 
-def _gif_decode(b: bytes):
-    """GIF87a/89a first frame → (w, h, 3, row-major RGB).  Real LZW
-    inflate + palette mapping; extensions are skipped; interlaced
-    images and truncated/corrupt streams yield None (they are rare in
-    web corpora and deinterlacing is a row permutation away if ever
-    needed)."""
+def _gif_iter_frames(b: bytes):
+    """Yield (w, h, rgb) per image block of a GIF87a/89a stream — the
+    real demuxer loop behind both single-image decode and animated
+    frame sampling.  Frames are decoded INDEPENDENTLY (no canvas
+    compositing/disposal — each image block's own pixels + palette);
+    raises ValueError on any malformation, which callers map to None.
+    Extensions are skipped; interlace is rejected (rare in corpora,
+    deinterlacing is a row permutation away if ever needed)."""
     import struct
 
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
-        return None
+        raise ValueError("bad magic")
     _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
         if len(b) < pos + 3 * n:
-            return None
+            raise ValueError("truncated GCT")
         gct = b[pos : pos + 3 * n]
         pos += 3 * n
     while pos < len(b):
@@ -295,44 +297,66 @@ def _gif_decode(b: bytes):
             pos += 1
         elif blk == 0x2C:  # image descriptor
             if pos + 9 > len(b):
-                return None
+                raise ValueError("truncated descriptor")
             _l, _t, iw, ih, ipacked = struct.unpack("<HHHHB", b[pos : pos + 9])
             pos += 9
             if iw == 0 or ih == 0 or ipacked & 0x40:  # zero-dim / interlaced
-                return None
+                raise ValueError("unsupported image block")
             pal = gct
             if ipacked & 0x80:
                 n = 2 << (ipacked & 7)
                 if len(b) < pos + 3 * n:
-                    return None
+                    raise ValueError("truncated LCT")
                 pal = b[pos : pos + 3 * n]
                 pos += 3 * n
             if pal is None or pos >= len(b):
-                return None
+                raise ValueError("no palette")
             mcs = b[pos]
             pos += 1
             if not 2 <= mcs <= 11:
-                return None
+                raise ValueError("bad LZW min code size")
             data = bytearray()
             while pos < len(b) and b[pos] != 0:
                 ln = b[pos]
                 pos += 1
                 data += b[pos : pos + ln]
                 pos += ln
+            pos += 1  # sub-block terminator
             idx = _gif_lzw(bytes(data), mcs, iw * ih)
             if idx is None:
-                return None
+                raise ValueError("bad LZW stream")
             npal = len(pal) // 3
             rgb = bytearray(iw * ih * 3)
             for i, ix in enumerate(idx):
                 if ix >= npal:
-                    return None
+                    raise ValueError("index past palette")
                 rgb[3 * i : 3 * i + 3] = pal[3 * ix : 3 * ix + 3]
-            return iw, ih, 3, bytes(rgb)
+            yield iw, ih, bytes(rgb)
         elif blk == 0x3B:
-            return None
+            return
         else:
-            return None
+            raise ValueError("unknown block")
+
+
+def gif_frames(b: bytes):
+    """All frames of a GIF as [(w, h, rgb), ...], or None if the stream
+    is malformed anywhere (strict: a corrupt later frame rejects the
+    payload, matching the one-broken-file-yields-NULL stance)."""
+    try:
+        frames = list(_gif_iter_frames(b))
+    except Exception:
+        return None
+    return frames or None
+
+
+def _gif_decode(b: bytes):
+    """GIF87a/89a FIRST frame → (w, h, 3, row-major RGB) for the
+    single-image dispatcher; see :func:`_gif_iter_frames`."""
+    try:
+        for iw, ih, rgb in _gif_iter_frames(b):
+            return iw, ih, 3, rgb
+    except Exception:
+        return None
     return None
 
 
@@ -818,6 +842,20 @@ def encode_gif(
     compressor)."""
     import struct
 
+    return encode_gif_animated(width, height, palette, [indices])
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    palette: list[tuple[int, int, int]],
+    frames: list[bytes],
+) -> bytes:
+    """Multi-frame GIF89a writer: one global color table, one image
+    block per frame (same LZW scheme as :func:`encode_gif`) — the
+    write half of :func:`gif_frames` / animated frame sampling."""
+    import struct
+
     ncol = len(palette)
     depth = max(2, (ncol - 1).bit_length())
     gct_size = 1 << depth
@@ -826,29 +864,81 @@ def encode_gif(
     for j in range(gct_size):
         r, g, b = palette[j] if j < ncol else (0, 0, 0)
         out += bytes((r, g, b))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
     mcs = depth
     clear, end = 1 << mcs, (1 << mcs) + 1
     cw = mcs + 1
-    codes = [clear]
-    for px in indices:
-        codes.append(px)
-        codes.append(clear)
-    codes[-1] = end
-    acc = nacc = 0
-    data = bytearray()
-    for code in codes:
-        acc |= code << nacc
-        nacc += cw
-        while nacc >= 8:
+    for indices in frames:
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        codes = [clear]
+        for px in indices:
+            codes.append(px)
+            codes.append(clear)
+        codes[-1] = end
+        acc = nacc = 0
+        data = bytearray()
+        for code in codes:
+            acc |= code << nacc
+            nacc += cw
+            while nacc >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nacc -= 8
+        if nacc:
             data.append(acc & 0xFF)
-            acc >>= 8
-            nacc -= 8
-    if nacc:
-        data.append(acc & 0xFF)
-    out += bytes([mcs])
-    for i in range(0, len(data), 255):
-        chunk = data[i : i + 255]
-        out += bytes([len(chunk)]) + bytes(chunk)
-    out += b"\x00\x3b"
+        out += bytes([mcs])
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + bytes(chunk)
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+
+def gif_sample_frames(
+    df: DataFrame,
+    every: int = 1,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL animated-media frame sampling: demux + LZW-decode every
+    ``every``-th frame of a GIF payload into its own row — the same
+    row-exploding mapInPandas shape as :func:`sample_frames`, but with
+    an actual demuxer/decoder instead of the fixed-size stand-in.
+    Malformed payloads yield no rows (strict, per gif_frames)."""
+
+    def explode(batches):
+        for pdf in batches:
+            ids, idxs, ws, hs, px = [], [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[payload_col]):
+                frames = gif_frames(bytes(b)) if b is not None else None
+                if not frames:
+                    continue
+                for i in range(0, len(frames), every):
+                    w, h, rgb = frames[i]
+                    ids.append(int(did))
+                    idxs.append(i)
+                    ws.append(w)
+                    hs.append(h)
+                    px.append(rgb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                    "pixels": px,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(explode, GIF_FRAME_SCHEMA)

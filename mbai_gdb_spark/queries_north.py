@@ -2741,3 +2741,105 @@ def mm_decode_gif(spark, sf_dir):
     payloads = docs.mapInPandas(gen, gen_schema)
     decoded = decode_image(payloads)
     return decoded.mapInPandas(checksum, sum_schema)
+
+
+@query(
+    "mm_gif_frame_sample",
+    f"""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h,
+               2 + doc_id % 4 AS n_frames
+        FROM documents
+    ),
+    sampled AS (
+        SELECT doc_id, w, h, f.f AS frame_idx
+        FROM dims, UNNEST(generate_series(0, n_frames - 1)) AS f(f)
+        WHERE f.f % 2 = 0
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, w * h * 3 - 1),
+                    j -> [{_GIF_PAL_FLAT}][
+                        ((doc_id * 48271 + frame_idx * 101 + (j // 3) * 25 + 7) % 8)
+                        * 3 + (j % 3) + 1])),
+                (a, x) -> a + x) AS BIGINT) AS pixel_sum,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, w * h * 3 - 1),
+                    j -> (j + 1) * [{_GIF_PAL_FLAT}][
+                        ((doc_id * 48271 + frame_idx * 101 + (j // 3) * 25 + 7) % 8)
+                        * 3 + (j % 3) + 1])),
+                (a, x) -> a + x) AS BIGINT) AS pixel_weighted_sum
+    FROM sampled
+    """,
+)
+def mm_gif_frame_sample(spark, sf_dir):
+    """REAL animated-media frame sampling, driver-checked: per doc a
+    multi-frame GIF89a (2-5 frames) is written by encode_gif_animated,
+    then ops.multimodal.gif_sample_frames demuxes + LZW-decodes every
+    2nd frame into its own row (the row-exploding video shape with an
+    ACTUAL demuxer, beside sample_frames' fixed-size stand-in), and
+    each frame reduces to the order-sensitive checksum the oracle
+    recomputes from the palette algebra."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.ops.multimodal import encode_gif_animated, gif_sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, nf = 4 + did % 9, 3 + did % 5, 2 + did % 4
+                frames = []
+                for f in range(nf):
+                    idx = (
+                        (did * 48271 + f * 101 + np.arange(w * h, dtype=np.int64) * 25 + 7)
+                        % 8
+                    ).astype(np.uint8)
+                    frames.append(idx.tobytes())
+                payloads.append(encode_gif_animated(w, h, _GIF_PALETTE, frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    sum_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("frame_idx", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("pixel_weighted_sum", T.LongType()),
+        ]
+    )
+
+    def checksum(batches):
+        for pdf in batches:
+            sums, wsums = [], []
+            for b in pdf["pixels"]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                sums.append(int(raw.sum()))
+                wsums.append(int((raw * (np.arange(raw.size) + 1)).sum()))
+            out = pdf[["doc_id", "frame_idx", "width", "height"]].copy()
+            out["pixel_sum"] = pd.Series(sums, dtype="int64", index=pdf.index)
+            out["pixel_weighted_sum"] = pd.Series(
+                wsums, dtype="int64", index=pdf.index
+            )
+            yield out
+
+    payloads = docs.mapInPandas(gen, gen_schema)
+    frames = gif_sample_frames(payloads, every=2)
+    return frames.mapInPandas(checksum, sum_schema)

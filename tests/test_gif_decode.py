@@ -134,3 +134,31 @@ def test_gif_lzw_bomb_is_bounded():
     data = lzw_compress_reference(idx, 2)
     g = gif_with_stream(2, 2, pal, data, 2)
     assert decode_payload_bytes(g) is None
+
+
+def test_animated_gif_frames_and_sampling(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.multimodal import (
+        encode_gif_animated,
+        gif_frames,
+        gif_sample_frames,
+    )
+
+    pal = [(j, 2 * j, 3 * j) for j in range(8)]
+    frames = [bytes((f + i) % 8 for i in range(12)) for f in range(5)]  # 4x3, 5 frames
+    g = encode_gif_animated(4, 3, pal, frames)
+    got = gif_frames(g)
+    assert len(got) == 5
+    for f, (w, h, rgb) in enumerate(got):
+        assert (w, h) == (4, 3)
+        assert rgb == b"".join(bytes(pal[(f + i) % 8]) for i in range(12))
+
+    df = spark.createDataFrame([(1, bytearray(g)), (2, bytearray(b"junk"))],
+                               "doc_id long, payload binary")
+    out = gif_sample_frames(df, every=2).collect()
+    assert sorted((r.doc_id, r.frame_idx) for r in out) == [(1, 0), (1, 2), (1, 4)]
+    for r in out:
+        f = r.frame_idx
+        assert bytes(r.pixels) == b"".join(bytes(pal[(f + i) % 8]) for i in range(12))
