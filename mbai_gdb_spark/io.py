@@ -241,6 +241,58 @@ def incremental_rollup(
         partial.write.mode("overwrite").partitionBy(part_col).parquet(path)
 
 
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``ceil(n / target_rows_per_file)`` files (optionally re-sorted so
+    footer min/max stats tighten), swapping via the same rename-aside
+    protocol as merge_upsert.  Returns (files_before, files_after).
+
+    The 100 TB reason this exists: streaming sinks and incremental
+    merges accrete small files, and at scan time each file costs a
+    task + footer read + row-group seek — a 10⁶-file dataset can spend
+    more time scheduling than reading.  Periodic compaction (Delta
+    OPTIMIZE / Iceberg rewrite_data_files) restores scan efficiency;
+    this is that operation for plain parquet layouts.
+    """
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    files_before = sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    out = df.repartition(n_files)
+    if sort_cols:
+        out = out.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    staging = path.rstrip("/") + "__staging"
+    out.write.mode("overwrite").parquet(staging)
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.replace(path, old)
+    os.replace(staging, path)
+    shutil.rmtree(old)
+    files_after = sum(
+        1
+        for _root, _dirs, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return files_before, files_after
+
+
 # ---------------------------------------------------------------------------
 # Text-format sources: CSV and JSONL with EXPLICIT schemas
 # ---------------------------------------------------------------------------

@@ -137,3 +137,31 @@ def test_read_csv_no_inference_pass(spark, tmp_path):
     df = read_csv(spark, str(p), schema)
     assert [f.name for f in df.schema.fields] == ["id", "_corrupt_record"]
     assert df.schema["id"].dataType == T.LongType()
+
+
+def test_compact_dataset_reduces_files_and_preserves_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.io import compact_dataset
+
+    path = str(tmp_path / "many")
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(64).write.parquet(path)  # the small-files problem
+    before_rows = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    nb, na = compact_dataset(spark, path, target_rows_per_file=5_000, sort_cols=["id"])
+    assert nb >= 64 and na <= 3
+    after = spark.read.parquet(path)
+    assert sorted(r.id for r in after.collect()) == before_rows
+    # per-file id ranges are disjoint after the range re-sort
+    import glob
+
+    spans = []
+    for f in glob.glob(path + "/part-*.parquet"):
+        mm = spark.read.parquet(f).agg(F.min("id"), F.max("id")).collect()[0]
+        spans.append((mm[0], mm[1]))
+    spans.sort()
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 < b0
