@@ -89,6 +89,7 @@ HEADLINE = [
     "w19_time_weighted_value",
     "mm_decode_gif",
     "mm_gif_frame_sample",
+    "mm_resize_roundtrip",
 ]
 
 

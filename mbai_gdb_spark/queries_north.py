@@ -2843,3 +2843,110 @@ def mm_gif_frame_sample(spark, sf_dir):
     payloads = docs.mapInPandas(gen, gen_schema)
     frames = gif_sample_frames(payloads, every=2)
     return frames.mapInPandas(checksum, sum_schema)
+
+
+@query(
+    "mm_resize_roundtrip",
+    """
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h,
+               1 + doc_id % 3 AS ch
+        FROM documents
+    )
+    SELECT doc_id,
+           'png' AS format,
+           CAST(8 AS BIGINT) AS width,
+           CAST(6 AS BIGINT) AS height,
+           CAST(ch AS BIGINT) AS channels,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, 6 * 8 * ch - 1),
+                    j -> (doc_id * 2654435761
+                          + ((((j // (8 * ch)) * h // 6) * w
+                              + ((j // ch) % 8) * w // 8) * ch + j % ch) * 97
+                          + 13) % 256)),
+                (a, x) -> a + x) AS BIGINT) AS pixel_sum,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, 6 * 8 * ch - 1),
+                    j -> (j + 1) * ((doc_id * 2654435761
+                          + ((((j // (8 * ch)) * h // 6) * w
+                              + ((j // ch) % 8) * w // 8) * ch + j % ch) * 97
+                          + 13) % 256))),
+                (a, x) -> a + x) AS BIGINT) AS pixel_weighted_sum
+    FROM dims
+    """,
+)
+def mm_resize_roundtrip(spark, sf_dir):
+    """Decode → nearest-neighbor resize → PNG re-encode → decode,
+    driver-checked end-to-end: the same LCG-pixel PNGs as
+    mm_decode_image are resized to a fixed 8x6 grid
+    (ops.multimodal.resize_image — payload→payload, so the stages
+    compose) and the SECOND decode's pixel stream must equal the
+    oracle's pure-SQL nearest-neighbor index algebra
+    (src_y = Y*h//6, src_x = X*w//8) byte for byte, order-sensitively
+    — any resample off-by-one, channel swap, or re-encode corruption
+    mismatches."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.ops.multimodal import (
+        decode_image,
+        encode_png,
+        resize_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h, ch = 4 + did % 13, 3 + did % 7, 1 + did % 3
+                n = w * h * ch
+                pix = (
+                    (did * 2654435761 + np.arange(n, dtype=np.int64) * 97 + 13) % 256
+                ).astype(np.uint8)
+                payloads.append(encode_png(w, h, ch, pix.tobytes()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    sum_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("pixel_weighted_sum", T.LongType()),
+        ]
+    )
+
+    def checksum(batches):
+        for pdf in batches:
+            sums, wsums = [], []
+            for b in pdf["pixels"]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                sums.append(int(raw.sum()))
+                wsums.append(int((raw * (np.arange(raw.size) + 1)).sum()))
+            out = pdf[["doc_id", "format", "width", "height", "channels"]].copy()
+            out["pixel_sum"] = pd.Series(sums, dtype="int64", index=pdf.index)
+            out["pixel_weighted_sum"] = pd.Series(
+                wsums, dtype="int64", index=pdf.index
+            )
+            yield out
+
+    payloads = docs.mapInPandas(gen, gen_schema)
+    resized = resize_image(payloads, width=8, height=6)
+    decoded = decode_image(resized)
+    return decoded.mapInPandas(checksum, sum_schema)
