@@ -90,6 +90,8 @@ HEADLINE = [
     "mm_decode_gif",
     "mm_gif_frame_sample",
     "mm_resize_roundtrip",
+    "text_bigram_surprise",
+    "sample_weighted_docs",
 ]
 
 

@@ -2950,3 +2950,100 @@ def mm_resize_roundtrip(spark, sf_dir):
     resized = resize_image(payloads, width=8, height=6)
     decoded = decode_image(resized)
     return decoded.mapInPandas(checksum, sum_schema)
+
+
+@query(
+    "sample_weighted_docs",
+    """
+    WITH t AS (
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(((doc_id % 2147483647) * 2654435761 + 97) % 2147483647 % 1000003
+                AS BIGINT) AS draw
+    FROM t
+    WHERE ((doc_id % 2147483647) * 2654435761 + 97) % 2147483647 % 1000003
+          < n_tokens * 2500
+    """,
+)
+def sample_weighted_docs(spark, sf_dir):
+    """Deterministic LENGTH-WEIGHTED Bernoulli sampling: doc kept with
+    probability ~ n_tokens * 2500 / 1000003 (token-proportional, the
+    standard long-document upweighting) via a pure integer LCG draw —
+    no rand() (partitioning-dependent), no transcendental exponential
+    keys (engine-divergent); the draw column makes acceptance
+    re-checkable.  Map-only."""
+    from mbai_gdb_spark.ops.sketch import lcg_hash
+    from mbai_gdb_spark.ops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    draw = lcg_hash(F.col("doc_id")) % 1000003
+    return (
+        docs.select(
+            "doc_id",
+            F.size(tokens("text")).alias("n_tokens"),
+            draw.alias("draw"),
+        )
+        .filter(F.col("draw") < F.col("n_tokens") * 2500)
+    )
+
+
+@query(
+    "text_bigram_surprise",
+    f"""
+    WITH {_sql_doc_tokens()},
+    bigrams AS (
+        SELECT a.doc_id, a.pos,
+               (a.tok_id * 31 + b.tok_id) % 2147483647 AS bg
+        FROM doc_tok_ids a JOIN doc_tok_ids b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    counts AS (SELECT bg, COUNT(*) AS cnt FROM bigrams GROUP BY bg)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(31 - length(bin(cnt))) AS BIGINT) AS surprise_sum,
+           CAST(MAX(31 - length(bin(cnt))) AS BIGINT) AS max_surprise
+    FROM bigrams JOIN counts USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_surprise(spark, sf_dir):
+    """Perplexity-STYLE quality scoring without a neural LM and without
+    transcendental floats: corpus-wide bigram counts, each bigram's
+    surprise = 31 - bitlen(count) (an integer ~ -log2(frequency), via
+    the same cross-engine bin() trick as the HLL ranks), summed per
+    document — high-surprise docs are the unusual/garbled ones the
+    perplexity filter would flag.  Shape: one bigram explode, one
+    count aggregation, one equi-join back on the bigram id, one
+    per-doc rollup — all linear, no scalar-total join (absolute
+    rarity, not relative, keeps the plan free of 1-row broadcasts)."""
+    from mbai_gdb_spark.ops.dedup import char_poly_id
+    from mbai_gdb_spark.ops.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        char_poly_id("token").alias("tok_id"),
+    )
+    a = toks.select("doc_id", "pos", F.col("tok_id").alias("t1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok_id").alias("t2")
+    )
+    bigrams = a.join(b, ["doc_id", "pos"]).select(
+        "doc_id", ((F.col("t1") * 31 + F.col("t2")) % 2147483647).alias("bg")
+    )
+    counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    surprise = F.lit(31) - F.length(F.bin(F.col("cnt")))
+    return (
+        bigrams.join(counts, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(surprise).alias("surprise_sum"),
+            F.max(surprise).alias("max_surprise"),
+        )
+    )
