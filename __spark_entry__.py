@@ -31,13 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 137 oracle-bearing queries (123 at the r5 rotation cut + 14 round-5
+# 138 oracle-bearing queries (123 at the r5 rotation cut + 15 round-5
 # additions: dedup_semantic, sketch_hll_distinct, text_bpe_encode,
 # io_zorder_profile, sim_ivfpq_top5, text_chunk_windows,
 # io_incremental_rollup, w18_ohlc_bars, w19_time_weighted_value,
 # mm_decode_gif, mm_gif_frame_sample, mm_resize_roundtrip,
-# text_bigram_surprise, sample_weighted_docs — all r6 rotation
-# candidates), so the 50-slot window ROTATES each round
+# text_bigram_surprise, sample_weighted_docs, a17_month_over_month —
+# all r6 rotation candidates), so the 50-slot window ROTATES each round
 # until every query has a driver CORRECTNESS row in some round's file.
 # Overflow queries keep full oracles and are re-verified locally every
 # round by tools/check_parity.py over the ENTIRE registry.

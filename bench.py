@@ -92,6 +92,7 @@ HEADLINE = [
     "mm_resize_roundtrip",
     "text_bigram_surprise",
     "sample_weighted_docs",
+    "a17_month_over_month",
 ]
 
 

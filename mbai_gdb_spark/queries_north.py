@@ -3047,3 +3047,61 @@ def text_bigram_surprise(spark, sf_dir):
             F.max(surprise).alias("max_surprise"),
         )
     )
+
+
+@query(
+    "a17_month_over_month",
+    """
+    WITH monthly AS (
+        SELECT o_orderpriority,
+               date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, CAST(month AS DATE) AS month,
+           revenue_cents, n_orders,
+           CAST(revenue_cents - LAG(revenue_cents) OVER (
+                PARTITION BY o_orderpriority ORDER BY month) AS BIGINT)
+               AS revenue_delta_cents,
+           CAST(n_orders - LAG(n_orders) OVER (
+                PARTITION BY o_orderpriority ORDER BY month) AS BIGINT)
+               AS orders_delta
+    FROM monthly
+    """,
+)
+def a17_month_over_month(spark, sf_dir):
+    """Period-over-period report idiom: monthly revenue/order counts per
+    priority with LAG deltas (month-over-month change), all integer
+    cents so the deltas hash exactly.  One groupBy to month grain, one
+    window on the SAME partitioning key — the rollup shuffle is reused
+    by the lag window (single exchange)."""
+    from pyspark.sql import Window as W
+
+    from mbai_gdb_spark.queries import scaled_long
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = (
+        o.select(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            scaled_long(F.col("o_totalprice"), 100).alias("cents"),
+        )
+        .groupBy("o_orderpriority", "month")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("month")
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "revenue_cents",
+        "n_orders",
+        (F.col("revenue_cents") - F.lag("revenue_cents").over(w)).alias(
+            "revenue_delta_cents"
+        ),
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("orders_delta"),
+    )
