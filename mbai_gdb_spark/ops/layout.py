@@ -55,17 +55,23 @@ def zorder_profile(
     bucket_shift: int = 26,
 ) -> DataFrame:
     """Per-Z-bucket locality profile: fixed-width buckets of the Morton
-    value (``z // 2^bucket_shift`` — map-only, no global window) with
+    value (``z >> bucket_shift`` — map-only, no global window) with
     row count and the min/max of BOTH source dimensions.  Reading the
     output shows the data-skipping effect directly: each bucket bounds
     x AND y, which a single-column sort cannot do.
+
+    The bucket is an INTEGER shift, not a double division: z carries up
+    to ``2*bits`` significant bits (62 at bits=31), past the 53-bit
+    double mantissa, so ``floor(z / 2^shift)`` would mis-bucket the
+    upper half of the supported bits range; ``shiftright`` is exact for
+    the whole of it (z is non-negative by construction).
     """
     z = z_value(F.col(x_col), F.col(y_col), bits)
     return (
         df.select(
             F.col(x_col).alias("x"),
             F.col(y_col).alias("y"),
-            F.floor(z / F.lit(1 << bucket_shift)).cast("long").alias("z_bucket"),
+            F.shiftright(z, bucket_shift).cast("long").alias("z_bucket"),
         )
         .groupBy("z_bucket")
         .agg(

@@ -336,6 +336,12 @@ def _gif_iter_frames(b: bytes):
             return
         else:
             raise ValueError("unknown block")
+    # Fell off the end of the buffer without the 0x3B trailer: the
+    # stream is truncated at a block boundary (or mid-extension).  A
+    # normal return here would silently hand back the partial frame
+    # list, contradicting the strict one-broken-file-yields-None
+    # stance — reject instead.
+    raise ValueError("missing trailer")
 
 
 def gif_frames(b: bytes):
@@ -351,13 +357,15 @@ def gif_frames(b: bytes):
 
 def _gif_decode(b: bytes):
     """GIF87a/89a FIRST frame → (w, h, 3, row-major RGB) for the
-    single-image dispatcher; see :func:`_gif_iter_frames`."""
-    try:
-        for iw, ih, rgb in _gif_iter_frames(b):
-            return iw, ih, 3, rgb
-    except Exception:
+    single-image dispatcher; see :func:`_gif_iter_frames`.  Demuxes the
+    WHOLE container (not just the first frame) so a stream truncated
+    after frame 1 — including one missing only the 0x3B trailer — is
+    rejected like any other malformation."""
+    frames = gif_frames(b)
+    if not frames:
         return None
-    return None
+    iw, ih, rgb = frames[0]
+    return iw, ih, 3, rgb
 
 
 def decode_payload_bytes(b: bytes):

@@ -2528,7 +2528,7 @@ def io_incremental_rollup(spark, sf_dir):
     """
     WITH ev AS (
         SELECT event_type, date_trunc('hour', ts) AS bar_ts,
-               date_diff('microsecond', date_trunc('hour', ts), ts) * 2097152
+               date_diff('microsecond', date_trunc('hour', ts), ts) * 2147483648
                    + event_id AS ord,
                CAST(ROUND(value * 100) AS BIGINT) AS cents
         FROM events
@@ -2547,10 +2547,13 @@ def w18_ohlc_bars(spark, sf_dir):
     """Hourly OHLC bars per event type — the time-series downsampling
     idiom (hypertable rollup / financial bars): open = first value of
     the bar, close = last — ordered by a packed scalar key
-    (micros-within-bar * 2^21 + event_id, exact in int64; the event_id
-    tie-break makes the result partitioning-independent, and DuckDB
-    1.0's arg_min takes only scalar keys) — high/low/volume as plain
-    min/max/sum on integer cents.  One groupBy on (type, hour) with
+    (micros-within-bar * 2^31 + event_id; the event_id tie-break makes
+    the result partitioning-independent, and DuckDB 1.0's arg_min
+    takes only scalar keys) — high/low/volume as plain min/max/sum on
+    integer cents.  The packing orders by (ts, event_id) iff
+    event_id < 2^31, i.e. any int32 id (asserted against the fixture
+    bound in tests); it stays exact in int64 because micros-within-hour
+    < 3.6e9 and 3.6e9 * 2^31 + 2^31 ~= 7.73e18 < 2^63.  One groupBy on (type, hour) with
     map-side partials: min_by/max_by ARE mergeable aggregates, so no
     window pass and no per-bar sort — the shape that rolls a 100 TB
     event stream into bars in one shuffle."""
@@ -2564,7 +2567,7 @@ def w18_ohlc_bars(spark, sf_dir):
         "event_type",
         bar.alias("bar_ts"),
         (
-            (micros - F.unix_micros(bar.cast("timestamp"))) * 2097152
+            (micros - F.unix_micros(bar.cast("timestamp"))) * 2147483648
             + F.col("event_id")
         ).alias("ord"),
         cents.alias("cents"),
