@@ -40,6 +40,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from mbai_gdb_spark.ops.lineage import truncate as _ckpt
 
 FIXTURE_TABLES = (
     "region",
@@ -230,7 +231,7 @@ def incremental_rollup(
         # silently drops the existing rows (same trap merge_upsert's
         # staging dir guards against).  The checkpoint is rollup-grain
         # rows for the affected partitions only — bounded.
-        merged = merged.localCheckpoint(eager=True)
+        merged = merged.transform(_ckpt)
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from mbai_gdb_spark.ops.lineage import truncate as _ckpt
 
 from mbai_gdb_spark.ops.text import tokens
 
@@ -134,7 +135,7 @@ def token_dictionary(tokens_df: DataFrame, token_col: str = "token") -> DataFram
         tokens_df.select(token_col)
         .distinct()
         .withColumn("__bkt__", _prefix_bucket(token_col))
-        .localCheckpoint(eager=True)
+        .transform(_ckpt)
     )
     counts = sorted(
         (r["__bkt__"], r["n"])
@@ -331,7 +332,7 @@ def dedup_clusters(
     and B~C but A≁C; the component is the dedup unit).
 
     Scale shape: min-label propagation, one equi-join + groupBy-min per
-    iteration, lineage truncated via localCheckpoint (ops.graph).
+    iteration, lineage truncated via ops.lineage.truncate (ops.graph).
     Iterations needed = component diameter, which for near-dup clusters
     is small; vertices are only ids that appear in some pair, so the
     working set is the duplicate subset, not the corpus.
@@ -347,7 +348,7 @@ def dedup_clusters(
     # whole upstream sketch pipeline would re-run per derivation.
     edges = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(_ckpt)
     vertices = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))

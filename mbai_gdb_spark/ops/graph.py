@@ -9,8 +9,11 @@ classic iterative algorithms (PageRank, connected components) as
 driver-iterated DataFrame loops.
 
 Scale notes: one iteration = one join + one shuffle on vertex id; lineage
-is truncated every ``checkpoint_every`` iterations via localCheckpoint
-(at cluster scale use reliable checkpointing) so plans stay bounded.
+is truncated every ``checkpoint_every`` iterations via
+:func:`ops.lineage.truncate` — localCheckpoint on local[N], reliable
+``checkpoint`` when a checkpoint dir is registered (set
+``$SPARK_GRAFT_CHECKPOINT_DIR`` or call ``setCheckpointDir``; the
+cluster-durability switch) — so plans stay bounded.
 That is exactly how GraphFrames/GraphX execute Pregel-style steps —
 nothing here is driver-side per-row.
 """
@@ -19,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from mbai_gdb_spark.ops.lineage import truncate as _ckpt, truncate_lazy as _ckpt_lazy
 
 
 def motif_chain(edges: list[tuple[DataFrame, str, str]], start_alias: str = "v0") -> DataFrame:
@@ -79,9 +83,9 @@ def pagerank(
 ) -> DataFrame:
     """Fixed-iteration PageRank.  Dangling mass is redistributed
     uniformly; returns (id, pagerank) summing to ~|V|."""
-    v = vertices.select(id_col).distinct().localCheckpoint(eager=True)
+    v = vertices.select(id_col).distinct().transform(_ckpt)
     n = v.count()
-    edges = edges.select(src_col, dst_col).localCheckpoint(eager=True)
+    edges = edges.select(src_col, dst_col).transform(_ckpt)
     out_deg = edges.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg__"))
     ranks = v.withColumn("rank", F.lit(1.0))
     for i in range(n_iter):
@@ -113,7 +117,7 @@ def pagerank(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_ckpt)
     return ranks.withColumnRenamed("rank", "pagerank")
 
 
@@ -147,7 +151,7 @@ def connected_components(
     cluster graph typically converges in 3-5 rounds)."""
     sym = edges.select(src_col, dst_col).unionByName(
         edges.select(F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col))
-    ).localCheckpoint(eager=True)  # joined every iteration — never recompute upstream
+    ).transform(_ckpt)  # joined every iteration — never recompute upstream
     comp = vertices.select(F.col(id_col), F.col(id_col).alias("component"))
     prev_sum = None
     for it in range(max_iter):
@@ -183,7 +187,7 @@ def connected_components(
                     ).alias("component"),
                 )
             )
-        comp = new_comp.localCheckpoint(eager=True)
+        comp = new_comp.transform(_ckpt)
         label_sum = comp.agg(F.sum("component")).collect()[0][0]
         if label_sum == prev_sum:
             break
@@ -214,7 +218,7 @@ def bfs(
                 F.col(dst_col).alias(src_col), F.col(src_col).alias(dst_col)
             )
         )
-    e = e.localCheckpoint(eager=True)  # joined every hop — never recompute upstream
+    e = e.transform(_ckpt)  # joined every hop — never recompute upstream
     visited = (
         vertices.select(id_col)
         .filter(F.col(id_col).isin(list(sources)))
@@ -229,10 +233,10 @@ def bfs(
             .join(visited.select(id_col), id_col, "left_anti")
             .withColumn("hops", F.lit(hop))
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.transform(_ckpt)
         if not nxt.head(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        visited = visited.unionByName(nxt).transform(_ckpt)
         frontier = nxt
     return visited
 
@@ -258,7 +262,7 @@ def pagerank_integer(
     evaporates rather than redistributing) — deterministic and mirrored
     exactly by the recursive-SQL formulation."""
     v = vertices.select(id_col).distinct()
-    e = edges.select(src_col, dst_col).distinct().localCheckpoint(eager=True)
+    e = edges.select(src_col, dst_col).distinct().transform(_ckpt)
     deg = e.groupBy(src_col).agg(F.count(F.lit(1)).alias("__deg__"))
     ranks = v.select(F.col(id_col), F.lit(scale).cast("long").alias("rank"))
     base = reset_pct * scale // 100
@@ -280,7 +284,7 @@ def pagerank_integer(
             ).cast("long").alias("rank"),
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.transform(_ckpt)
     return ranks
 
 
@@ -419,7 +423,7 @@ def kcore_edges(
             edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=False)
+            .transform(_ckpt_lazy)
         )
     for i in range(max_iter):
         deg = (
@@ -429,7 +433,7 @@ def kcore_edges(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         peeled = (
-            deg.filter(F.col("deg") < k).select("vid").localCheckpoint(eager=True)
+            deg.filter(F.col("deg") < k).select("vid").transform(_ckpt)
         )
         if peeled.isEmpty():  # bounded scalar: convergence check
             break
@@ -438,5 +442,5 @@ def kcore_edges(
             .join(peeled.withColumnRenamed("vid", "v"), "v", "left_anti")
         )
         if (i + 1) % checkpoint_every == 0:
-            e = e.localCheckpoint(eager=True)
+            e = e.transform(_ckpt)
     return e

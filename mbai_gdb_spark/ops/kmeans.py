@@ -12,7 +12,8 @@ Each iteration is two shuffles, both linear in the data:
 Init is deterministic (farthest-point over a hash-oversampled candidate
 set — id-distribution-agnostic), so runs are reproducible; empty
 clusters keep their previous centroid.  Lineage is
-truncated per iteration with localCheckpoint (same pattern as
+truncated per iteration with ops.lineage.truncate (localCheckpoint, or
+a reliable checkpoint when a dir is registered — same pattern as
 ops.graph's iterative operators).
 """
 
@@ -21,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from mbai_gdb_spark.ops.lineage import truncate as _ckpt
 
 from mbai_gdb_spark.ops.similarity import as_double
 
@@ -79,8 +81,8 @@ def kmeans_fit(
         [(i, [float(x) for x in cand[j]]) for i, j in enumerate(chosen[: k])],
         "centroid_id long, __c__ array<double>",
     )
-    centroids = init.localCheckpoint(eager=True)
-    v = v.localCheckpoint(eager=True)
+    centroids = init.transform(_ckpt)
+    v = v.transform(_ckpt)
     for _ in range(n_iter):
         assigned = (
             v.crossJoin(F.broadcast(centroids))
@@ -120,7 +122,7 @@ def kmeans_fit(
             .select(
                 "centroid_id", F.coalesce("__c__", "__old__").alias("__c__")
             )
-            .localCheckpoint(eager=True)
+            .transform(_ckpt)
         )
     return centroids.select("centroid_id", F.col("__c__").alias(vec_col))
 

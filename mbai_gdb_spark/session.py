@@ -39,7 +39,25 @@ def tune(spark: SparkSession) -> SparkSession:
             # Non-settable in this deployment — keep going; defaults are
             # only *tuning* except timeZone, which is always settable.
             pass
+    _register_checkpoint_dir(spark)
     return spark
+
+
+def _register_checkpoint_dir(spark: SparkSession) -> None:
+    """Honour ``$SPARK_GRAFT_CHECKPOINT_DIR``: registering a reliable
+    checkpoint dir flips every iterative operator's lineage truncation
+    from executor-local ``localCheckpoint`` to fault-tolerant
+    ``checkpoint`` (see ops.lineage.truncate) — the durability switch
+    for cluster runs where an executor loss must not kill an hour-long
+    iterative job.  Never overrides a dir the deployment already set."""
+    path = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not path:
+        return
+    try:
+        if spark.sparkContext.getCheckpointDir() is None:
+            spark.sparkContext.setCheckpointDir(path)
+    except Exception:
+        pass  # no SparkContext handle (connect mode) — local-only anyway
 
 
 def get_spark(

@@ -175,3 +175,49 @@ def test_kcore_cascade_peel(spark):
     )
     got = {r.vertex: r.core_degree for r in kcore(cyc, 2).collect()}
     assert got == {v: 2 for v in range(20)}
+
+
+def test_kcore_reliable_checkpoint_matches_local(spark, tmp_path):
+    """ops.lineage.truncate flips localCheckpoint → reliable checkpoint
+    when a checkpoint dir is registered; the iterative peel/propagate
+    results must be bit-identical under either mechanism (durability
+    changes, values never do)."""
+    from mbai_gdb_spark.ops.graph import kcore, pagerank_integer
+    from mbai_gdb_spark.ops.lineage import reliable_dir
+
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k5 + [(4, 10), (10, 11)], "src long, dst long")
+    local_kcore = {r.vertex: r.core_degree for r in kcore(edges, 3).collect()}
+    vertices = spark.createDataFrame(
+        [(v,) for v in range(5)] + [(10,), (11,)], "id long"
+    )
+    local_pr = {
+        r.id: r["rank"]
+        for r in pagerank_integer(
+            vertices, edges, n_iter=6, checkpoint_every=2
+        ).collect()
+    }
+
+    assert reliable_dir(spark) is None
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        assert reliable_dir(spark) is not None
+        rel_kcore = {r.vertex: r.core_degree for r in kcore(edges, 3).collect()}
+        rel_pr = {
+            r.id: r["rank"]
+            for r in pagerank_integer(
+                vertices, edges, n_iter=6, checkpoint_every=2
+            ).collect()
+        }
+    finally:
+        # De-register so the session-scoped fixture's later tests keep
+        # exercising the localCheckpoint path.
+        sc._jsc.sc().setCheckpointDir(None)
+    assert reliable_dir(spark) is None
+    assert rel_kcore == local_kcore == {v: 4 for v in range(5)}
+    assert rel_pr == local_pr
+    # The reliable run actually wrote RDD checkpoint files.
+    import glob
+
+    assert glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))
