@@ -36,6 +36,8 @@ operator surface, key semantics, and idempotence oracle
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -90,6 +92,63 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         df.createOrReplaceTempView(n)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer holds the dataset's merge lock."""
+
+
+@contextmanager
+def _writer_lock(path: str, stale_after: float | None = 3600.0):
+    """Single-writer guard for the read-modify-write sinks.
+
+    The MERGE sinks below read the dataset and then rewrite/append it;
+    two interleaved writers would base their merge on the same snapshot
+    and one's rows would vanish (lost update).  Protocol: an intent
+    marker ``<path>__lock`` created with O_CREAT|O_EXCL — atomic on
+    local/POSIX filesystems — holding pid + timestamp.  A second writer
+    fails FAST with :class:`ConcurrentWriteError` rather than queueing
+    (batch pipelines should serialize at the orchestrator; silent
+    waiting hides scheduling bugs).  A lock older than ``stale_after``
+    seconds is presumed crashed and broken (the rename-aside swap in
+    :func:`merge_upsert` keeps either old or new data recoverable, so
+    breaking a stale lock never loses committed rows).
+
+    Local-filesystem semantics only: O_EXCL is not atomic on some
+    network mounts, and object stores need a lakehouse format
+    (Delta/Iceberg MERGE with optimistic commit) — same caveat as the
+    rename-aside swap itself.
+    """
+    lock = path.rstrip("/") + "__lock"
+    os.makedirs(os.path.dirname(os.path.abspath(lock)) or ".", exist_ok=True)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(lock)
+        except OSError:
+            age = 0.0  # raced with the holder's release — treat as live
+        if stale_after is not None and age > stale_after:
+            try:
+                os.unlink(lock)  # break the stale lock, then retry once
+            except FileNotFoundError:
+                pass
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        else:
+            raise ConcurrentWriteError(
+                f"dataset {path!r} is locked by another writer ({lock}); "
+                "serialize writers, or remove the lock file if its holder "
+                "crashed less than stale_after ago"
+            )
+    try:
+        os.write(fd, f"pid={os.getpid()} ts={time.time()}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
 def write_insert_if_absent(
     df: DataFrame, path: str, key_cols: list[str], spark: SparkSession
 ) -> None:
@@ -100,12 +159,15 @@ def write_insert_if_absent(
     anti-join against existing keys, then append.  The anti-join is a
     broadcast when the existing key set is small; at scale prefer a real
     lakehouse MERGE (Delta/Iceberg) — this helper keeps identical semantics.
+    Single-writer per dataset, enforced by :func:`_writer_lock` (the
+    read-then-append is a lost-update race under two writers).
     """
-    batch = df.dropDuplicates(key_cols)
-    if _path_has_data(path):
-        existing = spark.read.parquet(path).select(*key_cols)
-        batch = batch.join(existing, on=key_cols, how="left_anti")
-    batch.write.mode("append").parquet(path)
+    with _writer_lock(path):
+        batch = df.dropDuplicates(key_cols)
+        if _path_has_data(path):
+            existing = spark.read.parquet(path).select(*key_cols)
+            batch = batch.join(existing, on=key_cols, how="left_anti")
+        batch.write.mode("append").parquet(path)
 
 
 def _path_has_data(path: str) -> bool:
@@ -149,31 +211,36 @@ def merge_upsert(
     counterpart of :func:`write_insert_if_absent` (reference only ever
     needs ON CREATE; this closes the sink surface).  Rewrites the
     dataset, so at real scale prefer Delta/Iceberg MERGE INTO or
-    partition-scoped rewrites via :func:`write_partitioned`."""
-    batch = df.dropDuplicates(key_cols)
-    if _path_has_data(path):
-        existing = spark.read.parquet(path)
-        keep = existing.join(batch.select(*key_cols), key_cols, "left_anti")
-        merged = keep.unionByName(batch)
-        # Write to a staging dir (cannot overwrite files being read),
-        # then swap via rename-aside: the old dataset is moved out of
-        # the way before the staging dir takes its place, so a crash at
-        # any point leaves either the old or the new data recoverable
-        # on disk (a rmtree-then-rename window would lose everything).
-        # Local-filesystem semantics only — on an object store / HDFS
-        # use a lakehouse format's MERGE INTO instead.
-        staging = path.rstrip("/") + "__staging"
-        merged.write.mode("overwrite").parquet(staging)
-        import shutil
+    partition-scoped rewrites via :func:`write_partitioned`.
+    Single-writer per dataset, enforced by :func:`_writer_lock` — the
+    rename-aside swap is crash-safe but two concurrent merges would
+    each rebuild from the same snapshot and the loser's batch would
+    vanish."""
+    with _writer_lock(path):
+        batch = df.dropDuplicates(key_cols)
+        if _path_has_data(path):
+            existing = spark.read.parquet(path)
+            keep = existing.join(batch.select(*key_cols), key_cols, "left_anti")
+            merged = keep.unionByName(batch)
+            # Write to a staging dir (cannot overwrite files being read),
+            # then swap via rename-aside: the old dataset is moved out of
+            # the way before the staging dir takes its place, so a crash at
+            # any point leaves either the old or the new data recoverable
+            # on disk (a rmtree-then-rename window would lose everything).
+            # Local-filesystem semantics only — on an object store / HDFS
+            # use a lakehouse format's MERGE INTO instead.
+            staging = path.rstrip("/") + "__staging"
+            merged.write.mode("overwrite").parquet(staging)
+            import shutil
 
-        old = path.rstrip("/") + "__old"
-        if os.path.exists(old):
+            old = path.rstrip("/") + "__old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.replace(path, old)
+            os.replace(staging, path)
             shutil.rmtree(old)
-        os.replace(path, old)
-        os.replace(staging, path)
-        shutil.rmtree(old)
-    else:
-        batch.write.mode("append").parquet(path)
+        else:
+            batch.write.mode("append").parquet(path)
 
 
 def incremental_rollup(
@@ -204,7 +271,23 @@ def incremental_rollup(
     (4) the merged result is written with dynamic partitionOverwrite,
     replacing only those directories.  The lakehouse equivalent is
     ``MERGE INTO`` on a partitioned Delta/Iceberg table.
+
+    Single-writer per rollup dataset (:func:`_writer_lock`): two
+    concurrent merges into the same partition would each read the same
+    pre-merge rows and the second overwrite would drop the first batch.
     """
+    with _writer_lock(path):
+        _incremental_rollup_locked(spark, path, batch, part_col, key_cols, measures)
+
+
+def _incremental_rollup_locked(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    part_col: str,
+    key_cols: list[str],
+    measures: dict[str, tuple[str, "Column"]],
+) -> None:
     partial = batch.groupBy(part_col, *key_cols).agg(
         *[expr.alias(name) for name, (_, expr) in measures.items()]
     )

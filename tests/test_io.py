@@ -165,3 +165,80 @@ def test_compact_dataset_reduces_files_and_preserves_rows(spark, tmp_path):
     spans.sort()
     for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
         assert a1 < b0
+
+
+def test_merge_sinks_reject_concurrent_writer(spark, tmp_path):
+    """The read-modify-write sinks are single-writer per dataset: a held
+    intent marker makes a second writer fail fast instead of silently
+    losing the first writer's batch."""
+    import os
+
+    import pytest
+
+    from mbai_gdb_spark.io import (
+        ConcurrentWriteError,
+        merge_upsert,
+        write_insert_if_absent,
+        incremental_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    merge_upsert(df, path, ["k"], spark)
+    lock = path + "__lock"
+    assert not os.path.exists(lock), "lock must be released after a merge"
+
+    # Simulate writer A mid-merge: hold the lock, then writer B arrives.
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            merge_upsert(df, path, ["k"], spark)
+        with pytest.raises(ConcurrentWriteError):
+            write_insert_if_absent(df, path, ["k"], spark)
+        with pytest.raises(ConcurrentWriteError):
+            incremental_rollup(
+                spark,
+                path,
+                df.withColumn("day", F.lit("d1")),
+                "day",
+                ["k"],
+                {"n": ("sum", F.count(F.lit(1)))},
+            )
+        # Dataset untouched by the failed attempts.
+        assert spark.read.parquet(path).count() == 2
+    finally:
+        os.unlink(lock)
+
+    # Lock gone → writes proceed again, and still release the lock.
+    merge_upsert(
+        spark.createDataFrame([(3, "c")], "k long, v string"), path, ["k"], spark
+    )
+    assert spark.read.parquet(path).count() == 3
+    assert not os.path.exists(lock)
+
+
+def test_merge_lock_breaks_stale_holder(spark, tmp_path):
+    """A lock whose holder crashed long ago (mtime older than
+    stale_after) is broken and the merge proceeds — the rename-aside
+    swap guarantees no committed rows were at risk."""
+    import os
+
+    from mbai_gdb_spark.io import merge_upsert
+
+    path = str(tmp_path / "ds2")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    merge_upsert(df, path, ["k"], spark)
+
+    lock = path + "__lock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    two_hours_ago = os.path.getmtime(lock) - 7200
+    os.utime(lock, (two_hours_ago, two_hours_ago))
+
+    merge_upsert(
+        spark.createDataFrame([(2, "b")], "k long, v string"), path, ["k"], spark
+    )
+    assert spark.read.parquet(path).count() == 2
+    assert not os.path.exists(lock)
