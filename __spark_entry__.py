@@ -92,13 +92,14 @@ _HEAD_R6 = [
     "q15_top_supplier",
     "q16_part_supplier_variety",
     "q20_excess_suppliers",
-    # oldest remaining certifications (r01/r02-latest fill, 6)
+    # round-6 additions, never driver-checked
+    "sim_ivfpq_residual_top5",
+    # oldest remaining certifications (r01/r02-latest fill, 5)
     "q18_large_orders",
     "a5_nation_customer_rollup",
     "a7_distinct_segments",
     "j1_region_revenue",
     "j5_local_supplier_revenue",
-    "j6_customer_order_counts",
 ]
 
 

@@ -1150,3 +1150,258 @@ def ivf_pq_index(
     assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
     assignment = assign_fn(corpus, centroids, id_col, vec_col)
     return codes, assignment
+
+
+def ivf_residuals(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assignment: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, centroid_id, residual): each vector minus its coarse
+    centroid — the classic IVF-PQ encoding input (Jegou et al., PAMI
+    2011 §III): residuals concentrate around the origin, so the same
+    codebook budget quantizes them with far less error than raw
+    vectors.  Broadcast join on centroid_id + elementwise zip_with —
+    map-only over the corpus."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("__cv__"),
+        )
+    )
+    return (
+        corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("__v__"))
+        .join(assignment, id_col)
+        .join(c, "centroid_id")
+        .select(
+            id_col,
+            "centroid_id",
+            F.zip_with("__v__", "__cv__", lambda a, b: a - b).alias("residual"),
+        )
+    )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    centroid_stride: int = 50,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    code_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    prebuilt: tuple[DataFrame, DataFrame] | None = None,
+    vectorized_assign: bool = False,
+) -> DataFrame:
+    """Residual-encoded IVF-PQ (the variant :func:`ivf_pq_topk`'s
+    docstring promises): PQ codes quantize ``v - centroid(v)`` instead
+    of ``v``, and each query builds ONE distance table PER PROBED LIST
+    from its own residual ``q - c`` — approximating
+    ``||q - v||² = ||(q - c) - r_v||²`` with m_sub table lookups.
+
+    Tighter codes at identical scan cost: the candidate scan still
+    reads only (sub, code) ints; the extra work is the per-(query,
+    probe) table, sized Q × n_probe × m_sub × n_codes — broadcast
+    territory for any realistic query batch.  Recall@k against the
+    exact L2 oracle is pinned ≥ the raw-encoding path in
+    tests/test_pq.py and measured in tools/ivfpq_scale_experiment.py.
+
+    Same determinism conventions as the raw path (stride-sampled
+    codebook over residuals of ids 0, code_stride, ...; fixed
+    left-to-right ADC sum; vec_id tie-breaks), so the result can sit
+    behind a value-hash oracle when the HOF assign path is used.
+    """
+    from pyspark.sql import Window as W
+
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    assign_fn = ivf_assign_vectorized if vectorized_assign else ivf_assign
+    if prebuilt is not None:
+        codes_raw, assignment = prebuilt
+        codes = codes_raw.join(assignment, id_col)
+    else:
+        assignment = assign_fn(corpus, centroids, id_col, vec_col)
+        res = ivf_residuals(corpus, centroids, assignment, id_col, vec_col)
+        cb = pq_codebook(res, id_col, "residual", m_sub, sub_dim, n_codes, code_stride)
+        codes = pq_encode(res, cb, id_col, "residual", m_sub, sub_dim).join(
+            assignment, id_col
+        )
+    # The codebook is rebuilt deterministically from corpus state in
+    # the prebuilt case too (same recipe as ivf_pq_topk's raw path).
+    if prebuilt is not None:
+        res = ivf_residuals(corpus, centroids, assignment, id_col, vec_col)
+        cb = pq_codebook(res, id_col, "residual", m_sub, sub_dim, n_codes, code_stride)
+
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
+    ).withColumn("__qn__", l2_norm(F.col("__qv__")))
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("__cv__"),
+        ).withColumn("__cn__", l2_norm(F.col("__cv__")))
+    )
+    q_probes = topk_per_key(
+        q.crossJoin(cents).select(
+            query_id_col,
+            "centroid_id",
+            F.col("__qv__"),
+            (
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("__csim__"),
+        ),
+        [query_id_col],
+        [F.col("__csim__").desc(), F.col("centroid_id")],
+        n_probe,
+    ).select(query_id_col, "centroid_id", "__qv__")
+
+    # Per-(query, probed-list) residual → slices → distance table.
+    qres = q_probes.join(cents.drop("__cn__"), "centroid_id").select(
+        query_id_col,
+        "centroid_id",
+        F.zip_with("__qv__", "__cv__", lambda a, b: a - b).alias("__qr__"),
+    )
+    qslices = F.array(
+        *[F.slice("__qr__", m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+    )
+    qsubs = qres.select(
+        query_id_col, "centroid_id", F.posexplode(qslices).alias("sub_id", "sv")
+    )
+    table = qsubs.join(F.broadcast(cb), "sub_id").select(
+        query_id_col,
+        "centroid_id",
+        "sub_id",
+        "code_id",
+        l2_sq(F.col("sv"), F.col("cw")).alias("__d__"),
+    )
+
+    pivoted = (
+        codes.join(q_probes.select(query_id_col, "centroid_id"), "centroid_id")
+        .join(F.broadcast(table), [query_id_col, "centroid_id", "sub_id", "code_id"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            *[
+                F.max(F.when(F.col("sub_id") == m, F.col("__d__"))).alias(f"__d{m}__")
+                for m in range(m_sub)
+            ]
+        )
+    )
+    adc = F.lit(0.0)
+    for m in range(m_sub):
+        adc = adc + F.col(f"__d{m}__")
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        pivoted.filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("adc_dist", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "adc_dist", "rank")
+    )
+
+
+def ivf_pq_residual_index(
+    corpus: DataFrame,
+    centroid_stride: int = 50,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    code_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Residual twin of :func:`ivf_pq_index`: (codes-over-residuals,
+    assignment), amortized across query batches."""
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    assignment = assign_fn(corpus, centroids, id_col, vec_col)
+    assignment = truncate(assignment)  # read twice: residuals + return
+    res = ivf_residuals(corpus, centroids, assignment, id_col, vec_col)
+    cb = pq_codebook(res, id_col, "residual", m_sub, sub_dim, n_codes, code_stride)
+    enc = pq_encode_vectorized if vectorized else pq_encode
+    codes = enc(res, cb, id_col, "residual", m_sub, sub_dim)
+    return codes, assignment
+
+
+def l2_topk_vectorized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Arrow-batched brute-force SQUARED-L2 top-k — the exact oracle the
+    PQ family approximates (ADC sums quantized ||q - v||² terms), so
+    this is the recall denominator for :func:`pq_adc_topk` /
+    :func:`ivf_pq_topk` / :func:`ivf_pq_residual_topk`.  Same plan
+    shape as :func:`cosine_topk_vectorized`: broadcast query matrix,
+    one matmul + batch-local top-(k+1) per Arrow batch (k+1 so the
+    self-pair can be dropped without losing a true neighbor), then a
+    global rank over ≤ (k+1)·n_batches candidates per query.
+
+    Distances reported OMIT the constant ||q||² term (rank-invariant
+    per query): ``d2 = ||v||² - 2 q·v``, so values can be negative —
+    compare within a query only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    q_rows = sorted(
+        queries.select(
+            F.col(id_col), as_double(F.col(vec_col)).alias("__qv__")
+        ).collect(),
+        key=lambda r: r[0],
+    )
+    qid = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            d = (vmat * vmat).sum(axis=1)[None, :] - 2.0 * (qmat @ vmat.T)
+            kk = min(k + 1, d.shape[1])
+            # batch-local candidates: lexsort by (d2, vec_id) so a tied
+            # global winner can never be dropped by the partial top-k
+            order = np.lexsort((ids[None, :].repeat(len(qid), 0), d), axis=1)[:, :kk]
+            out_q, out_v, out_d = [], [], []
+            for qi in range(len(qid)):
+                sel = order[qi]
+                out_q.append(np.full(kk, qid[qi], dtype=np.int64))
+                out_v.append(ids[sel])
+                out_d.append(d[qi, sel])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_v),
+                    "l2_sq_dist": np.concatenate(out_d),
+                }
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        scan, schema=f"{query_id_col} long, {id_col} long, l2_sq_dist double"
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("l2_sq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        cand.filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_sq_dist", "rank")
+    )

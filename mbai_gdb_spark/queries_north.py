@@ -3108,3 +3108,112 @@ def a17_month_over_month(spark, sf_dir):
         ),
         (F.col("n_orders") - F.lag("n_orders").over(w)).alias("orders_delta"),
     )
+
+
+@query(
+    "sim_ivfpq_residual_top5",
+    f"""
+    WITH v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, ve AS cv FROM v WHERE vec_id % 50 = 0),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {_SQL_COS.format(a="v.ve", b="c.cv")} DESC,
+                                               c.centroid_id) AS rn
+            FROM v, cent c
+        ) WHERE rn = 1
+    ),
+    res AS (
+        SELECT v.vec_id, a.centroid_id,
+               list_transform(generate_series(1, 64), i -> v.ve[i] - c.cv[i]) AS rv
+        FROM v JOIN assign a ON a.vec_id = v.vec_id
+               JOIN cent c ON c.centroid_id = a.centroid_id
+    ),
+    rcb AS (
+        SELECT CAST(vec_id // 50 AS BIGINT) AS code_id, s.m AS sub_id,
+               rv[s.m * 8 + 1 : s.m * 8 + 8] AS cw
+        FROM res, UNNEST(generate_series(0, 7)) AS s(m)
+        WHERE vec_id % 50 = 0 AND vec_id < 800
+    ),
+    rvs AS (
+        SELECT vec_id, s.m AS sub_id, rv[s.m * 8 + 1 : s.m * 8 + 8] AS sv
+        FROM res, UNNEST(generate_series(0, 7)) AS s(m)
+    ),
+    rdist AS (
+        SELECT rvs.vec_id, rvs.sub_id, rcb.code_id,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+                   i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), (a, x) -> a + x) AS dd
+        FROM rvs JOIN rcb USING (sub_id)
+    ),
+    rcodes AS (
+        SELECT vec_id, sub_id, code_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, sub_id ORDER BY dd, code_id
+            ) AS rn FROM rdist
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id < 10),
+    probes AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {_SQL_COS.format(a="q.qv", b="c.cv")} DESC,
+                                               c.centroid_id) AS rn
+            FROM q, cent c
+        ) WHERE rn <= 2
+    ),
+    qres AS (
+        SELECT p.query_id, p.centroid_id,
+               list_transform(generate_series(1, 64), i -> q.qv[i] - c.cv[i]) AS qr
+        FROM probes p JOIN q USING (query_id)
+                      JOIN cent c ON c.centroid_id = p.centroid_id
+    ),
+    qrs AS (
+        SELECT query_id, centroid_id, s.m AS sub_id,
+               qr[s.m * 8 + 1 : s.m * 8 + 8] AS sv
+        FROM qres, UNNEST(generate_series(0, 7)) AS s(m)
+    ),
+    rtab AS (
+        SELECT query_id, centroid_id, sub_id, code_id,
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, 8),
+                   i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), (a, x) -> a + x) AS dd
+        FROM qrs JOIN rcb USING (sub_id)
+    ),
+    pivoted AS (
+        SELECT t.query_id, c.vec_id,
+               {", ".join(f"MAX(CASE WHEN t.sub_id = {m} THEN dd END) AS d{m}" for m in range(8))}
+        FROM rcodes c
+        JOIN assign a ON a.vec_id = c.vec_id
+        JOIN rtab t ON t.centroid_id = a.centroid_id
+                   AND t.sub_id = c.sub_id AND t.code_id = c.code_id
+        GROUP BY t.query_id, c.vec_id
+    ),
+    adc AS (
+        SELECT query_id, vec_id,
+               {"".join(["(" * 8, "0.0"] + [f" + d{m})" for m in range(8)])} AS adc_dist
+        FROM pivoted WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, adc_dist, CAST(rn AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, vec_id
+        ) AS rn FROM adc
+    ) WHERE rn <= 5
+    """,
+)
+def sim_ivfpq_residual_top5(spark, sf_dir):
+    """Residual-encoded IVF-PQ search — classic IVFADC (Jegou et al.,
+    PAMI 2011): PQ codes quantize v - centroid(v) instead of raw v, so
+    the same 8-byte budget captures the fine within-list structure the
+    raw encoding wastes on the coarse offset; each query builds one
+    ADC table per probed list from its own residual q - c.  Measured
+    8-9x the recall of raw encoding at identical scan cost on
+    clustered corpora (tools/ivfpq_scale_experiment.py); pinned >= raw
+    in tests/test_pq.py.  The HOF path keeps every step a sequential
+    deterministic fold, so the full pipeline sits behind this
+    value-hash oracle."""
+    from mbai_gdb_spark.ops.similarity import ivf_pq_residual_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_pq_residual_topk(emb, queries_df, k=5, n_probe=2)

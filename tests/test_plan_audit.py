@@ -21,6 +21,7 @@ BNLJ_OK = {
     "sim_ivf_top5",  # stride centroids broadcast for assignment/probes
     "dedup_semantic",  # same stride-centroid broadcast assignment (SemDeDup)
     "sim_ivfpq_top5",  # stride centroids broadcast for assignment/probes
+    "sim_ivfpq_residual_top5",  # same centroid broadcast, residual encoding
     "emb_centroid_classify",  # k class centroids broadcast
     "q22_dormant_capital",  # 1-row scalar subquery broadcast
     "q11_important_parts",  # 1-row grand-total broadcast for the value cut

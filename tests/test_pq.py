@@ -95,3 +95,93 @@ def test_pq_adc_rank_contract(spark):
         dists = [r.adc_dist for r in rs]
         assert dists == sorted(dists)
         assert all(not math.isnan(d) for d in dists)
+
+
+def _clustered_emb(spark, n=400, dim=64, n_centers=4, noise=0.15, seed=23):
+    """Mixture-of-gaussians corpus whose centers sit at ids 0/50/100/150
+    (centroid_stride=50 picks exactly the true centers): the regime
+    residual encoding exists for — within a probed list every vector
+    shares its centroid, so residuals are small noise vectors that a
+    16-codeword book quantizes far better than the raw spread."""
+    rng = random.Random(seed)
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_centers)]
+    rows = []
+    for i in range(n):
+        if i % 50 == 0 and i // 50 < n_centers:
+            rows.append((i, centers[i // 50]))
+        else:
+            c = centers[i % n_centers]
+            rows.append((i, [x + rng.gauss(0, noise) for x in c]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _exact_l2_top5(rows, n_queries):
+    vecs = {r.vec_id: r.embedding for r in rows}
+    truth = set()
+    for q in range(n_queries):
+        d = sorted(
+            (
+                (sum((a - b) ** 2 for a, b in zip(vecs[q], v)), vid)
+                for vid, v in vecs.items()
+                if vid != q
+            )
+        )[:5]
+        truth |= {(q, vid) for _, vid in d}
+    return truth
+
+
+def test_ivfpq_residual_recall_geq_raw(spark):
+    """Residual encoding must not lose recall vs raw encoding at equal
+    scan cost, and on clustered data it should clearly win."""
+    from mbai_gdb_spark.ops.similarity import ivf_pq_residual_topk, ivf_pq_topk
+
+    emb = _clustered_emb(spark)
+    queries = emb.filter(F.col("vec_id") < 8)
+    kw = dict(
+        k=5, n_probe=2, centroid_stride=50,
+        m_sub=8, sub_dim=8, n_codes=16, code_stride=7,
+    )
+    raw = {(r.query_id, r.vec_id) for r in ivf_pq_topk(emb, queries, **kw).collect()}
+    res = {
+        (r.query_id, r.vec_id)
+        for r in ivf_pq_residual_topk(emb, queries, **kw).collect()
+    }
+    truth = _exact_l2_top5(emb.collect(), 8)
+    recall_raw = len(truth & raw) / len(truth)
+    recall_res = len(truth & res) / len(truth)
+    # Deterministic pipeline on a fixed seed: observed 0.300 vs 0.175.
+    # Discriminating top-5 among ~100 near-identical cluster-mates with
+    # an untrained 16-codeword stride-sampled book caps absolute recall;
+    # the residual advantage is the invariant being pinned.
+    assert recall_res > recall_raw, (recall_res, recall_raw)
+    assert recall_res >= 0.25, recall_res
+
+
+def test_ivfpq_residual_prebuilt_matches_inline(spark):
+    """The amortized index path (ivf_pq_residual_index → prebuilt) must
+    return exactly the inline result."""
+    from mbai_gdb_spark.ops.similarity import (
+        ivf_pq_residual_index,
+        ivf_pq_residual_topk,
+    )
+
+    emb = _clustered_emb(spark, n=250)
+    queries = emb.filter(F.col("vec_id") < 4)
+    kw = dict(
+        k=5, n_probe=2, centroid_stride=50,
+        m_sub=8, sub_dim=8, n_codes=8, code_stride=11,
+    )
+    inline = sorted(map(tuple, ivf_pq_residual_topk(emb, queries, **kw).collect()))
+    codes, assignment = ivf_pq_residual_index(
+        emb, centroid_stride=50, m_sub=8, sub_dim=8, n_codes=8, code_stride=11,
+        vectorized=False,
+    )
+    pre = sorted(
+        map(
+            tuple,
+            ivf_pq_residual_topk(
+                emb, queries, prebuilt=(codes, assignment), **kw
+            ).collect(),
+        )
+    )
+    assert inline == pre
