@@ -242,20 +242,64 @@ def main() -> None:
     superlinear = scale_guard["wall_ratio_2000_over_200"] > 6.0
     scale_guard["superlinear"] = superlinear
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "scale_guard": scale_guard,
-                "sf": sf,
-            }
-        )
+    # sf1 tier (10× sf0.1, tools/gen_sf1.py): one cold pass over the 10
+    # most expensive headline queries.  The wall ratio vs this run's own
+    # sf0.1 COLD numbers is the super-linearity check the in-tier scale
+    # guard can't see — linear-in-data plans should land near 10× (or
+    # below where fixed overhead dominates); a ratio far past the data
+    # ratio means a shuffle/skew/quadratic surprise.  Skipped silently
+    # when the tier has not been generated.
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".localdata", "sf1"),
     )
+    sf1_section = None
+    if os.path.isdir(sf1_dir):
+        SF1_QUERIES = [
+            "graph_kcore_profile",
+            "dedup_typo_pairs",
+            "graph_triangle_count",
+            "curate_corpus",
+            "io_incremental_rollup",
+            "dedup_minhash_lsh",
+            "text_dup_spans",
+            "decontam_bloom",
+            "search_tfidf_topk",
+            "io_merge_idempotent",
+        ]
+        sf1_timings: dict[str, float] = {}
+        ratios: dict[str, float] = {}
+        for name in SF1_QUERIES:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            _cleanup()
+            t0 = time.perf_counter()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            sf1_timings[name] = round(time.perf_counter() - t0, 3)
+            if cold.get(name):
+                ratios[name] = round(sf1_timings[name] / cold[name], 2)
+        sf1_section = {
+            "sf1_dir": sf1_dir,
+            "data_ratio": 10.0,
+            "queries_cold": sf1_timings,
+            "wall_ratio_vs_sf0.1_cold": ratios,
+            "max_wall_ratio": max(ratios.values(), default=0.0),
+        }
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "scale_guard": scale_guard,
+        "sf": sf,
+    }
+    if sf1_section is not None:
+        out["sf1"] = sf1_section
+    print(json.dumps(out))
     if superlinear:
         print(
             "SCALE GUARD FAILED: 10x games cost "
