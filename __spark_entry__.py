@@ -94,12 +94,12 @@ _HEAD_R6 = [
     "q20_excess_suppliers",
     # round-6 additions, never driver-checked
     "sim_ivfpq_residual_top5",
-    # oldest remaining certifications (r01/r02-latest fill, 5)
+    "mm_decode_jpeg",
+    # oldest remaining certifications (r01/r02-latest fill, 4)
     "q18_large_orders",
     "a5_nation_customer_rollup",
     "a7_distinct_segments",
     "j1_region_revenue",
-    "j5_local_supplier_revenue",
 ]
 
 

@@ -93,6 +93,9 @@ HEADLINE = [
     "text_bigram_surprise",
     "sample_weighted_docs",
     "a17_month_over_month",
+    # Round-6 additions: residual IVF-PQ, baseline JPEG decode
+    "sim_ivfpq_residual_top5",
+    "mm_decode_jpeg",
 ]
 
 

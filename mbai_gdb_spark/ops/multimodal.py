@@ -8,10 +8,12 @@ filter types 0-4, palette expansion), uncompressed 24-bit BMP, and
 binary PPM/PGM; resize is nearest-neighbor numpy index math re-encoded
 through a minimal PNG writer.  Audio decode is REAL too: RIFF/WAVE
 PCM16 chunk-walk (``decode_audio``) with integer-exact sample stats
-(``audio_stats``) and a matching writer.  JPEG/GIF pixel decode (and
-compressed audio) would need an
-entropy codec the container doesn't ship — their HEADERS are parsed
-(:func:`image_header_metadata`) and undecodable payloads flow through
+(``audio_stats``) and a matching writer.  GIF decode is a real LZW
+inflater (variable code width, dictionary growth, bounded at the
+declared pixel count) with animated-frame demux, and JPEG decode is a
+real baseline-sequential pipeline (canonical Huffman entropy decode,
+dequantize, float IDCT, chroma upsample, YCbCr→RGB) — both codec-free.
+Compressed audio stays header-only; undecodable payloads flow through
 as NULLs, which is the behavior you want at 100 TB anyway (a corrupt
 payload must not kill the stage).
 
@@ -379,6 +381,7 @@ def decode_payload_bytes(b: bytes):
         ("bmp", _bmp_decode),
         ("ppm", _ppm_decode),
         ("gif", _gif_decode),
+        ("jpeg", _jpeg_decode),
     ):
         try:
             out = fn(b)
@@ -950,3 +953,507 @@ def gif_sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(explode, GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline sequential (ITU-T T.81): real Huffman + dequant + IDCT
+# ---------------------------------------------------------------------------
+# Codec-free like the PNG/GIF/WAV families: numpy for the 8x8 DCT math,
+# everything else stdlib.  Baseline DCT only — progressive (SOF2) and
+# arithmetic coding are rejected (→ None through the dispatcher), as is
+# any sampling factor beyond 2x2.  Reference behavior: reference has no
+# media decode at all (SURVEY §2.8); this completes the repo's image
+# family (PNG/BMP/PPM/GIF/JPEG).
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K "typical" Huffman tables: (BITS counts per code length 1-16, VALS).
+_JPEG_STD_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_STD_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_JPEG_STD_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+_JPEG_FLAT_Q = [1] * 64  # near-lossless quant table for fixture encoding
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    n = 8
+    c = np.zeros((n, n))
+    for k in range(n):
+        for i in range(n):
+            c[k, i] = (
+                (1.0 / (2.0 ** 0.5)) if k == 0 else 1.0
+            ) * 0.5 * __import__("math").cos((2 * i + 1) * k * __import__("math").pi / 16.0)
+    return c
+
+
+def _jpeg_build_decode_table(bits, vals):
+    """code length → {code value: symbol}, per T.81 C.2 canonical order."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_build_encode_table(bits, vals):
+    dec = _jpeg_build_decode_table(bits, vals)
+    return {sym: (code, length) for (length, code), sym in dec.items()}
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        b = self.data
+        if self.pos >= len(b):
+            raise ValueError("jpeg: bitstream exhausted")
+        byte = b[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(b):
+                raise ValueError("jpeg: dangling FF")
+            nxt = b[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed
+            else:
+                # marker inside entropy data (e.g. truncated scan)
+                raise ValueError("jpeg: unexpected marker in scan")
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self):
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self):
+        """Drop partial byte; consume an RST marker if present."""
+        self.acc = 0
+        self.n = 0
+        b = self.data
+        if self.pos + 1 < len(b) and b[self.pos] == 0xFF and 0xD0 <= b[self.pos + 1] <= 0xD7:
+            self.pos += 2
+
+
+def _jpeg_extend(v, t):
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _jpeg_huff_decode(reader, dec_table):
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = dec_table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant=None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline-sequential JPEG encoder (grayscale or 4:4:4
+    YCbCr), the write half of :func:`_jpeg_decode` — Annex K Huffman
+    tables, one quant table (default all-ones ≈ near-lossless), no
+    subsampling; ``restart_interval`` N emits DRI + RSTn every N MCUs
+    (exercises the decoder's resync path).  ``pixels`` is row-major
+    gray (channels=1) or RGB (channels=3)."""
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    q = list(quant) if quant is not None else list(_JPEG_FLAT_Q)
+    if len(q) != 64 or any(not 1 <= x <= 255 for x in q):
+        raise ValueError("bad quant table")
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    if channels == 1:
+        planes = [arr.reshape(height, width)]
+    else:
+        rgb = arr.reshape(height, width, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+
+    C = _jpeg_dct_matrix()
+    qmat = np.array(q, dtype=np.float64)[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+    # q was given in zigzag order; de-zigzag into natural row-major.
+
+    dc_tabs = [
+        _jpeg_build_encode_table(*_JPEG_STD_DC_LUM),
+        _jpeg_build_encode_table(*_JPEG_STD_DC_CHR),
+    ]
+    ac_tabs = [
+        _jpeg_build_encode_table(*_JPEG_STD_AC_LUM),
+        _jpeg_build_encode_table(*_JPEG_STD_AC_CHR),
+    ]
+
+    bw = _JpegBitWriter()
+    preds = [0] * channels
+    by, bx = (height + 7) // 8, (width + 7) // 8
+    mcu_count = 0
+    rst_idx = 0
+    for my in range(by):
+        for mx in range(bx):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.buf += bytes((0xFF, 0xD0 + rst_idx % 8))
+                rst_idx += 1
+                preds = [0] * channels
+            mcu_count += 1
+            for ci, plane in enumerate(planes):
+                blk = np.full((8, 8), plane[min(my * 8, height - 1), min(mx * 8, width - 1)])
+                ys, xs = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].shape
+                blk[:ys, :xs] = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                if ys < 8:
+                    blk[ys:, :] = blk[ys - 1 : ys, :]
+                if xs < 8:
+                    blk[:, xs:] = blk[:, xs - 1 : xs]
+                coef = C @ (blk - 128.0) @ C.T
+                qz = np.round(coef / qmat).astype(np.int64)
+                zz = qz.reshape(-1)[_JPEG_ZIGZAG]
+                t_dc = dc_tabs[min(ci, 1)]
+                t_ac = ac_tabs[min(ci, 1)]
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                mag = abs(diff)
+                t = mag.bit_length()
+                code, ln = t_dc[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = t_ac[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    t = abs(v).bit_length()
+                    code, ln = t_ac[(run << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+                    run = 0
+                if run:
+                    code, ln = t_ac[0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)  # DQT id 0
+    # SOF0
+    ncomp = channels
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for ci in range(ncomp):
+        out += bytes((ci + 1, 0x11, 0))  # id, 1x1 sampling, quant table 0
+    # DHT: DC/AC luma (+ chroma when color)
+    def dht(cls, tid, bits, vals):
+        return (
+            b"\xff\xc4"
+            + struct.pack(">HB", 3 + 16 + len(vals), (cls << 4) | tid)
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    out += dht(0, 0, *_JPEG_STD_DC_LUM) + dht(1, 0, *_JPEG_STD_AC_LUM)
+    if ncomp == 3:
+        out += dht(0, 1, *_JPEG_STD_DC_CHR) + dht(1, 1, *_JPEG_STD_AC_CHR)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        tid = 0 if ci == 0 else 1
+        out += bytes((ci + 1, (tid << 4) | tid))
+    out += bytes((0, 63, 0))
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_decode(b: bytes):
+    """Baseline-sequential JPEG decode → (w, h, 3, row-major RGB).
+
+    Real entropy decode: marker walk (DQT/DHT/SOF0/DRI/SOS), canonical
+    Huffman tables, byte-stuffed bit reader, DC-prediction + RST
+    handling, dequantize → de-zigzag → float IDCT (numpy 8x8 matrix
+    product, deterministic), chroma upsampled by pixel replication for
+    sampling factors up to 2x2, BT.601 YCbCr→RGB.  Grayscale output is
+    replicated to 3 channels (one pixel contract across the image
+    family).  Progressive (SOF2), arithmetic coding, 12-bit precision
+    and >2x2 sampling raise ValueError → None via the dispatcher."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    qt = {}
+    huff_dc, huff_ac = {}, {}
+    sof = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 2 > len(b):
+            raise ValueError("jpeg: truncated segment")
+        seglen = struct.unpack(">H", b[pos : pos + 2])[0]
+        seg = b[pos + 2 : pos + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("jpeg: truncated segment body")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                i += 1
+                if pq == 0:
+                    qt[tq] = np.array(list(seg[i : i + 64]), dtype=np.float64)
+                    i += 64
+                elif pq == 1:
+                    qt[tq] = np.array(
+                        [struct.unpack(">H", seg[i + 2 * j : i + 2 * j + 2])[0] for j in range(64)],
+                        dtype=np.float64,
+                    )
+                    i += 128
+                else:
+                    raise ValueError("jpeg: bad DQT precision")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i + 17 <= len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + n])
+                if len(vals) != n:
+                    raise ValueError("jpeg: truncated DHT")
+                tab = _jpeg_build_decode_table(bits, vals)
+                (huff_dc if cls == 0 else huff_ac)[tid] = tab
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 15, tq))
+            sof = (w, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: non-baseline SOF unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            for ci in range(ns):
+                cs, tabs = seg[1 + 2 * ci : 3 + 2 * ci]
+                scomps.append((cs, tabs >> 4, tabs & 15))
+            scan = (scomps, pos + seglen)
+            break
+        pos += seglen
+    if sof is None or scan is None:
+        raise ValueError("jpeg: missing SOF/SOS")
+    w, h, comps = sof
+    if w == 0 or h == 0:
+        raise ValueError("jpeg: zero dims")
+    if w * h > (1 << 26):
+        raise ValueError("jpeg: dims out of scope")
+    scomps, data_pos = scan
+    if len(scomps) != len(comps) or len(comps) not in (1, 3):
+        raise ValueError("jpeg: component count unsupported")
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+        raise ValueError("jpeg: sampling factor unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    C = _jpeg_dct_matrix()
+    Ct = C.T
+    inv_zz = np.argsort(_JPEG_ZIGZAG)
+
+    planes = []
+    for cid, ch, cv, tq in comps:
+        if tq not in qt:
+            raise ValueError("jpeg: missing quant table")
+        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64))
+
+    reader = _JpegBitReader(b, data_pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_marker()
+                preds = [0] * len(comps)
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                sc = next((s for s in scomps if s[0] == cid), None)
+                if sc is None:
+                    raise ValueError("jpeg: scan/frame component mismatch")
+                _, td, ta = sc
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError("jpeg: missing Huffman table")
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = _jpeg_huff_decode(reader, huff_dc[td])
+                        if t > 11:
+                            raise ValueError("jpeg: bad DC category")
+                        diff = _jpeg_extend(reader.bits(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(reader, huff_ac[ta])
+                            r, t = rs >> 4, rs & 15
+                            if t == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            zz[k] = _jpeg_extend(reader.bits(t), t)
+                            k += 1
+                        coef = (zz * qt[tq])[inv_zz].reshape(8, 8)
+                        blk = Ct @ coef @ C + 128.0
+                        py = (my * cv + by) * 8
+                        px = (mx * ch + bx) * 8
+                        planes[ci][py : py + 8, px : px + 8] = blk
+            mcu_count += 1
+
+    full = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        p = planes[ci]
+        if ch != hmax or cv != vmax:
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(comps) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        rgb = np.stack([y, y, y], axis=2)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        bl = y + 1.772 * cb
+        rgb = np.stack(
+            [np.clip(np.round(x), 0, 255).astype(np.uint8) for x in (r, g, bl)],
+            axis=2,
+        )
+    return w, h, 3, rgb.tobytes()

@@ -3217,3 +3217,113 @@ def sim_ivfpq_residual_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_pq_residual_topk(emb, queries_df, k=5, n_probe=2)
+
+
+@query(
+    "mm_decode_jpeg",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               8 * (1 + doc_id % 3) AS w,
+               8 * (1 + doc_id % 2) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           'jpeg' AS format,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, w * h * 3 - 1),
+                    j -> (doc_id * 37
+                          + (((j // 3) // w) // 8 * (w // 8)
+                             + ((j // 3) % w) // 8) * 29
+                          + 11) % 256)),
+                (a, x) -> a + x) AS BIGINT) AS pixel_sum,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, w * h * 3 - 1),
+                    j -> (j + 1) * ((doc_id * 37
+                          + (((j // 3) // w) // 8 * (w // 8)
+                             + ((j // 3) % w) // 8) * 29
+                          + 11) % 256))),
+                (a, x) -> a + x) AS BIGINT) AS pixel_weighted_sum
+    FROM dims
+    """,
+)
+def mm_decode_jpeg(spark, sf_dir):
+    """REAL JPEG decode, driver-checked end-to-end (the lossy sibling
+    of mm_decode_gif): per doc, a grid of CONSTANT 8x8 gray blocks is
+    encoded as a baseline-sequential JPEG (ops.multimodal.encode_jpeg,
+    Annex K Huffman tables, flat quant) and decoded back by the real
+    pipeline — canonical Huffman entropy decode, dequantize, float
+    IDCT, gray->RGB replication.  Constant blocks carry only a DC
+    coefficient, which survives flat quantization and the IDCT
+    BIT-EXACTLY, so the lossy codec becomes oracle-hashable: the SQL
+    recomputes every pixel from the block-value algebra.  The AC /
+    chroma / restart paths the oracle can't see are certified by
+    near-lossless round-trips in tests/test_jpeg_decode.py."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.ops.multimodal import decode_image, encode_jpeg
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                bw = w // 8
+                px = np.zeros((h, w), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(bw):
+                        v = (did * 37 + (by * bw + bx) * 29 + 11) % 256
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payloads.append(encode_jpeg(w, h, px.tobytes(), channels=1))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    sum_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("pixel_weighted_sum", T.LongType()),
+        ]
+    )
+
+    def checksum(batches):
+        for pdf in batches:
+            sums, wsums = [], []
+            for b in pdf["pixels"]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                sums.append(int(raw.sum()))
+                wsums.append(int((raw * (np.arange(raw.size) + 1)).sum()))
+            out = pdf[["doc_id", "format", "width", "height", "channels"]].copy()
+            out["pixel_sum"] = pd.Series(sums, dtype="int64", index=pdf.index)
+            out["pixel_weighted_sum"] = pd.Series(
+                wsums, dtype="int64", index=pdf.index
+            )
+            out["width"] = out["width"].astype("int64")
+            out["height"] = out["height"].astype("int64")
+            out["channels"] = out["channels"].astype("int64")
+            yield out
+
+    payloads = docs.mapInPandas(gen, gen_schema)
+    decoded = decode_image(payloads)
+    return decoded.mapInPandas(checksum, sum_schema)

@@ -1,0 +1,111 @@
+"""JPEG baseline codec: real Huffman + DCT round-trips, restart
+markers, corruption hardening — the lossy sibling of
+test_gif_decode.py.  The encoder and decoder share only the constant
+tables, so a near-lossless round-trip certifies both entropy coders
+and both DCT directions against each other."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from mbai_gdb_spark.ops.multimodal import decode_payload_bytes, encode_jpeg
+
+
+def _gray(out):
+    fmt, w, h, ch, rgb = out
+    assert (fmt, ch) == ("jpeg", 3)
+    return np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)[:, :, 0].astype(int)
+
+
+def test_jpeg_constant_blocks_roundtrip_exact():
+    """Constant 8x8 blocks carry only a DC coefficient; with the flat
+    quant table the whole pipeline (FDCT → quant → Huffman → dequant →
+    IDCT) is bit-exact — the property the driver oracle leans on."""
+    w, h = 24, 16
+    px = np.zeros((h, w), dtype=np.uint8)
+    vals = {}
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = (by * 3 + bx) * 41 % 256
+            vals[(by, bx)] = v
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    arr = _gray(decode_payload_bytes(encode_jpeg(w, h, px.tobytes(), channels=1)))
+    for (by, bx), v in vals.items():
+        assert (arr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] == v).all(), (by, bx)
+
+
+def test_jpeg_random_gray_near_lossless():
+    rng = random.Random(5)
+    for trial, (w, h) in enumerate([(8, 8), (24, 17), (33, 9)]):
+        px = bytes(rng.randrange(256) for _ in range(w * h))
+        arr = _gray(decode_payload_bytes(encode_jpeg(w, h, px, channels=1)))
+        ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
+        # Flat quant: the only loss is FDCT/IDCT float rounding.
+        assert np.abs(arr - ref).max() <= 1, trial
+
+
+def test_jpeg_color_near_lossless():
+    rng = random.Random(11)
+    w, h = 12, 10
+    px = bytes(rng.randrange(256) for _ in range(w * h * 3))
+    fmt, ow, oh, ch, rgb = decode_payload_bytes(encode_jpeg(w, h, px, channels=3))
+    assert (ow, oh, ch) == (w, h, 3)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    # YCbCr forward+inverse adds one more rounding step than gray.
+    assert np.abs(arr - ref).max() <= 2
+
+
+def test_jpeg_restart_markers():
+    rng = random.Random(9)
+    w, h = 40, 24  # 15 MCUs
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    b = encode_jpeg(w, h, px, channels=1, restart_interval=4)
+    assert b"\xff\xdd" in b  # DRI present
+    assert any(bytes((0xFF, 0xD0 + i)) in b for i in range(8))  # RSTn present
+    arr = _gray(decode_payload_bytes(b))
+    ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(arr - ref).max() <= 1
+
+
+def test_jpeg_quantized_loss_is_bounded():
+    rng = random.Random(3)
+    w, h = 16, 16
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    arr = _gray(decode_payload_bytes(encode_jpeg(w, h, px, channels=1, quant=[16] * 64)))
+    ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
+    err = np.abs(arr - ref)
+    assert err.max() <= 64  # well under gross corruption
+    assert err.mean() <= 8  # and centered near the quant step
+
+
+def test_jpeg_corruption_yields_none_not_exception():
+    good = encode_jpeg(8, 8, bytes(range(64)), channels=1)
+    assert decode_payload_bytes(good) is not None
+    cases = [
+        good[:20],  # truncated in headers
+        good[:-10],  # truncated mid-scan
+        good.replace(b"\xff\xc0", b"\xff\xc2"),  # progressive SOF
+        good.replace(b"\xff\xc4", b"\xff\xcc", 1),  # DAC (arithmetic) marker
+        b"\xff\xd8" + b"\x00" * 30,  # garbage after SOI
+    ]
+    for i, c in enumerate(cases):
+        assert decode_payload_bytes(c) is None, i
+
+
+def test_jpeg_dispatcher_format_tag():
+    out = decode_payload_bytes(encode_jpeg(8, 8, bytes(64), channels=1))
+    assert out[0] == "jpeg"
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (7, 5), (9, 16)])
+def test_jpeg_non_multiple_of_8_dims(w, h):
+    rng = random.Random(w * 100 + h)
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    arr = _gray(decode_payload_bytes(encode_jpeg(w, h, px, channels=1)))
+    assert arr.shape == (h, w)
+    ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(arr - ref).max() <= 1
