@@ -1148,13 +1148,16 @@ def encode_jpeg(
     channels: int = 1,
     quant=None,
     restart_interval: int = 0,
+    subsample: bool = False,
 ) -> bytes:
-    """Minimal baseline-sequential JPEG encoder (grayscale or 4:4:4
-    YCbCr), the write half of :func:`_jpeg_decode` — Annex K Huffman
-    tables, one quant table (default all-ones ≈ near-lossless), no
-    subsampling; ``restart_interval`` N emits DRI + RSTn every N MCUs
-    (exercises the decoder's resync path).  ``pixels`` is row-major
-    gray (channels=1) or RGB (channels=3)."""
+    """Minimal baseline-sequential JPEG encoder, the write half of
+    :func:`_jpeg_decode` — Annex K Huffman tables, one quant table
+    (default all-ones ≈ near-lossless), grayscale / 4:4:4 color /
+    4:2:0 color (``subsample=True``: luma 2x2 per MCU, chroma
+    box-mean-downsampled — exercises the decoder's upsample path);
+    ``restart_interval`` N emits DRI + RSTn every N MCUs (exercises
+    the decoder's resync path).  ``pixels`` is row-major gray
+    (channels=1) or RGB (channels=3)."""
     import struct
 
     import numpy as np
@@ -1163,6 +1166,8 @@ def encode_jpeg(
         raise ValueError("channels must be 1 or 3")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer size mismatch")
+    if subsample and channels != 3:
+        raise ValueError("subsampling needs 3 channels")
     q = list(quant) if quant is not None else list(_JPEG_FLAT_Q)
     if len(q) != 64 or any(not 1 <= x <= 255 for x in q):
         raise ValueError("bad quant table")
@@ -1177,6 +1182,29 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
         planes = [y, cb, cr]
+
+    samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * channels
+    hmax = max(sh for sh, sv in samps)
+    vmax = max(sv for sh, sv in samps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+
+    comp_planes = []
+    for ci, plane in enumerate(planes):
+        sh, sv = samps[ci]
+        if (sh, sv) != (hmax, vmax):
+            fx, fy = hmax // sh, vmax // sv
+            ph = ((height + fy - 1) // fy) * fy
+            pw = ((width + fx - 1) // fx) * fx
+            pp = np.pad(plane, ((0, ph - height), (0, pw - width)), mode="edge")
+            plane = pp.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * sv * 8, mcux * sh * 8
+        plane = np.pad(
+            plane,
+            ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        )
+        comp_planes.append(plane)
 
     C = _jpeg_dct_matrix()
     qmat = np.array(q, dtype=np.float64)[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
@@ -1193,56 +1221,56 @@ def encode_jpeg(
 
     bw = _JpegBitWriter()
     preds = [0] * channels
-    by, bx = (height + 7) // 8, (width + 7) // 8
+
+    def emit_block(blk, ci):
+        coef = C @ (blk - 128.0) @ C.T
+        qz = np.round(coef / qmat).astype(np.int64)
+        zz = qz.reshape(-1)[_JPEG_ZIGZAG]
+        t_dc = dc_tabs[min(ci, 1)]
+        t_ac = ac_tabs[min(ci, 1)]
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        t = abs(diff).bit_length()
+        code, ln = t_dc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = t_ac[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            t = abs(v).bit_length()
+            code, ln = t_ac[(run << 4) | t]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if run:
+            code, ln = t_ac[0x00]  # EOB
+            bw.write(code, ln)
+
     mcu_count = 0
     rst_idx = 0
-    for my in range(by):
-        for mx in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
                 bw.flush()
                 bw.buf += bytes((0xFF, 0xD0 + rst_idx % 8))
                 rst_idx += 1
                 preds = [0] * channels
             mcu_count += 1
-            for ci, plane in enumerate(planes):
-                blk = np.full((8, 8), plane[min(my * 8, height - 1), min(mx * 8, width - 1)])
-                ys, xs = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].shape
-                blk[:ys, :xs] = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                if ys < 8:
-                    blk[ys:, :] = blk[ys - 1 : ys, :]
-                if xs < 8:
-                    blk[:, xs:] = blk[:, xs - 1 : xs]
-                coef = C @ (blk - 128.0) @ C.T
-                qz = np.round(coef / qmat).astype(np.int64)
-                zz = qz.reshape(-1)[_JPEG_ZIGZAG]
-                t_dc = dc_tabs[min(ci, 1)]
-                t_ac = ac_tabs[min(ci, 1)]
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                mag = abs(diff)
-                t = mag.bit_length()
-                code, ln = t_dc[t]
-                bw.write(code, ln)
-                if t:
-                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = t_ac[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    t = abs(v).bit_length()
-                    code, ln = t_ac[(run << 4) | t]
-                    bw.write(code, ln)
-                    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
-                    run = 0
-                if run:
-                    code, ln = t_ac[0x00]  # EOB
-                    bw.write(code, ln)
+            for ci, cp in enumerate(comp_planes):
+                sh, sv = samps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        py = (my * sv + by) * 8
+                        px = (mx * sh + bx) * 8
+                        emit_block(cp[py : py + 8, px : px + 8], ci)
     bw.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -1251,7 +1279,8 @@ def encode_jpeg(
     ncomp = channels
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
     for ci in range(ncomp):
-        out += bytes((ci + 1, 0x11, 0))  # id, 1x1 sampling, quant table 0
+        sh, sv = samps[ci]
+        out += bytes((ci + 1, (sh << 4) | sv, 0))  # id, sampling, quant table 0
     # DHT: DC/AC luma (+ chroma when color)
     def dht(cls, tid, bits, vals):
         return (

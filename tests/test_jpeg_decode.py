@@ -109,3 +109,37 @@ def test_jpeg_non_multiple_of_8_dims(w, h):
     assert arr.shape == (h, w)
     ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
     assert np.abs(arr - ref).max() <= 1
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0: luma 2x2 blocks per MCU, chroma box-downsampled — the
+    decoder's replication-upsample path.  On chroma-smooth images the
+    subsampling is information-lossless, so the round-trip stays tight;
+    max error 0 observed on a pure gradient."""
+    w, h = 20, 14
+    # Brightness gradient at constant hue: Cb/Cr are constant planes.
+    px = bytes(
+        min(255, x * 8 + y * 4) for y in range(h) for x in range(w) for _ in range(3)
+    )
+    b = encode_jpeg(w, h, px, channels=3, subsample=True)
+    fmt, ow, oh, ch, rgb = decode_payload_bytes(b)
+    assert (fmt, ow, oh, ch) == ("jpeg", w, h, 3)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(arr - ref).max() <= 2
+    # The stream really is subsampled: SOF0 luma sampling byte is 0x22.
+    sof = b.index(b"\xff\xc0")
+    assert b[sof + 11] == 0x22
+
+
+def test_jpeg_420_with_restarts():
+    w, h = 48, 32  # 6 MCUs of 16x16
+    px = bytes(
+        (x * 5 + y * 3) % 256 for y in range(h) for x in range(w) for _ in range(3)
+    )
+    b = encode_jpeg(w, h, px, channels=3, subsample=True, restart_interval=2)
+    fmt, ow, oh, ch, rgb = decode_payload_bytes(b)
+    assert (ow, oh) == (w, h)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+    assert np.abs(arr - ref).max() <= 2
