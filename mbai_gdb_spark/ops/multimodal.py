@@ -11,8 +11,10 @@ PCM16 chunk-walk (``decode_audio``) with integer-exact sample stats
 (``audio_stats``) and a matching writer.  GIF decode is a real LZW
 inflater (variable code width, dictionary growth, bounded at the
 declared pixel count) with animated-frame demux, and JPEG decode is a
-real baseline-sequential pipeline (canonical Huffman entropy decode,
-dequantize, float IDCT, chroma upsample, YCbCr→RGB) — both codec-free.
+real baseline (SOF0/1) AND progressive (SOF2) pipeline — canonical
+Huffman entropy decode, spectral-selection bands with EOB runs,
+successive-approximation bit refinement, dequantize, float IDCT,
+chroma upsample, YCbCr→RGB — both codec-free.
 Compressed audio stays header-only; undecodable payloads flow through
 as NULLs, which is the behavior you want at 100 TB anyway (a corrupt
 payload must not kill the stage).
@@ -1307,16 +1309,20 @@ def encode_jpeg(
 
 
 def _jpeg_decode(b: bytes):
-    """Baseline-sequential JPEG decode → (w, h, 3, row-major RGB).
+    """Baseline (SOF0/1) AND progressive (SOF2) JPEG decode →
+    (w, h, 3, row-major RGB).
 
-    Real entropy decode: marker walk (DQT/DHT/SOF0/DRI/SOS), canonical
-    Huffman tables, byte-stuffed bit reader, DC-prediction + RST
-    handling, dequantize → de-zigzag → float IDCT (numpy 8x8 matrix
-    product, deterministic), chroma upsampled by pixel replication for
-    sampling factors up to 2x2, BT.601 YCbCr→RGB.  Grayscale output is
-    replicated to 3 channels (one pixel contract across the image
-    family).  Progressive (SOF2), arithmetic coding, 12-bit precision
-    and >2x2 sampling raise ValueError → None via the dispatcher."""
+    Two phases: every scan ENTROPY-DECODES into per-component
+    coefficient grids (zigzag index space), then one reconstruction
+    pass dequantizes, de-zigzags and IDCTs each 8x8 block.  Baseline is
+    the one-scan special case; progressive handles spectral selection
+    (Ss-Se bands, EOB runs) and successive approximation (DC bit
+    refinement; AC newly-nonzero + correction-bit refinement — the
+    T.81 G.1.2 / libjpeg jdphuff algorithm).  Shared with baseline:
+    canonical Huffman tables, byte-stuffed bit reader, DC prediction,
+    RSTn resync, chroma upsample ≤2x2, BT.601 YCbCr→RGB; arithmetic
+    coding, 12-bit precision, hierarchical (SOF3+) and >2x2 sampling
+    raise ValueError → None via the dispatcher."""
     import struct
 
     import numpy as np
@@ -1327,9 +1333,231 @@ def _jpeg_decode(b: bytes):
     qt = {}
     huff_dc, huff_ac = {}, {}
     sof = None
+    progressive = False
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(b):
+    saw_eoi = False
+    coefs = None  # per component: np.int64[blocks_y, blocks_x, 64] (zigzag space)
+    comps = None
+    hmax = vmax = mcux = mcuy = 0
+    w = h = 0
+
+    def alloc(sof_parsed):
+        nonlocal comps, hmax, vmax, mcux, mcuy, coefs, w, h
+        w, h, comps = sof_parsed
+        if w == 0 or h == 0:
+            raise ValueError("jpeg: zero dims")
+        if w * h > (1 << 26):
+            raise ValueError("jpeg: dims out of scope")
+        if len(comps) not in (1, 3):
+            raise ValueError("jpeg: component count unsupported")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
+            raise ValueError("jpeg: sampling factor unsupported")
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        coefs = [
+            np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64)
+            for (_cid, ch, cv, _tq) in comps
+        ]
+
+    def decode_scan(scomps, ss, se, ah, al, data_pos):
+        """Entropy-decode one scan; returns stream position after it."""
+        reader = _JpegBitReader(b, data_pos)
+        idxs = []
+        for cs, td, ta in scomps:
+            ci = next(
+                (i for i, c in enumerate(comps) if c[0] == cs), None
+            )
+            if ci is None:
+                raise ValueError("jpeg: scan/frame component mismatch")
+            idxs.append((ci, td, ta))
+        interleaved = len(idxs) > 1
+        is_dc = ss == 0
+        if is_dc and se != ss and progressive:
+            raise ValueError("jpeg: bad progressive band")
+        if not is_dc and interleaved:
+            raise ValueError("jpeg: AC scan must be single-component")
+
+        preds = {ci: 0 for ci, _, _ in idxs}
+        eobrun = 0
+
+        def need_dc(td):
+            if td not in huff_dc:
+                raise ValueError("jpeg: missing Huffman table")
+            return huff_dc[td]
+
+        def need_ac(ta):
+            if ta not in huff_ac:
+                raise ValueError("jpeg: missing Huffman table")
+            return huff_ac[ta]
+
+        def decode_block_baseline(ci, td, ta, by, bx):
+            zz = coefs[ci][by, bx]
+            t = _jpeg_huff_decode(reader, need_dc(td))
+            if t > 11:
+                raise ValueError("jpeg: bad DC category")
+            diff = _jpeg_extend(reader.bits(t), t) if t else 0
+            preds[ci] += diff
+            zz[0] = preds[ci]
+            k = 1
+            while k < 64:
+                rs = _jpeg_huff_decode(reader, need_ac(ta))
+                r, t = rs >> 4, rs & 15
+                if t == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    break  # EOB
+                k += r
+                if k > 63:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[k] = _jpeg_extend(reader.bits(t), t)
+                k += 1
+
+        def decode_block_dc_first(ci, td, by, bx):
+            zz = coefs[ci][by, bx]
+            t = _jpeg_huff_decode(reader, need_dc(td))
+            if t > 11:
+                raise ValueError("jpeg: bad DC category")
+            diff = _jpeg_extend(reader.bits(t), t) if t else 0
+            preds[ci] += diff
+            zz[0] = preds[ci] << al
+
+        def decode_block_dc_refine(ci, by, bx):
+            if reader.bit():
+                coefs[ci][by, bx, 0] |= 1 << al
+
+        def decode_block_ac_first(ci, ta, by, bx):
+            nonlocal eobrun
+            zz = coefs[ci][by, bx]
+            if eobrun > 0:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = _jpeg_huff_decode(reader, need_ac(ta))
+                r, t = rs >> 4, rs & 15
+                if t == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("jpeg: AC index overflow")
+                zz[k] = _jpeg_extend(reader.bits(t), t) << al
+                k += 1
+
+        def refine_nonzero(zz, k):
+            # correction bit for a history-nonzero coefficient
+            if reader.bit():
+                if (abs(int(zz[k])) & (1 << al)) == 0:
+                    zz[k] += (1 << al) if zz[k] > 0 else -(1 << al)
+
+        def decode_block_ac_refine(ci, ta, by, bx):
+            nonlocal eobrun
+            zz = coefs[ci][by, bx]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _jpeg_huff_decode(reader, need_ac(ta))
+                    r, t = rs >> 4, rs & 15
+                    if t == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.bits(r)
+                            break  # this block finishes in the EOB branch
+                        val = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        if t != 1:
+                            raise ValueError("jpeg: bad AC refine size")
+                        val = (1 << al) if reader.bit() else -(1 << al)
+                    # advance past r zero-history coeffs, emitting
+                    # correction bits for nonzero-history ones en route
+                    while k <= se:
+                        if zz[k] != 0:
+                            refine_nonzero(zz, k)
+                        else:
+                            if r == 0:
+                                if val:
+                                    zz[k] = val
+                                k += 1
+                                break
+                            r -= 1
+                        k += 1
+                    else:
+                        break
+            if eobrun > 0:
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    k += 1
+                eobrun -= 1
+
+        def do_unit(unit_idx, coords):
+            for (ci, td, ta), (by, bx) in coords:
+                if not progressive:
+                    decode_block_baseline(ci, td, ta, by, bx)
+                elif is_dc and ah == 0:
+                    decode_block_dc_first(ci, td, by, bx)
+                elif is_dc:
+                    decode_block_dc_refine(ci, by, bx)
+                elif ah == 0:
+                    decode_block_ac_first(ci, ta, by, bx)
+                else:
+                    decode_block_ac_refine(ci, ta, by, bx)
+
+        # unit sequence: MCUs (interleaved) or the component's own
+        # block grid (non-interleaved)
+        units = []
+        if interleaved:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    coords = []
+                    for ci, td, ta in idxs:
+                        _cid, ch, cv, _tq = comps[ci]
+                        for by in range(cv):
+                            for bx in range(ch):
+                                coords.append(
+                                    ((ci, td, ta), (my * cv + by, mx * ch + bx))
+                                )
+                    units.append(coords)
+        else:
+            ci, td, ta = idxs[0]
+            _cid, ch, cv, _tq = comps[ci]
+            cw = (w * ch + hmax - 1) // hmax
+            chh = (h * cv + vmax - 1) // vmax
+            nbx = (cw + 7) // 8
+            nby = (chh + 7) // 8
+            for by in range(nby):
+                for bx in range(nbx):
+                    units.append([((ci, td, ta), (by, bx))])
+
+        for ui, coords in enumerate(units):
+            if restart_interval and ui and ui % restart_interval == 0:
+                reader.align_to_marker()
+                for k in preds:
+                    preds[k] = 0
+                eobrun = 0
+            do_unit(ui, coords)
+
+        # advance to the next byte-aligned marker (skip trailing RSTs)
+        p2 = reader.pos
+        while p2 + 1 < len(b):
+            if b[p2] == 0xFF and b[p2 + 1] != 0x00:
+                if 0xD0 <= b[p2 + 1] <= 0xD7:
+                    p2 += 2
+                    continue
+                break
+            p2 += 1
+        return p2
+
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
         marker = b[pos + 1]
@@ -1337,6 +1565,7 @@ def _jpeg_decode(b: bytes):
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            saw_eoi = True
             break
         if pos + 2 > len(b):
             raise ValueError("jpeg: truncated segment")
@@ -1354,7 +1583,10 @@ def _jpeg_decode(b: bytes):
                     i += 64
                 elif pq == 1:
                     qt[tq] = np.array(
-                        [struct.unpack(">H", seg[i + 2 * j : i + 2 * j + 2])[0] for j in range(64)],
+                        [
+                            struct.unpack(">H", seg[i + 2 * j : i + 2 * j + 2])[0]
+                            for j in range(64)
+                        ],
                         dtype=np.float64,
                     )
                     i += 128
@@ -1372,107 +1604,66 @@ def _jpeg_decode(b: bytes):
                 tab = _jpeg_build_decode_table(bits, vals)
                 (huff_dc if cls == 0 else huff_ac)[tid] = tab
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
-            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision")
-            comps = []
+            cps = []
             for ci in range(nc):
                 cid, samp, tq = seg[6 + 3 * ci : 9 + 3 * ci]
-                comps.append((cid, samp >> 4, samp & 15, tq))
-            sof = (w, h, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                cps.append((cid, samp >> 4, samp & 15, tq))
+            progressive = marker == 0xC2
+            alloc((fw, fh, cps))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("jpeg: non-baseline SOF unsupported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if coefs is None:
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             scomps = []
             for ci in range(ns):
                 cs, tabs = seg[1 + 2 * ci : 3 + 2 * ci]
                 scomps.append((cs, tabs >> 4, tabs & 15))
-            scan = (scomps, pos + seglen)
-            break
+            ss, se, a = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 15
+            if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+                raise ValueError("jpeg: bad baseline scan header")
+            pos = decode_scan(scomps, ss, se, ah, al, pos + seglen)
+            continue
         pos += seglen
-    if sof is None or scan is None:
+    if coefs is None or comps is None:
         raise ValueError("jpeg: missing SOF/SOS")
-    w, h, comps = sof
-    if w == 0 or h == 0:
-        raise ValueError("jpeg: zero dims")
-    if w * h > (1 << 26):
-        raise ValueError("jpeg: dims out of scope")
-    scomps, data_pos = scan
-    if len(scomps) != len(comps) or len(comps) not in (1, 3):
-        raise ValueError("jpeg: component count unsupported")
+    if not saw_eoi:
+        # Stream ended at a clean scan boundary without the EOI marker:
+        # a progressive preview renderer would show partial quality —
+        # the strict one-broken-file-yields-None stance rejects instead
+        # (same rule as the GIF trailer).
+        raise ValueError("jpeg: missing EOI")
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    if not (1 <= hmax <= 2 and 1 <= vmax <= 2):
-        raise ValueError("jpeg: sampling factor unsupported")
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
+    # Reconstruction: dequant + de-zigzag + IDCT per block.
     C = _jpeg_dct_matrix()
     Ct = C.T
     inv_zz = np.argsort(_JPEG_ZIGZAG)
-
-    planes = []
-    for cid, ch, cv, tq in comps:
-        if tq not in qt:
-            raise ValueError("jpeg: missing quant table")
-        planes.append(np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64))
-
-    reader = _JpegBitReader(b, data_pos)
-    preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader.align_to_marker()
-                preds = [0] * len(comps)
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                sc = next((s for s in scomps if s[0] == cid), None)
-                if sc is None:
-                    raise ValueError("jpeg: scan/frame component mismatch")
-                _, td, ta = sc
-                if td not in huff_dc or ta not in huff_ac:
-                    raise ValueError("jpeg: missing Huffman table")
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = np.zeros(64, dtype=np.float64)
-                        t = _jpeg_huff_decode(reader, huff_dc[td])
-                        if t > 11:
-                            raise ValueError("jpeg: bad DC category")
-                        diff = _jpeg_extend(reader.bits(t), t) if t else 0
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_decode(reader, huff_ac[ta])
-                            r, t = rs >> 4, rs & 15
-                            if t == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            zz[k] = _jpeg_extend(reader.bits(t), t)
-                            k += 1
-                        coef = (zz * qt[tq])[inv_zz].reshape(8, 8)
-                        blk = Ct @ coef @ C + 128.0
-                        py = (my * cv + by) * 8
-                        px = (mx * ch + bx) * 8
-                        planes[ci][py : py + 8, px : px + 8] = blk
-            mcu_count += 1
-
     full = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
-        p = planes[ci]
+        if tq not in qt:
+            raise ValueError("jpeg: missing quant table")
+        grid = coefs[ci]
+        nby, nbx = grid.shape[:2]
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        qv = qt[tq]
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = grid[by, bx].astype(np.float64) * qv
+                blk = Ct @ zz[inv_zz].reshape(8, 8) @ C + 128.0
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
         if ch != hmax or cv != vmax:
-            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(
+                np.repeat(plane, vmax // cv, axis=0), hmax // ch, axis=1
+            )
+        full.append(plane[:h, :w])
     if len(comps) == 1:
         y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
         rgb = np.stack([y, y, y], axis=2)
@@ -1486,3 +1677,269 @@ def _jpeg_decode(b: bytes):
             axis=2,
         )
     return w, h, 3, rgb.tobytes()
+
+
+_JPEG_FULL_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(255)) + [255],
+)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 1,
+    quant=None,
+) -> bytes:
+    """Progressive (SOF2) JPEG encoder: spectral selection + successive
+    approximation, the libjpeg-style scan script —
+
+      1. DC first        (all components, Al=1)
+      2. AC 1-5 first    (per component, Al=2)
+      3. AC 6-63 first   (per component, Al=2)
+      4. AC 1-63 refine  (Ah=2 → Al=1)
+      5. AC 1-63 refine  (Ah=1 → Al=0)
+      6. DC refine       (all components, Ah=1 → Al=0)
+
+    — which exercises every progressive decode path: banded first
+    scans with EOB runs, AC correction-bit refinement, DC bit
+    refinement.  No subsampling (all 1x1); grayscale or 4:4:4 color.
+    The T.81 G.1.2 point transforms: DC is an ARITHMETIC shift of the
+    signed value; AC divides the MAGNITUDE (truncate toward zero).
+    """
+    import struct
+
+    import numpy as np
+
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 or 3")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    q = list(quant) if quant is not None else list(_JPEG_FLAT_Q)
+    if len(q) != 64 or any(not 1 <= x <= 255 for x in q):
+        raise ValueError("bad quant table")
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).astype(np.float64)
+    if channels == 1:
+        planes = [arr.reshape(height, width)]
+    else:
+        rgb = arr.reshape(height, width, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+
+    C = _jpeg_dct_matrix()
+    qmat = np.array(q, dtype=np.float64)[np.argsort(_JPEG_ZIGZAG)].reshape(8, 8)
+    nby, nbx = (height + 7) // 8, (width + 7) // 8
+
+    # Quantized zigzag coefficient grids, one per component.
+    grids = []
+    for plane in planes:
+        p = np.pad(
+            plane, ((0, nby * 8 - height), (0, nbx * 8 - width)), mode="edge"
+        )
+        g = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = C @ (blk - 128.0) @ C.T
+                g[by, bx] = np.round(coef / qmat).astype(np.int64).reshape(-1)[
+                    _JPEG_ZIGZAG
+                ]
+        grids.append(g)
+
+    dc_enc = [
+        _jpeg_build_encode_table(*_JPEG_STD_DC_LUM),
+        _jpeg_build_encode_table(*_JPEG_STD_DC_CHR),
+    ]
+    ac_enc = _jpeg_build_encode_table(*_JPEG_FULL_AC)
+
+    def pt_ac(v, al):
+        # magnitude point transform, truncate toward zero
+        return -((-v) >> al) if v < 0 else v >> al
+
+    def scan_dc_first(bw, cis, al):
+        preds = {ci: 0 for ci in cis}
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in cis:
+                    dc = int(grids[ci][by, bx, 0]) >> al  # arithmetic shift
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    t = abs(diff).bit_length()
+                    code, ln = dc_enc[min(ci, 1)][t]
+                    bw.write(code, ln)
+                    if t:
+                        bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def scan_dc_refine(bw, cis, al):
+        for by in range(nby):
+            for bx in range(nbx):
+                for ci in cis:
+                    bw.write((int(grids[ci][by, bx, 0]) >> al) & 1, 1)
+
+    def scan_ac_first(bw, ci, ss, se, al):
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = grids[ci][by, bx]
+                band = [pt_ac(int(zz[k]), al) for k in range(ss, se + 1)]
+                if not any(band):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                last_nz = max(i for i, v in enumerate(band) if v)
+                for i, v in enumerate(band):
+                    if i > last_nz:
+                        break
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_enc[0xF0]
+                        bw.write(code, ln)
+                        r -= 16
+                    t = abs(v).bit_length()
+                    code, ln = ac_enc[(r << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+                    r = 0
+                if last_nz < len(band) - 1:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+
+    def scan_ac_refine(bw, ci, ss, se, ah, al):
+        eobrun = 0
+        eob_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_enc[r << 4]
+                bw.write(code, ln)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                for bit in eob_bits:
+                    bw.write(bit, 1)
+                eob_bits.clear()
+                eobrun = 0
+
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = grids[ci][by, bx]
+                r = 0
+                br: list[int] = []
+                emitted = False
+                for k in range(ss, se + 1):
+                    v = int(zz[k])
+                    m = abs(v)
+                    if (m >> ah) != 0:
+                        br.append((m >> al) & 1)  # history-nonzero: correction
+                        continue
+                    if (m >> al) == 0:
+                        r += 1
+                        continue
+                    # newly nonzero at this precision (value is ±1<<al)
+                    while r > 15:
+                        flush_eob()
+                        code, ln = ac_enc[0xF0]
+                        bw.write(code, ln)
+                        for bit in br:
+                            bw.write(bit, 1)
+                        br.clear()
+                        r -= 16
+                        emitted = True
+                    flush_eob()
+                    code, ln = ac_enc[(r << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for bit in br:
+                        bw.write(bit, 1)
+                    br.clear()
+                    r = 0
+                    emitted = True
+                # block tail: fold into an EOB run, buffering its bits
+                if r > 0 or br or not emitted:
+                    eobrun += 1
+                    eob_bits.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+
+    def dht(cls, tid, bits, vals):
+        return (
+            b"\xff\xc4"
+            + struct.pack(">HB", 3 + 16 + len(vals), (cls << 4) | tid)
+            + bytes(bits)
+            + bytes(vals)
+        )
+
+    def sos(scomps, ss, se, ah, al):
+        out = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomps), len(scomps))
+        for cid, td, ta in scomps:
+            out += bytes((cid, (td << 4) | ta))
+        out += bytes((ss, se, (ah << 4) | al))
+        return out
+
+    ncomp = channels
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for ci in range(ncomp):
+        out += bytes((ci + 1, 0x11, 0))
+    out += dht(0, 0, *_JPEG_STD_DC_LUM)
+    if ncomp == 3:
+        out += dht(0, 1, *_JPEG_STD_DC_CHR)
+    out += dht(1, 0, *_JPEG_FULL_AC)
+
+    all_cis = list(range(ncomp))
+    dc_scomps = [(ci + 1, min(ci, 1), 0) for ci in all_cis]
+
+    # 1. DC first, Al=1
+    bw = _JpegBitWriter()
+    scan_dc_first(bw, all_cis, 1)
+    bw.flush()
+    out += sos(dc_scomps, 0, 0, 0, 1) + bw.buf
+    # 2-3. AC first bands, Al=2
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in all_cis:
+            bw = _JpegBitWriter()
+            scan_ac_first(bw, ci, ss, se, 2)
+            bw.flush()
+            out += sos([(ci + 1, 0, 0)], ss, se, 0, 2) + bw.buf
+    # 4-5. AC refinement passes
+    for ah, al in ((2, 1), (1, 0)):
+        for ci in all_cis:
+            bw = _JpegBitWriter()
+            scan_ac_refine(bw, ci, 1, 63, ah, al)
+            bw.flush()
+            out += sos([(ci + 1, 0, 0)], 1, 63, ah, al) + bw.buf
+    # 6. DC refine, Al=0
+    bw = _JpegBitWriter()
+    scan_dc_refine(bw, all_cis, 0)
+    bw.flush()
+    out += sos(dc_scomps, 0, 0, 1, 0) + bw.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)

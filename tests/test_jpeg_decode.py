@@ -143,3 +143,90 @@ def test_jpeg_420_with_restarts():
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(int)
     ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
     assert np.abs(arr - ref).max() <= 2
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline_bounds():
+    """Full successive-approximation script (DC Al=1, banded AC Al=2,
+    two AC refinement passes, DC refine): same round-trip bounds as
+    the baseline path on identical content."""
+    from mbai_gdb_spark.ops.multimodal import encode_jpeg_progressive
+
+    rng = random.Random(41)
+    for w, h, chn in [(8, 8, 1), (24, 17, 1), (12, 10, 3), (33, 9, 1)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * chn))
+        out = decode_payload_bytes(encode_jpeg_progressive(w, h, px, channels=chn))
+        assert out is not None
+        fmt, ow, oh, ch, rgb = out
+        assert (fmt, ow, oh, ch) == ("jpeg", w, h, 3)
+        arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(int)
+        if chn == 1:
+            ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
+            assert np.abs(arr[:, :, 0] - ref).max() <= 1, (w, h)
+        else:
+            ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(int)
+            assert np.abs(arr - ref).max() <= 2, (w, h)
+
+
+def test_jpeg_progressive_eob_runs_across_blocks():
+    """Constant regions make whole AC bands zero, so EOB runs span many
+    blocks (eobrun > 1 → the EOBn + extension-bits path on both sides,
+    possible only because the encoder ships a full AC table — Annex K
+    tables lack the EOBn symbols)."""
+    from mbai_gdb_spark.ops.multimodal import encode_jpeg_progressive
+
+    w, h = 64, 40  # 40 blocks, mostly flat
+    px = bytearray([77] * (w * h))
+    px[0] = 200  # one block has AC energy
+    b = encode_jpeg_progressive(w, h, bytes(px), channels=1)
+    out = decode_payload_bytes(b)
+    assert out is not None
+    arr = np.frombuffer(out[4], dtype=np.uint8).reshape(h, w, 3)[:, :, 0].astype(int)
+    ref = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(arr - ref).max() <= 1
+    # Progressive stream really has multiple scans.
+    assert b.count(b"\xff\xda") >= 6
+    assert b"\xff\xc2" in b  # SOF2
+
+
+def test_jpeg_progressive_quantized():
+    """Lossy progressive (quant step 16) stays bounded like baseline."""
+    from mbai_gdb_spark.ops.multimodal import encode_jpeg_progressive
+
+    rng = random.Random(13)
+    w, h = 16, 16
+    px = bytes(rng.randrange(256) for _ in range(w * h))
+    out = decode_payload_bytes(
+        encode_jpeg_progressive(w, h, px, channels=1, quant=[16] * 64)
+    )
+    arr = np.frombuffer(out[4], dtype=np.uint8).reshape(h, w, 3)[:, :, 0].astype(int)
+    ref = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(int)
+    base = decode_payload_bytes(encode_jpeg(w, h, px, channels=1, quant=[16] * 64))
+    barr = np.frombuffer(base[4], dtype=np.uint8).reshape(h, w, 3)[:, :, 0].astype(int)
+    # Progressive transmission reorders bits, not information: the
+    # final coefficients are identical to baseline's, so decodes match.
+    assert (arr == barr).all()
+
+
+def test_jpeg_progressive_truncation_rejected():
+    from mbai_gdb_spark.ops.multimodal import encode_jpeg_progressive
+
+    b = encode_jpeg_progressive(16, 16, bytes(range(256)), channels=1)
+    for cut in (30, len(b) // 2, len(b) - 5):
+        assert decode_payload_bytes(b[:cut]) is None, cut
+
+
+def test_jpeg_missing_eoi_rejected():
+    """A stream cut at a CLEAN scan boundary (every byte of the scans
+    present, only EOI gone) would reconstruct a partial-quality
+    progressive preview — the strict stance rejects it, same rule as
+    the GIF trailer."""
+    from mbai_gdb_spark.ops.multimodal import encode_jpeg_progressive
+
+    for enc in (
+        lambda: encode_jpeg(16, 8, bytes(range(128)), channels=1),
+        lambda: encode_jpeg_progressive(16, 8, bytes(range(128)), channels=1),
+    ):
+        b = enc()
+        assert b[-2:] == b"\xff\xd9"
+        assert decode_payload_bytes(b) is not None
+        assert decode_payload_bytes(b[:-2]) is None
