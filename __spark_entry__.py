@@ -95,11 +95,11 @@ _HEAD_R6 = [
     # round-6 additions, never driver-checked
     "sim_ivfpq_residual_top5",
     "mm_decode_jpeg",
-    # oldest remaining certifications (r01/r02-latest fill, 4)
+    "mm_decode_jpeg_progressive",
+    # oldest remaining certifications (r01/r02-latest fill, 3)
     "q18_large_orders",
     "a5_nation_customer_rollup",
     "a7_distinct_segments",
-    "j1_region_revenue",
 ]
 
 

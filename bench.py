@@ -93,9 +93,10 @@ HEADLINE = [
     "text_bigram_surprise",
     "sample_weighted_docs",
     "a17_month_over_month",
-    # Round-6 additions: residual IVF-PQ, baseline JPEG decode
+    # Round-6 additions: residual IVF-PQ, baseline + progressive JPEG
     "sim_ivfpq_residual_top5",
     "mm_decode_jpeg",
+    "mm_decode_jpeg_progressive",
 ]
 
 

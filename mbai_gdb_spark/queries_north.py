@@ -3327,3 +3327,110 @@ def mm_decode_jpeg(spark, sf_dir):
     payloads = docs.mapInPandas(gen, gen_schema)
     decoded = decode_image(payloads)
     return decoded.mapInPandas(checksum, sum_schema)
+
+
+@query(
+    "mm_decode_jpeg_progressive",
+    """
+    WITH dims AS (
+        SELECT doc_id,
+               8 * (1 + doc_id % 3) AS w,
+               8 * (1 + doc_id % 2) AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           'jpeg' AS format,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, w * h * 3 - 1),
+                    j -> (doc_id * 53
+                          + (((j // 3) // w) // 8 * (w // 8)
+                             + ((j // 3) % w) // 8) * 19
+                          + 29) % 256)),
+                (a, x) -> a + x) AS BIGINT) AS pixel_sum,
+           CAST(list_reduce(list_prepend(0, list_transform(
+                    generate_series(0, w * h * 3 - 1),
+                    j -> (j + 1) * ((doc_id * 53
+                          + (((j // 3) // w) // 8 * (w // 8)
+                             + ((j // 3) % w) // 8) * 19
+                          + 29) % 256))),
+                (a, x) -> a + x) AS BIGINT) AS pixel_weighted_sum
+    FROM dims
+    """,
+)
+def mm_decode_jpeg_progressive(spark, sf_dir):
+    """PROGRESSIVE (SOF2) JPEG decode, driver-checked end-to-end: the
+    same constant-8x8-block oracle scheme as mm_decode_jpeg, but the
+    payload goes through the six-scan successive-approximation script
+    (encode_jpeg_progressive) and the multi-scan decode path —
+    spectral bands, EOB runs, DC/AC bit refinement.  Progressive
+    transmission reorders bits, not information: the reconstructed
+    coefficients equal baseline's, so DC-only blocks stay bit-exact
+    and the SQL recomputes every pixel from the block-value algebra."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from mbai_gdb_spark.ops.multimodal import decode_image, encode_jpeg_progressive
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    gen_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 8 * (1 + did % 3), 8 * (1 + did % 2)
+                bw = w // 8
+                px = np.zeros((h, w), dtype=np.uint8)
+                for by in range(h // 8):
+                    for bx in range(bw):
+                        v = (did * 53 + (by * bw + bx) * 19 + 29) % 256
+                        px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+                payloads.append(encode_jpeg_progressive(w, h, px.tobytes(), channels=1))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    sum_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("format", T.StringType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("channels", T.LongType()),
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("pixel_weighted_sum", T.LongType()),
+        ]
+    )
+
+    def checksum(batches):
+        for pdf in batches:
+            sums, wsums = [], []
+            for b in pdf["pixels"]:
+                raw = np.frombuffer(bytes(b), dtype=np.uint8).astype(np.int64)
+                sums.append(int(raw.sum()))
+                wsums.append(int((raw * (np.arange(raw.size) + 1)).sum()))
+            out = pdf[["doc_id", "format", "width", "height", "channels"]].copy()
+            out["pixel_sum"] = pd.Series(sums, dtype="int64", index=pdf.index)
+            out["pixel_weighted_sum"] = pd.Series(
+                wsums, dtype="int64", index=pdf.index
+            )
+            out["width"] = out["width"].astype("int64")
+            out["height"] = out["height"].astype("int64")
+            out["channels"] = out["channels"].astype("int64")
+            yield out
+
+    payloads = docs.mapInPandas(gen, gen_schema)
+    decoded = decode_image(payloads)
+    return decoded.mapInPandas(checksum, sum_schema)
