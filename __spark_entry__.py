@@ -96,10 +96,10 @@ _HEAD_R6 = [
     "sim_ivfpq_residual_top5",
     "mm_decode_jpeg",
     "mm_decode_jpeg_progressive",
-    # oldest remaining certifications (r01/r02-latest fill, 3)
+    "j13_bloom_pruned_revenue",
+    # oldest remaining certifications (r01/r02-latest fill, 2)
     "q18_large_orders",
     "a5_nation_customer_rollup",
-    "a7_distinct_segments",
 ]
 
 

@@ -97,6 +97,7 @@ HEADLINE = [
     "sim_ivfpq_residual_top5",
     "mm_decode_jpeg",
     "mm_decode_jpeg_progressive",
+    "j13_bloom_pruned_revenue",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Bloom-pruned joins: cut the probe-side shuffle before it happens.
+
+At 100 TB the dominant cost of a selective fact⋈dim join is shuffling
+fact rows that will never match.  Spark's own runtime filtering covers
+partition columns (DPP) and some shuffle-join cases; this operator
+makes the technique explicit and EXACT for any integer-keyed join:
+
+1. build a packed Bloom bitmap of the build side's keys (one
+   hash-groupBy with a map-side ``bit_or`` partial —
+   :func:`ops.decontam.bloom_bitmap`'s layout and LCG hash family);
+2. collect it to the driver (``m_bits/32`` longs — a bounded artifact
+   like a PQ codebook, 16 KB at the default 2^17 bits) and inline it as
+   an ARRAY LITERAL, so the probe-side membership test is pure
+   whole-stage-codegen column algebra: ``k`` element_at lookups + AND —
+   no shuffle, no UDF, no extra join;
+3. probe rows that fail the Bloom are DEFINITE non-matches (no false
+   negatives).  For inner/semi joins they are dropped before the
+   shuffle; for ANTI joins they bypass the join entirely and are
+   unioned with the exact anti-join of the survivors — both rewrites
+   return exactly the unpruned result, because false positives merely
+   pass through to the exact join that follows.
+
+Sizing: FPR ≈ (1 - e^{-k·n/m})^k — at the 2^17-bit default, 1k build
+keys and k=4 give ~1e-6; scale ``m_bits`` with the build side (it only
+costs driver memory and plan bytes, 32 KB per 2^18 bits).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.decontam import WORD_BITS, _bloom_pos, bloom_bitmap
+
+
+def bloom_membership(
+    keys: DataFrame,
+    key_col: str,
+    probe_key: Column,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> Column:
+    """Boolean column: ``probe_key`` is PROBABLY in ``keys[key_col]``
+    (false positives possible, false negatives impossible).  The bitmap
+    is collected once (bounded: ``m_bits/32`` longs) and inlined as an
+    array literal, so evaluating the predicate is map-only."""
+    rows = bloom_bitmap(
+        keys.select(F.col(key_col).alias("sh_id")), m_bits=m_bits, k=k
+    ).collect()
+    words = [0] * (m_bits // WORD_BITS)
+    for r in rows:
+        words[int(r.word_idx)] = int(r.word)
+    words_col = F.lit(words)
+    cond = F.lit(True)
+    for j in range(k):
+        pos = _bloom_pos(probe_key.cast("long"), j, m_bits)
+        word = F.element_at(words_col, (F.floor(pos / WORD_BITS) + 1).cast("int"))
+        bit = F.pow(F.lit(2.0), pos % WORD_BITS).cast("long")
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+def bloom_pruned_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str | None = None,
+    how: str = "inner",
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Join with the probe side Bloom-pruned map-side first; the result
+    is EXACTLY the unpruned join's.
+
+    ``how='inner'`` / ``'left_semi'``: Bloom-fail rows cannot match →
+    dropped before the probe shuffle; survivors go through the exact
+    join, which removes the false positives.
+
+    ``how='left_anti'``: Bloom-fail rows are guaranteed IN the result →
+    emitted without touching the join; only the (few) Bloom-pass rows
+    pay the exact anti-join.  For a selective build side this turns the
+    anti-join's full-probe shuffle into a shuffle of ~FPR·|probe| rows.
+    """
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError("how must be inner, left_semi or left_anti")
+    bk = build_key or probe_key
+    member = bloom_membership(
+        build.select(bk), bk, F.col(probe_key), m_bits=m_bits, k=k
+    )
+    if how == "left_anti":
+        definite_miss = probe.filter(~member)
+        maybe = probe.filter(member)
+        join_cond = maybe[probe_key] == build[bk]
+        survivors = maybe.join(build, join_cond, "left_anti")
+        return definite_miss.unionByName(survivors)
+    pruned = probe.filter(member)
+    if how == "left_semi":
+        return pruned.join(build, pruned[probe_key] == build[bk], "left_semi")
+    return pruned.join(build, pruned[probe_key] == build[bk], "inner")

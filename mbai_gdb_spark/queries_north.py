@@ -3434,3 +3434,40 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
     payloads = docs.mapInPandas(gen, gen_schema)
     decoded = decode_image(payloads)
     return decoded.mapInPandas(checksum, sum_schema)
+
+
+@query(
+    "j13_bloom_pruned_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY p.p_brand
+    """,
+)
+def j13_bloom_pruned_revenue(spark, sf_dir):
+    """Selective fact⋈dim join with an explicit Bloom runtime filter
+    (ops.bloom_join.bloom_pruned_join): the build side (parts of size
+    1, ~2% of the dim) packs into a broadcast-literal Bloom bitmap and
+    the lineitem probe side is pruned MAP-SIDE before any join work —
+    the cut-the-shuffle-before-it-happens technique for 100 TB fact
+    tables (Bloom-fail rows are definite non-matches; false positives
+    are removed by the exact join that follows, so the result is
+    hash-identical to the plain join the oracle runs).  Revenue in
+    exact integer 1e-4 units per the cross-engine convention."""
+    from mbai_gdb_spark.ops.bloom_join import bloom_pruned_join
+    from mbai_gdb_spark.queries import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey", "p_brand")
+    joined = bloom_pruned_join(li, part, "l_partkey", "p_partkey", how="inner")
+    rev = scaled_long(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(rev).alias("revenue_e4"),
+    )

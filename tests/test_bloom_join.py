@@ -1,0 +1,81 @@
+"""Bloom-pruned joins: exactness vs the plain join (all three modes),
+the no-false-negative membership guarantee, and the map-only plan
+shape of the pruning predicate."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.ops.bloom_join import bloom_membership, bloom_pruned_join
+
+
+def _tables(spark, seed=3, n_probe=5000, n_build=40):
+    rng = random.Random(seed)
+    probe = spark.createDataFrame(
+        [(i, rng.randrange(1000), rng.randrange(100)) for i in range(n_probe)],
+        "row_id long, key long, payload long",
+    )
+    build_keys = rng.sample(range(1000), n_build)
+    build = spark.createDataFrame(
+        [(kk, f"dim{kk}") for kk in build_keys], "bkey long, attr string"
+    )
+    return probe, build
+
+
+@pytest.mark.parametrize("how", ["inner", "left_semi", "left_anti"])
+def test_bloom_pruned_join_matches_plain_join(spark, how):
+    probe, build = _tables(spark)
+    got = bloom_pruned_join(probe, build, "key", "bkey", how=how)
+    if how == "inner":
+        exp = probe.join(build, probe["key"] == build["bkey"], "inner")
+    else:
+        exp = probe.join(build, probe["key"] == build["bkey"], how)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_bloom_membership_no_false_negatives(spark):
+    probe, build = _tables(spark, seed=9)
+    member = bloom_membership(build.select("bkey"), "bkey", F.col("key"))
+    flagged = {r.key for r in probe.filter(member).select("key").distinct().collect()}
+    true_keys = {r.bkey for r in build.collect()}
+    probe_keys = {r.key for r in probe.select("key").distinct().collect()}
+    # every probe key that truly matches must be flagged
+    assert (true_keys & probe_keys) <= flagged
+
+
+def test_bloom_membership_actually_prunes(spark):
+    """With a selective build side the Bloom must reject the vast
+    majority of non-matching probe rows (default sizing: FPR ~1e-5)."""
+    probe, build = _tables(spark, seed=11, n_probe=4000, n_build=10)
+    member = bloom_membership(build.select("bkey"), "bkey", F.col("key"))
+    n_pass = probe.filter(member).count()
+    n_true = probe.join(build, probe["key"] == build["bkey"], "left_semi").count()
+    # passes = true matches + false positives; FPs should be near zero
+    assert n_pass - n_true <= 0.01 * probe.count()
+
+
+def test_bloom_predicate_is_map_only(spark):
+    """The membership predicate itself adds NO exchange: filtering the
+    probe side compiles to Scan → Filter/Project only."""
+    probe, build = _tables(spark)
+    member = bloom_membership(build.select("bkey"), "bkey", F.col("key"))
+    plan = (
+        probe.filter(member)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anti_join_bypass_routes_bloom_misses_around_the_join(spark):
+    """Rows failing the Bloom are emitted without joining; survivors go
+    through the exact anti-join — and the union equals the plain anti
+    join even when false positives occur (tiny bitmap forces FPs)."""
+    probe, build = _tables(spark, seed=5)
+    got = bloom_pruned_join(
+        probe, build, "key", "bkey", how="left_anti", m_bits=1 << 8, k=2
+    )
+    exp = probe.join(build, probe["key"] == build["bkey"], "left_anti")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
