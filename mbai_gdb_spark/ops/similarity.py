@@ -1237,6 +1237,30 @@ def ivf_pq_residual_topk(
         res = ivf_residuals(corpus, centroids, assignment, id_col, vec_col)
         cb = pq_codebook(res, id_col, "residual", m_sub, sub_dim, n_codes, code_stride)
 
+    return _residual_adc_search(
+        queries, centroids, cb, codes, k, n_probe, m_sub, sub_dim,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _residual_adc_search(
+    queries: DataFrame,
+    centroids: DataFrame,
+    cb: DataFrame,
+    codes: DataFrame,
+    k: int,
+    n_probe: int,
+    m_sub: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Query half of residual IVF-PQ, shared by the inline path and the
+    persisted-index probe: probe selection, per-(query, list) residual
+    distance tables, ADC pivot, rank."""
+    from pyspark.sql import Window as W
+
     q = queries.select(
         F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
     ).withColumn("__qn__", l2_norm(F.col("__qv__")))
@@ -1404,4 +1428,105 @@ def l2_topk_vectorized(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "l2_sq_dist", "rank")
+    )
+
+
+def ivfpq_persist(
+    corpus: DataFrame,
+    path: str,
+    centroid_stride: int = 50,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 16,
+    code_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> None:
+    """Write a residual IVF-PQ index as an on-disk layout: the
+    (vec_id, sub_id, code_id) codes PARTITIONED BY centroid_id (a
+    probe reads only its n_probe list directories — partition pruning,
+    plan-tested), with ``_centroids`` and ``_codebook`` side-cars
+    (underscore-hidden from the list scan).  The whole index for a
+    billion 64-float vectors is m_sub small ints per vector plus two
+    broadcast-sized side-cars — the layout :func:`ivf_persist` uses for
+    raw vectors, at PQ's storage footprint."""
+    from mbai_gdb_spark.io import write_partitioned
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    assignment = truncate(assign_fn(corpus, centroids, id_col, vec_col))
+    res = ivf_residuals(corpus, centroids, assignment, id_col, vec_col)
+    cb = truncate(
+        pq_codebook(res, id_col, "residual", m_sub, sub_dim, n_codes, code_stride)
+    )
+    enc = pq_encode_vectorized if vectorized else pq_encode
+    codes = enc(res, cb, id_col, "residual", m_sub, sub_dim).join(assignment, id_col)
+    write_partitioned(codes, path, ["centroid_id"])
+    centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col)
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    cb.coalesce(1).write.mode("overwrite").parquet(path + "/_codebook")
+
+
+def ivfpq_probe_persisted(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ANN search against a persisted residual IVF-PQ layout: centroids
+    and codebook load from the side-cars (broadcast-sized), each
+    query's n_probe lists resolve to a ``centroid_id IN (...)``
+    PARTITION filter on the codes layout — unprobed lists are never
+    read — and the rest is the shared residual-ADC pipeline
+    (:func:`_residual_adc_search`).  Same output contract as
+    :func:`ivf_pq_residual_topk`."""
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    centroids = spark.read.parquet(path + "/_centroids").select(
+        F.col("centroid_id").alias(id_col), F.col(vec_col)
+    )
+    cb = spark.read.parquet(path + "/_codebook")
+    codes_all = spark.read.parquet(path)
+
+    # Resolve probe lists once (bounded: n_queries × n_probe ids).
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
+    ).withColumn("__qn__", l2_norm(F.col("__qv__")))
+    cents = F.broadcast(
+        centroids.select(
+            F.col(id_col).alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("__cv__"),
+        ).withColumn("__cn__", l2_norm(F.col("__cv__")))
+    )
+    probes = truncate(
+        topk_per_key(
+            q.crossJoin(cents).select(
+                query_id_col,
+                "centroid_id",
+                (
+                    dot(F.col("__qv__"), F.col("__cv__"))
+                    / (F.col("__qn__") * F.col("__cn__"))
+                ).alias("__csim__"),
+            ),
+            [query_id_col],
+            [F.col("__csim__").desc(), F.col("centroid_id")],
+            n_probe,
+        ).select(query_id_col, "centroid_id")
+    )
+    probe_ids = [
+        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
+    ]
+    pruned = codes_all.filter(F.col("centroid_id").isin(probe_ids))
+    return _residual_adc_search(
+        queries, centroids, cb, pruned, k, n_probe, m_sub, sub_dim,
+        id_col, vec_col, query_id_col,
     )

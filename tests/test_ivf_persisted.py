@@ -87,3 +87,68 @@ def test_persist_with_trained_kmeans_centroids(spark, tmp_path):
     queries = emb.filter(F.col("vec_id") < 3)
     got = ivf_probe_persisted(spark, path, queries, k=3, n_probe=2).collect()
     assert len(got) == 9  # 3 queries × top-3
+
+
+def test_ivfpq_persisted_probe_matches_inline(spark, tmp_path):
+    """Persisted residual IVF-PQ: side-car centroids/codebook + the
+    partition-pruned codes scan must return exactly the inline
+    ivf_pq_residual_topk answer (HOF build so both sides are
+    deterministic)."""
+    from mbai_gdb_spark.ops.similarity import (
+        ivf_pq_residual_topk,
+        ivfpq_persist,
+        ivfpq_probe_persisted,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    ivfpq_persist(emb, path, centroid_stride=50, code_stride=50, vectorized=False)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    want = sorted(
+        map(
+            tuple,
+            ivf_pq_residual_topk(
+                emb, queries, k=3, n_probe=2, centroid_stride=50, code_stride=50
+            ).collect(),
+        )
+    )
+    got_df = ivfpq_probe_persisted(spark, path, queries, k=3, n_probe=2)
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
+    """The codes scan carries the centroid_id partition filter, and
+    deleting every unprobed list directory changes nothing."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_persist, ivfpq_probe_persisted
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    ivfpq_persist(emb, path, centroid_stride=50, code_stride=50, vectorized=False)
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    got_df = ivfpq_probe_persisted(spark, path, queries, k=3, n_probe=2)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    before = sorted(map(tuple, got_df.collect()))
+
+    probed = {
+        r.centroid_id
+        for r in got_df.join(
+            spark.read.parquet(path).select("vec_id", "centroid_id"), "vec_id"
+        ).select("centroid_id").distinct().collect()
+    }
+    all_dirs = [
+        d for d in (tmp_path / "ivfpq").iterdir()
+        if d.is_dir() and d.name.startswith("centroid_id=")
+    ]
+    removed = 0
+    for d in all_dirs:
+        cid = int(d.name.split("=")[1])
+        if cid not in probed:
+            shutil.rmtree(d)
+            removed += 1
+    assert removed > 0
+    after_df = ivfpq_probe_persisted(spark, path, queries, k=3, n_probe=2)
+    assert sorted(map(tuple, after_df.collect())) == before
