@@ -97,9 +97,8 @@ _HEAD_R6 = [
     "mm_decode_jpeg",
     "mm_decode_jpeg_progressive",
     "j13_bloom_pruned_revenue",
-    # oldest remaining certifications (r01/r02-latest fill, 2)
-    "q18_large_orders",
-    "a5_nation_customer_rollup",
+    "io_table_stats",
+    "dq_orders_constraints",
 ]
 
 

@@ -98,6 +98,8 @@ HEADLINE = [
     "mm_decode_jpeg",
     "mm_decode_jpeg_progressive",
     "j13_bloom_pruned_revenue",
+    "io_table_stats",
+    "dq_orders_constraints",
 ]
 
 

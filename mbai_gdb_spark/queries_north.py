@@ -3471,3 +3471,98 @@ def j13_bloom_pruned_revenue(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lineitems"),
         F.sum(rev).alias("revenue_e4"),
     )
+
+
+@query(
+    "io_table_stats",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def io_table_stats(spark, sf_dir):
+    """ANALYZE TABLE equivalent (ops.stats.table_stats): per-column
+    row/non-null/distinct counts and typed min/max in ONE aggregate
+    pass (map-side partials; the distincts expand internally but the
+    caller writes one expression).  These are the statistics that feed
+    broadcast-vs-shuffle decisions and partition-layout choices; at
+    100 TB swap approx=True for HLL++ distincts (tested vs exact in
+    tests/test_stats_quality.py).  String-typed min/max reprs keep the
+    output schema uniform across column types; the query sticks to
+    integer/varchar columns so the reprs are engine-independent."""
+    from mbai_gdb_spark.ops.stats import table_stats
+
+    orders = _t(spark, sf_dir, "orders")
+    return table_stats(orders, ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+
+@query(
+    "dq_orders_constraints",
+    """
+    SELECT 'orderkey_not_null' AS rule_name, 'not_null' AS kind,
+           CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique', 'unique',
+           CAST(COALESCE(SUM(c - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'custkey_fk', 'foreign_key', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'priority_accepted', 'accepted', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_orderpriority IS NOT NULL
+      AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+    UNION ALL
+    SELECT 'totalprice_range', 'range', CAST(COUNT(*) AS BIGINT)
+    FROM orders
+    WHERE o_totalprice IS NOT NULL
+      AND (o_totalprice < 0 OR o_totalprice > 100000)
+    """,
+)
+def dq_orders_constraints(spark, sf_dir):
+    """Declarative data-quality audit (ops.stats.check_constraints —
+    the dbt-test / Great-Expectations layer): not-null, unique-key,
+    FK containment, accepted-values and range rules over orders, each
+    one aggregate or anti-join reporting a violation COUNT — bounded
+    output regardless of table size.  Two rules fire on purpose (the
+    accepted set omits priorities 4/5; the price cap sits inside the
+    fixture's range) so the harness proves nonzero counts flow
+    through, not just zeros."""
+    from mbai_gdb_spark.ops.stats import check_constraints
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return check_constraints(
+        orders,
+        [
+            {"name": "orderkey_not_null", "kind": "not_null", "col": "o_orderkey"},
+            {"name": "orderkey_unique", "kind": "unique", "cols": ["o_orderkey"]},
+            {"name": "custkey_fk", "kind": "foreign_key", "col": "o_custkey",
+             "ref": customer, "ref_col": "c_custkey"},
+            {"name": "priority_accepted", "kind": "accepted",
+             "col": "o_orderpriority",
+             "values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]},
+            {"name": "totalprice_range", "kind": "range", "col": "o_totalprice",
+             "min": 0.0, "max": 100000.0},
+        ],
+    )

@@ -38,6 +38,8 @@ SINGLEPART_OK = {
     "q11_important_parts",  # grand-total scalar over per-part partials
     "q15_top_supplier",  # scalar MAX over the per-supplier revenue table
     "a16_revenue_share",  # global-share window over the 25-row nation rollup
+    "io_table_stats",  # ANALYZE: one whole-table agg row, map-side partials
+    "dq_orders_constraints",  # per-rule scalar violation counts, map-side partials
 }
 
 
