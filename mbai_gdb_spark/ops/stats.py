@@ -78,6 +78,11 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
     - ``foreign_key``: {"col", "ref", "ref_col"} — non-null rows whose
       key is absent from the reference frame (anti-join; broadcast
       when the ref side is dimension-sized).
+    - ``k_anonymity``: {"cols", "k"} — rows whose quasi-identifier
+      combination occurs fewer than ``k`` times (the re-identification
+      audit a training-data release needs alongside PII scanning: a
+      (zip, birth_year, gender) combo shared by 2 people is 2
+      violations even with no direct identifier present).
     """
     out = None
     for rule in rules:
@@ -117,6 +122,14 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
                 df.filter(F.col(rule["col"]).isNotNull())
                 .join(ref, rule["col"], "left_anti")
                 .agg(F.count(F.lit(1)).alias("__v__"))
+            )
+        elif kind == "k_anonymity":
+            keys = [F.col(c) for c in rule["cols"]]
+            cnt = (
+                df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__c__"))
+                .filter(F.col("__c__") < int(rule["k"]))
+                .agg(F.coalesce(F.sum("__c__"), F.lit(0)).alias("__v__"))
             )
         else:
             raise ValueError(f"unknown rule kind: {kind}")

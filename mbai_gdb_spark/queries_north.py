@@ -3537,6 +3537,10 @@ def io_table_stats(spark, sf_dir):
     FROM orders
     WHERE o_totalprice IS NOT NULL
       AND (o_totalprice < 0 OR o_totalprice > 100000)
+    UNION ALL
+    SELECT 'custprio_k2', 'k_anonymity', CAST(COALESCE(SUM(c), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS c FROM orders
+          GROUP BY o_custkey, o_orderpriority HAVING COUNT(*) < 2)
     """,
 )
 def dq_orders_constraints(spark, sf_dir):
@@ -3544,10 +3548,12 @@ def dq_orders_constraints(spark, sf_dir):
     the dbt-test / Great-Expectations layer): not-null, unique-key,
     FK containment, accepted-values and range rules over orders, each
     one aggregate or anti-join reporting a violation COUNT — bounded
-    output regardless of table size.  Two rules fire on purpose (the
-    accepted set omits priorities 4/5; the price cap sits inside the
-    fixture's range) so the harness proves nonzero counts flow
-    through, not just zeros."""
+    output regardless of table size.  Includes the k-anonymity
+    re-identification audit over a quasi-identifier pair.  Several
+    rules fire on purpose (the accepted set omits priorities 4/5; the
+    price cap sits inside the fixture's range; singleton
+    (custkey, priority) groups violate k=2) so the harness proves
+    nonzero counts flow through, not just zeros."""
     from mbai_gdb_spark.ops.stats import check_constraints
 
     orders = _t(spark, sf_dir, "orders")
@@ -3564,5 +3570,7 @@ def dq_orders_constraints(spark, sf_dir):
              "values": ["1-URGENT", "2-HIGH", "3-MEDIUM"]},
             {"name": "totalprice_range", "kind": "range", "col": "o_totalprice",
              "min": 0.0, "max": 100000.0},
+            {"name": "custprio_k2", "kind": "k_anonymity",
+             "cols": ["o_custkey", "o_orderpriority"], "k": 2},
         ],
     )

@@ -83,3 +83,28 @@ def test_check_constraints_rejects_unknown_kind(spark):
         check_constraints(
             spark.range(1), [{"name": "x", "kind": "nope"}]
         )
+
+
+def test_k_anonymity_rule(spark):
+    rows = [
+        ("02139", 1980, "F"),
+        ("02139", 1980, "F"),
+        ("02139", 1980, "F"),   # trio: safe at k=3
+        ("94110", 1990, "M"),
+        ("94110", 1990, "M"),   # pair: 2 violations at k=3
+        ("60614", 1975, "X"),   # singleton: 1 violation
+    ]
+    df = spark.createDataFrame(rows, "zip string, birth_year int, gender string")
+    out = {
+        r.rule_name: r.n_violations
+        for r in check_constraints(
+            df,
+            [
+                {"name": "k3", "kind": "k_anonymity",
+                 "cols": ["zip", "birth_year", "gender"], "k": 3},
+                {"name": "k1", "kind": "k_anonymity",
+                 "cols": ["zip", "birth_year", "gender"], "k": 1},
+            ],
+        ).collect()
+    }
+    assert out == {"k3": 3, "k1": 0}
