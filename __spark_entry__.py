@@ -39,11 +39,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-6 head (exactly 50): the flagship anchor; the 15 round-5
 # additions that have never had a driver row (judge-verified locally
 # in the r5 verdict, listed first so certification closes this round);
-# the 28 queries whose latest driver row is r03; and 6 fill slots for
-# the oldest remaining certifications (q18 is r01-latest; the rest are
-# the oldest r02-latest backfills). After this round every registry
-# query's latest driver row is r05+ except the r02/r01 tail, which
-# rotates next.
+# the 28 queries whose latest driver row is r03; and 6 of the round-6
+# additions. Overflow r6 additions (export_safetensors_manifest, plus
+# any landed after) are r7 rotation candidates alongside the r01/r02
+# backfill tail (q18_large_orders is r01-latest; ~40 r02-latest) —
+# all are check_parity-verified locally every round.
 _HEAD_R6 = [
     # standing anchor
     "flagship_session_attribution",

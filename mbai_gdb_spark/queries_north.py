@@ -3574,3 +3574,52 @@ def dq_orders_constraints(spark, sf_dir):
              "cols": ["o_custkey", "o_orderpriority"], "k": 2},
         ],
     )
+
+
+@query(
+    "export_safetensors_manifest",
+    """
+    WITH h AS (
+        SELECT vec_id,
+               (((vec_id + 0) % 2147483647) * 2654435761 + 97) % 2147483647 AS hk
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, hk % 8 AS shard,
+               ROW_NUMBER() OVER (PARTITION BY hk % 8 ORDER BY hk, vec_id) AS pos
+        FROM h
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(vec_id * pos) % 2147483647 AS BIGINT) AS ids_checksum
+    FROM s GROUP BY 1
+    """,
+)
+def export_safetensors_manifest(spark, sf_dir):
+    """safetensors shard export, driver-checked end-to-end: the
+    embeddings table shards through the deterministic LCG shuffle,
+    each shard writes a real .safetensors container (spec-direct
+    serializer, export.safetensors), and the returned manifest's
+    order-SENSITIVE id checksum (sum of vec_id x in-shard rank, mod
+    2^31-1) is recomputed by the oracle from the same permutation
+    algebra — so the driver verifies both the sharding and the
+    within-file row ORDER without reading a byte of the files (the
+    container itself round-trips in tests/test_safetensors_export.py).
+    Files land in a per-run temp dir, removed afterward."""
+    import shutil
+    import tempfile
+
+    from mbai_gdb_spark.export.safetensors import write_embedding_shards_safetensors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="st_export_")
+    try:
+        manifest = write_embedding_shards_safetensors(
+            emb, base, n_shards=8, seed=0
+        ).select("shard", "n_rows", "ids_checksum")
+        # Materialize while the files' directory still exists; the
+        # RESULT is the bounded manifest, not the files.
+        rows = manifest.collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, manifest.schema)
