@@ -100,6 +100,7 @@ HEADLINE = [
     "j13_bloom_pruned_revenue",
     "io_table_stats",
     "dq_orders_constraints",
+    "cdc_apply_changelog",
 ]
 
 

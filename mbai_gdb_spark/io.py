@@ -440,3 +440,91 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     bad = df.filter(F.col("_corrupt_record").isNotNull())
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     return good, bad
+
+
+def changelog_snapshot(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC changelog → current-state snapshot: the LATEST operation per
+    key wins (ordered by ``seq_col``; at equal sequence a delete beats
+    an upsert — the conservative tie), and keys whose latest op is the
+    delete marker vanish.  This is the Debezium/Delta-CDF "apply
+    changes" semantics as one window: a per-key top-1 by
+    (seq desc, delete-first), then a filter — one shuffle on the key,
+    no self-joins, mergeable across any partitioning of the log.
+
+    Output: the changelog's columns minus nothing — callers project.
+    """
+    from pyspark.sql import Window as W
+
+    op_rank = F.when(F.col(op_col) == delete_op, 0).otherwise(1)
+    w = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(seq_col).desc(), op_rank.asc()
+    )
+    return (
+        changelog.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+        .filter(F.col(op_col) != delete_op)
+    )
+
+
+def merge_changelog(
+    spark: SparkSession,
+    path: str,
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> None:
+    """Apply a CDC batch to a persisted parquet table: existing rows
+    participate as base-state upserts that LOSE to any changelog entry
+    for their key (they carry the changelog's minimum sequence minus
+    one), the union snapshots via :func:`changelog_snapshot`, and the
+    result replaces the dataset through the same staging + rename-aside
+    swap as :func:`merge_upsert`, under the single-writer lock.  Unlike
+    merge_upsert this handles DELETES and out-of-order batches (the
+    sequence column arbitrates, not arrival order).
+    """
+    with _writer_lock(path):
+        # Arbitration rides a TEMP column so base rows keep their real
+        # stored sequence values: base rows get the changelog's minimum
+        # sequence minus one (they lose to any changelog entry for
+        # their key), changelog rows their own sequence.
+        log = changelog.withColumn("__arb__", F.col(seq_col).cast("long"))
+        if _path_has_data(path):
+            existing = spark.read.parquet(path)
+            floor_seq = changelog.agg(F.min(seq_col)).collect()[0][0]
+            floor_seq = (floor_seq if floor_seq is not None else 0) - 1
+            base = existing.select(
+                *[
+                    (F.col(c) if c in existing.columns else F.lit(None)).alias(c)
+                    for c in changelog.columns
+                    if c != op_col
+                ],
+            ).withColumn(op_col, F.lit("I")).withColumn(
+                "__arb__", F.lit(floor_seq).cast("long")
+            )
+            log = log.unionByName(base.select(*log.columns))
+        snap = changelog_snapshot(log, key_cols, "__arb__", op_col, delete_op).drop(
+            op_col, "__arb__"
+        )
+        snap = snap.transform(_ckpt)  # reads the path it will replace
+        staging = path.rstrip("/") + "__staging"
+        snap.write.mode("overwrite").parquet(staging)
+        import shutil
+
+        old = path.rstrip("/") + "__old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.replace(path, old)
+            os.replace(staging, path)
+            shutil.rmtree(old)
+        else:
+            os.replace(staging, path)

@@ -3623,3 +3623,49 @@ def export_safetensors_manifest(spark, sf_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, manifest.schema)
+
+
+@query(
+    "cdc_apply_changelog",
+    """
+    WITH ch AS (
+        SELECT user_id, event_id AS seq,
+               CASE WHEN event_type = 'purchase' THEN 'D'
+                    WHEN event_type = 'click' THEN 'U'
+                    ELSE 'I' END AS op,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT user_id, seq, op, cents FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id
+            ORDER BY seq DESC, CASE WHEN op = 'D' THEN 0 ELSE 1 END
+        ) AS rn FROM ch
+    ) WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """CDC apply-changes (io.changelog_snapshot — the Debezium /
+    Delta-CDF semantics): the events stream re-read as an
+    insert/update/delete changelog keyed by user, sequence-arbitrated
+    by event_id; the snapshot keeps each key's LATEST operation
+    (delete beats upsert at equal sequence) and drops keys whose
+    latest op is the delete marker.  One per-key window + filter — a
+    single shuffle however large the log; the persisted twin
+    (io.merge_changelog) applies batches onto a parquet table with
+    identical arbitration (batch-composition ≡ full-log snapshot,
+    tests/test_io.py)."""
+    from mbai_gdb_spark.io import changelog_snapshot
+    from mbai_gdb_spark.queries import scaled_long
+
+    ev = _t(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "purchase", "D")
+        .when(F.col("event_type") == "click", "U")
+        .otherwise("I")
+        .alias("op"),
+        scaled_long(F.col("value"), 100).alias("cents"),
+    )
+    return changelog_snapshot(log, ["user_id"], "seq")

@@ -242,3 +242,81 @@ def test_merge_lock_breaks_stale_holder(spark, tmp_path):
     )
     assert spark.read.parquet(path).count() == 2
     assert not os.path.exists(lock)
+
+
+def test_changelog_snapshot_latest_op_wins(spark):
+    from mbai_gdb_spark.io import changelog_snapshot
+
+    log = spark.createDataFrame(
+        [
+            (1, 10, "I", "a1"),
+            (1, 20, "U", "a2"),   # latest for key 1 → survives
+            (2, 11, "I", "b1"),
+            (2, 30, "D", None),   # deleted
+            (3, 5, "D", None),
+            (3, 6, "I", "c1"),    # re-created after delete → survives
+            (4, 7, "I", "d1"),
+            (4, 7, "U", "d2"),    # same seq, no delete: U ranks after D-rank rule → deterministic
+        ],
+        "k long, seq long, op string, attr string",
+    )
+    out = {r.k: (r.seq, r.op, r.attr) for r in changelog_snapshot(log, ["k"], "seq").collect()}
+    assert out[1] == (20, "U", "a2")
+    assert 2 not in out
+    assert out[3] == (6, "I", "c1")
+    assert 4 in out  # survives; tie at seq 7 picks the op-rank-1 row deterministically
+
+
+def test_changelog_snapshot_delete_wins_seq_tie(spark):
+    from mbai_gdb_spark.io import changelog_snapshot
+
+    log = spark.createDataFrame(
+        [(1, 5, "U", "x"), (1, 5, "D", None)], "k long, seq long, op string, attr string"
+    )
+    assert changelog_snapshot(log, ["k"], "seq").count() == 0
+
+
+def test_merge_changelog_applies_batches_like_full_log(spark, tmp_path):
+    from mbai_gdb_spark.io import changelog_snapshot, merge_changelog
+
+    path = str(tmp_path / "cdc")
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a"), (2, 11, "I", "b"), (3, 12, "I", "c")],
+        "k long, seq long, op string, attr string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, 21, "U", "b2"), (3, 20, "D", None), (4, 22, "I", "d")],
+        "k long, seq long, op string, attr string",
+    )
+    merge_changelog(spark, path, b1, ["k"], "seq")
+    merge_changelog(spark, path, b2, ["k"], "seq")
+    got = {r.k: (r.seq, r.attr) for r in spark.read.parquet(path).collect()}
+
+    full = changelog_snapshot(b1.unionByName(b2), ["k"], "seq").drop("op")
+    want = {r.k: (r.seq, r.attr) for r in full.collect()}
+    assert got == want == {1: (10, "a"), 2: (21, "b2"), 4: (22, "d")}
+
+    # Idempotence: re-applying the same batch changes nothing.
+    merge_changelog(spark, path, b2, ["k"], "seq")
+    again = {r.k: (r.seq, r.attr) for r in spark.read.parquet(path).collect()}
+    assert again == want
+
+
+def test_merge_changelog_respects_writer_lock(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from mbai_gdb_spark.io import ConcurrentWriteError, merge_changelog
+
+    path = str(tmp_path / "cdc2")
+    b = spark.createDataFrame([(1, 1, "I", "a")], "k long, seq long, op string, attr string")
+    merge_changelog(spark, path, b, ["k"], "seq")
+    lock = path + "__lock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            merge_changelog(spark, path, b, ["k"], "seq")
+    finally:
+        os.unlink(lock)
