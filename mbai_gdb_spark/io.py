@@ -203,7 +203,11 @@ def write_partitioned(
 
 
 def merge_upsert(
-    df: DataFrame, path: str, key_cols: list[str], spark: SparkSession
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    spark: SparkSession,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """Full upsert (update-if-exists, insert-if-absent) without a
     lakehouse format: keep existing rows whose keys are absent from the
@@ -215,13 +219,21 @@ def merge_upsert(
     Single-writer per dataset, enforced by :func:`_writer_lock` — the
     rename-aside swap is crash-safe but two concurrent merges would
     each rebuild from the same snapshot and the loser's batch would
-    vanish."""
+    vanish.
+
+    ``allow_schema_evolution=True`` admits batches that ADD columns
+    (Delta's mergeSchema): existing rows carry NULL for the new
+    columns, and a batch MISSING columns the table has keeps those
+    columns NULL on its rows.  Off by default — silent schema drift is
+    usually a bug, and the strict path fails loudly on any mismatch."""
     with _writer_lock(path):
         batch = df.dropDuplicates(key_cols)
         if _path_has_data(path):
             existing = spark.read.parquet(path)
             keep = existing.join(batch.select(*key_cols), key_cols, "left_anti")
-            merged = keep.unionByName(batch)
+            merged = keep.unionByName(
+                batch, allowMissingColumns=allow_schema_evolution
+            )
             # Write to a staging dir (cannot overwrite files being read),
             # then swap via rename-aside: the old dataset is moved out of
             # the way before the staging dir takes its place, so a crash at
@@ -442,6 +454,29 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return good, bad
 
 
+def _changelog_winners(
+    changelog: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str,
+    delete_op: str,
+) -> DataFrame:
+    """Per-key winning row: latest by ``seq_col``, delete beating an
+    upsert at equal sequence — the arbitration core shared by
+    :func:`changelog_snapshot` and :func:`merge_changelog`."""
+    from pyspark.sql import Window as W
+
+    op_rank = F.when(F.col(op_col) == delete_op, 0).otherwise(1)
+    w = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
+        F.col(seq_col).desc(), op_rank.asc()
+    )
+    return (
+        changelog.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
 def changelog_snapshot(
     changelog: DataFrame,
     key_cols: list[str],
@@ -459,18 +494,9 @@ def changelog_snapshot(
 
     Output: the changelog's columns minus nothing — callers project.
     """
-    from pyspark.sql import Window as W
-
-    op_rank = F.when(F.col(op_col) == delete_op, 0).otherwise(1)
-    w = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
-        F.col(seq_col).desc(), op_rank.asc()
-    )
-    return (
-        changelog.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .drop("__rn__")
-        .filter(F.col(op_col) != delete_op)
-    )
+    return _changelog_winners(
+        changelog, key_cols, seq_col, op_col, delete_op
+    ).filter(F.col(op_col) != delete_op)
 
 
 def merge_changelog(
@@ -482,41 +508,68 @@ def merge_changelog(
     op_col: str = "op",
     delete_op: str = "D",
 ) -> None:
-    """Apply a CDC batch to a persisted parquet table: existing rows
-    participate as base-state upserts that LOSE to any changelog entry
-    for their key (they carry the changelog's minimum sequence minus
-    one), the union snapshots via :func:`changelog_snapshot`, and the
-    result replaces the dataset through the same staging + rename-aside
-    swap as :func:`merge_upsert`, under the single-writer lock.  Unlike
-    merge_upsert this handles DELETES and out-of-order batches (the
-    sequence column arbitrates, not arrival order).
+    """Apply a CDC batch to a persisted parquet table with FULL
+    order-independence: the SEQUENCE arbitrates, not arrival order.
+    Base rows compete with their STORED winning sequence, and deletes
+    persist as TOMBSTONES in an underscore-hidden ``_tombstones``
+    side-car inside the layout (invisible to table readers), so a
+    replayed or late batch carrying older entries — including an old
+    insert for a since-deleted key — changes nothing.  Batch-by-batch
+    application therefore equals the full-log snapshot in ANY order
+    (pinned in tests).  The result replaces the dataset through the
+    same staging + rename-aside swap as :func:`merge_upsert`, under
+    the single-writer lock; tombstones ride inside the staging dir so
+    the swap stays atomic-per-rename.  A pre-existing table WITHOUT
+    the sequence column falls back to a floor below the batch (its
+    rows lose to any changelog entry).
     """
     with _writer_lock(path):
-        # Arbitration rides a TEMP column so base rows keep their real
-        # stored sequence values: base rows get the changelog's minimum
-        # sequence minus one (they lose to any changelog entry for
-        # their key), changelog rows their own sequence.
         log = changelog.withColumn("__arb__", F.col(seq_col).cast("long"))
+        log_cols = log.columns
         if _path_has_data(path):
             existing = spark.read.parquet(path)
-            floor_seq = changelog.agg(F.min(seq_col)).collect()[0][0]
-            floor_seq = (floor_seq if floor_seq is not None else 0) - 1
+            if seq_col in existing.columns:
+                arb = F.col(seq_col).cast("long")
+            else:
+                floor_seq = changelog.agg(F.min(seq_col)).collect()[0][0]
+                arb = F.lit((floor_seq if floor_seq is not None else 0) - 1).cast(
+                    "long"
+                )
             base = existing.select(
                 *[
                     (F.col(c) if c in existing.columns else F.lit(None)).alias(c)
                     for c in changelog.columns
                     if c != op_col
                 ],
-            ).withColumn(op_col, F.lit("I")).withColumn(
-                "__arb__", F.lit(floor_seq).cast("long")
-            )
-            log = log.unionByName(base.select(*log.columns))
-        snap = changelog_snapshot(log, key_cols, "__arb__", op_col, delete_op).drop(
-            op_col, "__arb__"
+            ).withColumn(op_col, F.lit("I")).withColumn("__arb__", arb)
+            log = log.unionByName(base.select(*log_cols))
+            tomb_path = path.rstrip("/") + "/_tombstones"
+            if _path_has_data(tomb_path):
+                tombs = spark.read.parquet(tomb_path)
+                trows = tombs.select(
+                    *[
+                        (
+                            F.col(c)
+                            if c in tombs.columns
+                            else (
+                                F.lit(delete_op)
+                                if c == op_col
+                                else F.lit(None)
+                            )
+                        ).alias(c)
+                        for c in changelog.columns
+                    ],
+                ).withColumn("__arb__", F.col(seq_col).cast("long"))
+                log = log.unionByName(trows.select(*log_cols))
+        winners = _changelog_winners(log, key_cols, "__arb__", op_col, delete_op)
+        winners = winners.transform(_ckpt)  # reads the path it will replace
+        snap = winners.filter(F.col(op_col) != delete_op).drop(op_col, "__arb__")
+        new_tombs = winners.filter(F.col(op_col) == delete_op).select(
+            *key_cols, seq_col
         )
-        snap = snap.transform(_ckpt)  # reads the path it will replace
         staging = path.rstrip("/") + "__staging"
         snap.write.mode("overwrite").parquet(staging)
+        new_tombs.write.mode("overwrite").parquet(staging + "/_tombstones")
         import shutil
 
         old = path.rstrip("/") + "__old"
@@ -528,3 +581,36 @@ def merge_changelog(
             shutil.rmtree(old)
         else:
             os.replace(staging, path)
+
+
+def vacuum_dataset(path: str, break_stale_lock_after: float | None = 3600.0) -> dict:
+    """Remove crash leftovers around a merge-sink dataset: the
+    ``__staging`` dir (an interrupted write — never the source of
+    truth), the ``__old`` dir (a completed swap whose cleanup died),
+    and — only when older than ``break_stale_lock_after`` seconds — an
+    abandoned ``__lock`` marker.  Returns what was removed.  Safe by
+    construction: the live dataset directory is never touched, and a
+    LIVE lock (younger than the threshold) is left alone because its
+    holder may be mid-swap."""
+    import shutil
+
+    removed = {"staging": False, "old": False, "lock": False}
+    base = path.rstrip("/")
+    for suffix, key in (("__staging", "staging"), ("__old", "old")):
+        p = base + suffix
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+            removed[key] = True
+    lock = base + "__lock"
+    if os.path.exists(lock) and break_stale_lock_after is not None:
+        try:
+            age = time.time() - os.path.getmtime(lock)
+        except OSError:
+            age = 0.0
+        if age > break_stale_lock_after:
+            try:
+                os.unlink(lock)
+                removed["lock"] = True
+            except FileNotFoundError:
+                pass
+    return removed

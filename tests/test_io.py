@@ -320,3 +320,83 @@ def test_merge_changelog_respects_writer_lock(spark, tmp_path):
             merge_changelog(spark, path, b, ["k"], "seq")
     finally:
         os.unlink(lock)
+
+
+def test_merge_upsert_schema_evolution(spark, tmp_path):
+    from mbai_gdb_spark.io import merge_upsert
+
+    path = str(tmp_path / "evo")
+    merge_upsert(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path, ["k"], spark
+    )
+    import pytest
+
+    # Strict default: a batch with a NEW column fails loudly.
+    wide = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
+    with pytest.raises(Exception):
+        merge_upsert(wide, path, ["k"], spark)
+    # Evolution: new column admitted, old rows read back as NULL.
+    merge_upsert(wide, path, ["k"], spark, allow_schema_evolution=True)
+    got = {r.k: (r.v, r.score) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9.5)}
+    # And a narrow batch (missing the new column) still merges.
+    merge_upsert(
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        path, ["k"], spark, allow_schema_evolution=True,
+    )
+    got = {r.k: (r.v, r.score) for r in spark.read.parquet(path).collect()}
+    assert got[3] == ("c", None) and got[2] == ("b", 9.5)
+
+
+def test_vacuum_dataset_removes_leftovers_keeps_live_lock(spark, tmp_path):
+    import os
+    import time as _time
+
+    from mbai_gdb_spark.io import merge_upsert, vacuum_dataset
+
+    path = str(tmp_path / "vac")
+    merge_upsert(
+        spark.createDataFrame([(1, "a")], "k long, v string"), path, ["k"], spark
+    )
+    # Simulate crash leftovers.
+    os.makedirs(path + "__staging")
+    os.makedirs(path + "__old")
+    fd = os.open(path + "__lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+
+    out = vacuum_dataset(path)
+    assert out == {"staging": True, "old": True, "lock": False}  # live lock kept
+    assert os.path.exists(path + "__lock")
+
+    old_t = _time.time() - 7200
+    os.utime(path + "__lock", (old_t, old_t))
+    out = vacuum_dataset(path)
+    assert out["lock"] is True and not os.path.exists(path + "__lock")
+    # Dataset untouched throughout.
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_merge_changelog_order_independent(spark, tmp_path):
+    """Sequence arbitration, not arrival order: applying batches in ANY
+    order (including replaying an old batch last) converges to the
+    full-log snapshot — the stored winning sequence defends the table
+    against stale entries."""
+    from mbai_gdb_spark.io import changelog_snapshot, merge_changelog
+
+    b1 = spark.createDataFrame(
+        [(1, 10, "I", "a"), (2, 11, "I", "b")], "k long, seq long, op string, attr string"
+    )
+    b2 = spark.createDataFrame(
+        [(1, 20, "U", "a2"), (2, 21, "D", None), (3, 22, "I", "c")],
+        "k long, seq long, op string, attr string",
+    )
+    want = {
+        r.k: (r.seq, r.attr)
+        for r in changelog_snapshot(b1.unionByName(b2), ["k"], "seq").collect()
+    }
+    for i, order in enumerate([(b1, b2), (b2, b1), (b1, b2, b1)]):
+        path = str(tmp_path / f"cdc_{i}")
+        for b in order:
+            merge_changelog(spark, path, b, ["k"], "seq")
+        got = {r.k: (r.seq, r.attr) for r in spark.read.parquet(path).collect()}
+        assert got == want == {1: (20, "a2"), 3: (22, "c")}, order
