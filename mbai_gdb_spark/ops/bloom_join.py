@@ -1,9 +1,28 @@
 """Bloom-pruned joins: cut the probe-side shuffle before it happens.
 
 At 100 TB the dominant cost of a selective fact⋈dim join is shuffling
-fact rows that will never match.  Spark's own runtime filtering covers
-partition columns (DPP) and some shuffle-join cases; this operator
-makes the technique explicit and EXACT for any integer-keyed join:
+fact rows that will never match.  Spark already attacks this two ways
+— DPP for partition columns, and (3.3+, ON by default here) the
+runtime Bloom filter the optimizer injects into shuffle joins when the
+creation side is ≤ ``runtime.bloomFilter.creationSideThreshold`` and
+the probe SCAN is ≥ 10 GB.  This module covers what those can't:
+
+* **anti joins** — a runtime filter cannot help ``left_anti`` (rows
+  failing the filter must be KEPT, not dropped); the
+  :func:`bloom_pruned_join` rewrite routes definite misses AROUND the
+  join entirely, which no optimizer rule does;
+* **sub-threshold probes** — in-memory/intermediate frames and scans
+  below the 10 GB application threshold never get the injected filter;
+* **explicit control** — deterministic hash family shared with the
+  decontamination module, reproducible in plain SQL for oracles.
+
+Honest cost model (measured, tools/bloomjoin_scale_experiment.py): if
+the plain join is a BroadcastHashJoin, the probe never shuffles and
+ANY extra predicate is overhead — don't use this there.  The
+:func:`bloom_membership_vectorized` path additionally pays one Arrow
+round-trip of the probe; at local[32] that exceeds an in-memory
+shuffle, so it pays off only where the shuffle crosses a network and
+probes come from disk.  Mechanics of the exact rewrite:
 
 1. build a packed Bloom bitmap of the build side's keys (one
    hash-groupBy with a map-side ``bit_or`` partial —
@@ -97,3 +116,62 @@ def bloom_pruned_join(
     if how == "left_semi":
         return pruned.join(build, pruned[probe_key] == build[bk], "left_semi")
     return pruned.join(build, pruned[probe_key] == build[bk], "inner")
+
+
+def bloom_membership_vectorized(
+    keys: DataFrame,
+    key_col: str,
+    probe: DataFrame,
+    probe_key: str,
+    m_bits: int = 1 << 24,
+    k: int = 4,
+    flag_col: str = "__bloom_pass__",
+) -> DataFrame:
+    """``probe`` plus a boolean ``flag_col``: probably-in-``keys``.
+
+    The BIG-build-side engine: the bitmap ships as a SparkContext
+    broadcast of a numpy uint32 array (2 MB per 2^24 bits — far past
+    what a codegen literal tolerates) and each Arrow batch tests all
+    its rows with vectorized bit math — the same LCG hash family as
+    :func:`bloom_membership`, so the two paths agree bit-for-bit.
+    Use when the build side is too large to broadcast-join (the
+    sort-merge regime), which is exactly when pruning the probe
+    shuffle pays.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from mbai_gdb_spark.ops.decontam import _BLOOM_ADD, _BLOOM_MULT, _BLOOM_STRIDE, MERSENNE31
+
+    rows = bloom_bitmap(
+        keys.select(F.col(key_col).alias("sh_id")), m_bits=m_bits, k=k
+    ).collect()
+    words = np.zeros(m_bits // WORD_BITS, dtype=np.uint32)
+    for r in rows:
+        words[int(r.word_idx)] = np.uint32(r.word)
+    bcast = probe.sparkSession.sparkContext.broadcast(words)
+
+    from pyspark.sql import types as T
+
+    cols = probe.columns
+    out_schema = T.StructType(
+        list(probe.schema.fields) + [T.StructField(flag_col, T.BooleanType())]
+    )
+
+    def test(batches):
+        w = bcast.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key = pdf[probe_key].to_numpy(dtype=np.int64)
+            ok = np.ones(len(key), dtype=bool)
+            for j in range(k):
+                h1 = (key + j * _BLOOM_STRIDE) % MERSENNE31
+                h2 = (h1 * _BLOOM_MULT + _BLOOM_ADD) % MERSENNE31
+                pos = h2 % m_bits
+                ok &= (w[pos // WORD_BITS] >> (pos % WORD_BITS)) & 1 == 1
+            pdf = pdf.copy()
+            pdf[flag_col] = ok
+            yield pdf
+
+    return probe.mapInPandas(test, out_schema).select(*cols, flag_col)

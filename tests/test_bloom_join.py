@@ -79,3 +79,24 @@ def test_anti_join_bypass_routes_bloom_misses_around_the_join(spark):
     )
     exp = probe.join(build, probe["key"] == build["bkey"], "left_anti")
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_vectorized_membership_agrees_with_literal_path(spark):
+    from mbai_gdb_spark.ops.bloom_join import bloom_membership_vectorized
+
+    probe, build = _tables(spark, seed=21, n_probe=3000, n_build=30)
+    m_bits, k = 1 << 17, 4
+    lit_pass = {
+        r.row_id
+        for r in probe.filter(
+            bloom_membership(build.select("bkey"), "bkey", F.col("key"),
+                             m_bits=m_bits, k=k)
+        ).collect()
+    }
+    vec_pass = {
+        r.row_id
+        for r in bloom_membership_vectorized(
+            build.select("bkey"), "bkey", probe, "key", m_bits=m_bits, k=k
+        ).filter(F.col("__bloom_pass__")).collect()
+    }
+    assert lit_pass == vec_pass  # same hash family, bit-for-bit
