@@ -101,6 +101,7 @@ HEADLINE = [
     "io_table_stats",
     "dq_orders_constraints",
     "cdc_apply_changelog",
+    "text_unicode_profile",
 ]
 
 

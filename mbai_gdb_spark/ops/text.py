@@ -660,3 +660,55 @@ def chunk_documents(
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"),
     )
+
+
+def normalize_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    casefold: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode-normalize a text column (Arrow-batched mapInPandas over
+    ``unicodedata.normalize``) — the canonicalization step ahead of
+    dedup/fingerprinting: visually-identical strings with different
+    codepoint sequences (precomposed é vs e+combining-acute, ligature
+    ﬁ under NFKC, fullwidth forms) otherwise hash apart and defeat
+    exact dedup.  ``casefold=True`` additionally applies str.casefold
+    (aggressive lowercase, ß→ss).  Map-only; output schema = input
+    with ``out_col`` (default: replace ``text_col``)."""
+    import unicodedata
+
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError("form must be NFC/NFD/NFKC/NFKD")
+    target = out_col or text_col
+    cols = df.columns
+    out_cols = cols if target in cols else cols + [target]
+    fields = []
+    for c in out_cols:
+        if c == target:
+            fields.append(T.StructField(target, T.StringType()))
+        else:
+            fields.append(df.schema[c])
+    schema = T.StructType(fields)
+
+    def norm(batches):
+        for pdf in batches:
+            s = pdf[text_col].map(
+                lambda t: None
+                if t is None
+                else (
+                    unicodedata.normalize(form, t).casefold()
+                    if casefold
+                    else unicodedata.normalize(form, t)
+                )
+            )
+            out = pdf.copy()
+            out[target] = s
+            yield out[list(out_cols)]
+
+    return df.mapInPandas(norm, schema)

@@ -3669,3 +3669,56 @@ def cdc_apply_changelog(spark, sf_dir):
         scaled_long(F.col("value"), 100).alias("cents"),
     )
     return changelog_snapshot(log, ["user_id"], "seq")
+
+
+@query(
+    "text_unicode_profile",
+    """
+    WITH deco AS (
+        SELECT doc_id,
+               text || ' e' || repeat(chr(769), 1 + doc_id % 3)
+                    || chr(64257) AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS n_raw,
+           CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_nfc,
+           CAST(length(lower(nfc_normalize(raw))) AS BIGINT) AS n_nfc_lower,
+           nfc_normalize(raw) <> raw AS nfc_changed
+    FROM deco
+    """,
+)
+def text_unicode_profile(spark, sf_dir):
+    """Unicode canonicalization audit (ops.text.normalize_documents):
+    every doc is decorated with a combining-acute sequence and a
+    ligature (deterministic, engine-reproducible via chr()), then the
+    NFC pass composes e+U+0301 into a single codepoint — exactly the
+    visually-identical-but-codepoint-different hazard that defeats
+    exact dedup — and the profile reports raw/NFC/lowercased lengths
+    plus a changed flag, hash-matched against DuckDB's ICU
+    nfc_normalize.  The ligature survives NFC (it needs NFKC),
+    pinning that the pass does canonical, not compatibility,
+    composition.  Map-only (Arrow-batched) over the corpus."""
+    from mbai_gdb_spark.ops.text import normalize_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    deco = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" e"),
+            # Spark's char() is mod-256 ASCII, not a codepoint
+            # constructor — build the combining acute (U+0301) and the
+            # fi ligature (U+FB01) as Python literals instead.
+            F.repeat(F.lit("\u0301"), (F.lit(1) + F.col("doc_id") % 3).cast("int")),
+            F.lit("\ufb01"),
+        ).alias("raw"),
+    )
+    normed = normalize_documents(deco, text_col="raw", out_col="nfc")
+    return normed.select(
+        "doc_id",
+        F.length("raw").alias("n_raw"),
+        F.length("nfc").alias("n_nfc"),
+        F.length(F.lower(F.col("nfc"))).alias("n_nfc_lower"),
+        (F.col("nfc") != F.col("raw")).alias("nfc_changed"),
+    )

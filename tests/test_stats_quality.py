@@ -108,3 +108,34 @@ def test_k_anonymity_rule(spark):
         ).collect()
     }
     assert out == {"k3": 3, "k1": 0}
+
+
+def test_normalize_documents_nfc_and_casefold(spark):
+    from mbai_gdb_spark.ops.text import normalize_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, "café"),        # e + combining acute → é
+            (2, "STRASSE ß"),   # ß casefolds to ss
+            (3, "ﬁne"),          # fi ligature: NFC keeps, NFKC splits
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    nfc = {r.id: r.text for r in normalize_documents(df).collect()}
+    assert nfc[1] == "café" and len(nfc[1]) == 4
+    assert nfc[3] == "ﬁne"  # canonical form preserves ligatures
+    assert nfc[4] is None
+    nfkc = {
+        r.id: r.text
+        for r in normalize_documents(df, form="NFKC", casefold=True).collect()
+    }
+    assert nfkc[3] == "fine"  # compatibility form splits the ligature
+    assert nfkc[2] == "strasse ss"
+    # out_col keeps the original
+    both = normalize_documents(df, out_col="norm").collect()
+    assert {r.id: (r.text, r.norm) for r in both}[1] == ("café", "café")
+    import pytest
+
+    with pytest.raises(ValueError):
+        normalize_documents(df, form="NFX")
