@@ -584,18 +584,29 @@ def merge_changelog(
 
 
 def vacuum_dataset(path: str, break_stale_lock_after: float | None = 3600.0) -> dict:
-    """Remove crash leftovers around a merge-sink dataset: the
-    ``__staging`` dir (an interrupted write — never the source of
-    truth), the ``__old`` dir (a completed swap whose cleanup died),
-    and — only when older than ``break_stale_lock_after`` seconds — an
-    abandoned ``__lock`` marker.  Returns what was removed.  Safe by
-    construction: the live dataset directory is never touched, and a
-    LIVE lock (younger than the threshold) is left alone because its
-    holder may be mid-swap."""
+    """Recover/clean crash leftovers around a merge-sink dataset.
+
+    The rename-aside swap can die between its two renames, leaving the
+    dataset dir MISSING and ``__old`` holding the only copy — vacuum
+    RESTORES it (``restored_old`` in the result) rather than deleting
+    the last copy.  Otherwise it removes the ``__staging`` dir (an
+    interrupted write — never the source of truth), the ``__old`` dir
+    (a completed swap whose cleanup died), and — only when older than
+    ``break_stale_lock_after`` seconds — an abandoned ``__lock``
+    marker.  Safe by construction: the live dataset directory is never
+    touched, and a LIVE lock (younger than the threshold) is left
+    alone because its holder may be mid-swap."""
     import shutil
 
-    removed = {"staging": False, "old": False, "lock": False}
+    removed = {"staging": False, "old": False, "lock": False, "restored_old": False}
     base = path.rstrip("/")
+    old = base + "__old"
+    if os.path.isdir(old) and not _path_has_data(base):
+        # Interrupted swap: __old is the only copy — put it back.
+        if os.path.isdir(base):
+            shutil.rmtree(base)  # empty torso from a partial recreate
+        os.replace(old, base)
+        removed["restored_old"] = True
     for suffix, key in (("__staging", "staging"), ("__old", "old")):
         p = base + suffix
         if os.path.isdir(p):

@@ -365,7 +365,8 @@ def test_vacuum_dataset_removes_leftovers_keeps_live_lock(spark, tmp_path):
     os.close(fd)
 
     out = vacuum_dataset(path)
-    assert out == {"staging": True, "old": True, "lock": False}  # live lock kept
+    assert out == {"staging": True, "old": True, "lock": False,
+                   "restored_old": False}  # live lock kept
     assert os.path.exists(path + "__lock")
 
     old_t = _time.time() - 7200
@@ -400,3 +401,36 @@ def test_merge_changelog_order_independent(spark, tmp_path):
             merge_changelog(spark, path, b, ["k"], "seq")
         got = {r.k: (r.seq, r.attr) for r in spark.read.parquet(path).collect()}
         assert got == want == {1: (20, "a2"), 3: (22, "c")}, order
+
+
+def test_vacuum_restores_dataset_after_interrupted_swap(spark, tmp_path):
+    """Crash between the swap's two renames leaves the dataset missing
+    and __old holding the only copy — vacuum must RESTORE, not delete."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import merge_upsert, vacuum_dataset
+
+    path = str(tmp_path / "swapcrash")
+    merge_upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        path, ["k"], spark,
+    )
+    # Simulate the crash window: dataset renamed aside, staging never
+    # promoted (it holds the would-be new data).
+    os.makedirs(path + "__staging")
+    os.replace(path, path + "__old")
+    assert not os.path.exists(path)
+
+    out = vacuum_dataset(path)
+    assert out["restored_old"] is True
+    assert out["staging"] is True and out["old"] is False
+    assert spark.read.parquet(path).count() == 2
+    assert not os.path.exists(path + "__old")
+
+    # Normal case unchanged: with a live dataset, __old is a leftover.
+    os.makedirs(path + "__old")
+    out = vacuum_dataset(path)
+    assert out == {"staging": False, "old": True, "lock": False,
+                   "restored_old": False}
+    assert spark.read.parquet(path).count() == 2
