@@ -100,3 +100,28 @@ def test_vectorized_membership_agrees_with_literal_path(spark):
         ).filter(F.col("__bloom_pass__")).collect()
     }
     assert lit_pass == vec_pass  # same hash family, bit-for-bit
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=200), min_size=0, max_size=25),
+    st.sampled_from(["inner", "left_semi", "left_anti"]),
+)
+def test_bloom_join_property_exactness(spark, probe_keys, build_keys, how):
+    """For ANY key multisets and any mode, the Bloom-pruned join equals
+    the plain join — tiny bitmap (forced false positives) included."""
+    probe = spark.createDataFrame(
+        [(i, k) for i, k in enumerate(probe_keys)], "row_id long, key long"
+    )
+    build = spark.createDataFrame(
+        [(k, str(k)) for k in sorted(set(build_keys))] or [(10**9, "z")],
+        "bkey long, attr string",
+    )
+    got = bloom_pruned_join(probe, build, "key", "bkey", how=how, m_bits=1 << 7, k=2)
+    exp = probe.join(build, probe["key"] == build["bkey"], how)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))

@@ -434,3 +434,74 @@ def test_vacuum_restores_dataset_after_interrupted_swap(spark, tmp_path):
     assert out == {"staging": False, "old": True, "lock": False,
                    "restored_old": False}
     assert spark.read.parquet(path).count() == 2
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),    # key
+            st.integers(min_value=0, max_value=50),   # seq
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_changelog_snapshot_property_vs_pure_python(spark, entries, n_splits):
+    """For ANY changelog, (a) the snapshot matches an independent pure-
+    Python arbitration, and (b) splitting the log into consecutive
+    batches and merging them equals the one-shot snapshot."""
+    import tempfile
+    import shutil
+
+    from mbai_gdb_spark.io import changelog_snapshot, merge_changelog
+
+    df = spark.createDataFrame(entries, "k long, seq long, op string, val long")
+    got = {
+        r.k: (r.seq, r.op, r.val)
+        for r in changelog_snapshot(df, ["k"], "seq").collect()
+    }
+
+    # Pure-Python twin: max by (seq, delete-first at ties, then the
+    # SAME physical tie-break the window uses is unspecified for fully
+    # identical (seq, op) duplicates — compare only keys + winning
+    # (seq, op) there.
+    best: dict = {}
+    for k, seq, op, val in entries:
+        rank = (seq, 0 if op == "D" else 1)
+        cur = best.get(k)
+        # later seq wins; at same seq, D (rank 0) wins over I/U
+        if cur is None or (seq, -(0 if op == "D" else 1)) > (
+            cur[0], -(0 if cur[1] == "D" else 1)
+        ):
+            best[k] = (seq, op, val)
+        elif seq == cur[0] and op == "D" and cur[1] != "D":
+            best[k] = (seq, op, val)
+    want_live = {k for k, (s, op, v) in best.items() if op != "D"}
+    assert set(got) == want_live
+    for k in got:
+        assert got[k][0] == best[k][0]  # winning sequence agrees
+
+    # Batch-split equivalence through the persisted path.
+    base = tempfile.mkdtemp(prefix="cdcprop_")
+    try:
+        path = base + "/t"
+        step = max(1, len(entries) // n_splits)
+        for i in range(0, len(entries), step):
+            chunk = spark.createDataFrame(
+                entries[i : i + step], "k long, seq long, op string, val long"
+            )
+            merge_changelog(spark, path, chunk, ["k"], "seq")
+        merged = {r.k: r.seq for r in spark.read.parquet(path).collect()}
+        assert set(merged) == want_live
+        for k in merged:
+            assert merged[k] == best[k][0]
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
