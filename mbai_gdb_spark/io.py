@@ -131,7 +131,15 @@ def _writer_lock(path: str, stale_after: float | None = 3600.0):
                 os.unlink(lock)  # break the stale lock, then retry once
             except FileNotFoundError:
                 pass
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                # Another stale-breaker re-created it first: same
+                # contention outcome, same documented exception.
+                raise ConcurrentWriteError(
+                    f"dataset {path!r} lock was re-acquired by a "
+                    "concurrent writer while breaking a stale lock"
+                ) from None
         else:
             raise ConcurrentWriteError(
                 f"dataset {path!r} is locked by another writer ({lock}); "
@@ -524,17 +532,33 @@ def merge_changelog(
     rows lose to any changelog entry).
     """
     with _writer_lock(path):
-        log = changelog.withColumn("__arb__", F.col(seq_col).cast("long"))
+        # Arbitration uses the sequence column's OWN type (any orderable
+        # type works; casting to long would truncate timestamps and
+        # NULL-out strings, silently diverging from changelog_snapshot).
+        log = changelog.withColumn("__arb__", F.col(seq_col))
         log_cols = log.columns
         if _path_has_data(path):
             existing = spark.read.parquet(path)
-            if seq_col in existing.columns:
-                arb = F.col(seq_col).cast("long")
-            else:
-                floor_seq = changelog.agg(F.min(seq_col)).collect()[0][0]
-                arb = F.lit((floor_seq if floor_seq is not None else 0) - 1).cast(
-                    "long"
+            extra = [
+                c
+                for c in existing.columns
+                if c not in changelog.columns and c != op_col
+            ]
+            if extra:
+                # Silently projecting the base onto the batch's columns
+                # would DROP these permanently — fail loudly, matching
+                # merge_upsert's strict default.
+                raise ValueError(
+                    f"changelog batch is missing table columns {extra}; "
+                    "align schemas before merging"
                 )
+            if seq_col in existing.columns:
+                arb = F.col(seq_col)
+            else:
+                # Pre-existing table without the sequence column: NULL
+                # arbitration — desc ordering puts NULLs last, so base
+                # rows lose to ANY changelog entry for their key.
+                arb = F.lit(None).cast(changelog.schema[seq_col].dataType)
             base = existing.select(
                 *[
                     (F.col(c) if c in existing.columns else F.lit(None)).alias(c)
@@ -559,7 +583,7 @@ def merge_changelog(
                         ).alias(c)
                         for c in changelog.columns
                     ],
-                ).withColumn("__arb__", F.col(seq_col).cast("long"))
+                ).withColumn("__arb__", F.col(seq_col))
                 log = log.unionByName(trows.select(*log_cols))
         winners = _changelog_winners(log, key_cols, "__arb__", op_col, delete_op)
         winners = winners.transform(_ckpt)  # reads the path it will replace
@@ -598,8 +622,25 @@ def vacuum_dataset(path: str, break_stale_lock_after: float | None = 3600.0) -> 
     alone because its holder may be mid-swap."""
     import shutil
 
-    removed = {"staging": False, "old": False, "lock": False, "restored_old": False}
+    removed = {
+        "staging": False,
+        "old": False,
+        "lock": False,
+        "restored_old": False,
+        "skipped_live_lock": False,
+    }
     base = path.rstrip("/")
+    lock = base + "__lock"
+    if os.path.exists(lock):
+        try:
+            lock_age = time.time() - os.path.getmtime(lock)
+        except OSError:
+            lock_age = 0.0
+        if break_stale_lock_after is None or lock_age <= break_stale_lock_after:
+            # A LIVE writer may be mid-swap: touching staging/old (or
+            # restoring) under it would destroy the in-flight merge.
+            removed["skipped_live_lock"] = True
+            return removed
     old = base + "__old"
     if os.path.isdir(old) and not _path_has_data(base):
         # Interrupted swap: __old is the only copy — put it back.

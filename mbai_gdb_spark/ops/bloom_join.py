@@ -49,7 +49,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mbai_gdb_spark.ops.decontam import WORD_BITS, _bloom_pos, bloom_bitmap
+from mbai_gdb_spark.ops.decontam import (
+    MERSENNE31,
+    WORD_BITS,
+    _bloom_pos,
+    bloom_bitmap,
+)
+
+_INTEGRAL = ("byte", "short", "int", "long", "integer", "bigint", "smallint", "tinyint")
+
+
+def _require_integral(df: DataFrame, col: str) -> None:
+    t = df.schema[col].dataType.simpleString()
+    if t not in _INTEGRAL:
+        raise ValueError(
+            f"bloom join keys must be integral; {col!r} is {t} — hash string "
+            "keys to long (e.g. xxhash64) before calling"
+        )
+
+
+def _norm_key(key: Column) -> Column:
+    """Non-negative canonical key: Spark's ``%`` keeps the dividend's
+    sign, which would send negative keys to negative bit positions
+    (element_at crash / wrong word) and diverge from numpy's
+    Python-style ``%`` in the vectorized path — ``pmod`` aligns both."""
+    return F.pmod(key.cast("long"), F.lit(MERSENNE31))
 
 
 def bloom_membership(
@@ -60,11 +84,16 @@ def bloom_membership(
     k: int = 4,
 ) -> Column:
     """Boolean column: ``probe_key`` is PROBABLY in ``keys[key_col]``
-    (false positives possible, false negatives impossible).  The bitmap
-    is collected once (bounded: ``m_bits/32`` longs) and inlined as an
-    array literal, so evaluating the predicate is map-only."""
+    (false positives possible, false negatives impossible); NULL for a
+    NULL probe key (a NULL key matches nothing in an equi-join, so
+    callers filtering on this drop it — same as the plain join).  The
+    bitmap is collected once (bounded: ``m_bits/32`` longs) and
+    inlined as an array literal, so evaluating the predicate is
+    map-only.  Keys must be integral (hash strings first); negative
+    keys are handled via pmod normalization on BOTH sides."""
+    _require_integral(keys, key_col)
     rows = bloom_bitmap(
-        keys.select(F.col(key_col).alias("sh_id")), m_bits=m_bits, k=k
+        keys.select(_norm_key(F.col(key_col)).alias("sh_id")), m_bits=m_bits, k=k
     ).collect()
     words = [0] * (m_bits // WORD_BITS)
     for r in rows:
@@ -72,7 +101,7 @@ def bloom_membership(
     words_col = F.lit(words)
     cond = F.lit(True)
     for j in range(k):
-        pos = _bloom_pos(probe_key.cast("long"), j, m_bits)
+        pos = _bloom_pos(_norm_key(probe_key), j, m_bits)
         word = F.element_at(words_col, (F.floor(pos / WORD_BITS) + 1).cast("int"))
         bit = F.pow(F.lit(2.0), pos % WORD_BITS).cast("long")
         cond = cond & (word.bitwiseAND(bit) != 0)
@@ -103,16 +132,21 @@ def bloom_pruned_join(
     if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError("how must be inner, left_semi or left_anti")
     bk = build_key or probe_key
+    _require_integral(probe, probe_key)
     member = bloom_membership(
         build.select(bk), bk, F.col(probe_key), m_bits=m_bits, k=k
     )
+    # NULL keys: member is NULL.  A NULL key equi-matches nothing, so
+    # it is a DEFINITE miss — kept by anti joins (plain left_anti keeps
+    # null-key rows), dropped by inner/semi (plain joins drop them).
+    passes = F.coalesce(member, F.lit(False))
     if how == "left_anti":
-        definite_miss = probe.filter(~member)
-        maybe = probe.filter(member)
+        definite_miss = probe.filter(~passes)
+        maybe = probe.filter(passes)
         join_cond = maybe[probe_key] == build[bk]
         survivors = maybe.join(build, join_cond, "left_anti")
         return definite_miss.unionByName(survivors)
-    pruned = probe.filter(member)
+    pruned = probe.filter(passes)
     if how == "left_semi":
         return pruned.join(build, pruned[probe_key] == build[bk], "left_semi")
     return pruned.join(build, pruned[probe_key] == build[bk], "inner")
@@ -143,8 +177,10 @@ def bloom_membership_vectorized(
 
     from mbai_gdb_spark.ops.decontam import _BLOOM_ADD, _BLOOM_MULT, _BLOOM_STRIDE, MERSENNE31
 
+    _require_integral(keys, key_col)
+    _require_integral(probe, probe_key)
     rows = bloom_bitmap(
-        keys.select(F.col(key_col).alias("sh_id")), m_bits=m_bits, k=k
+        keys.select(_norm_key(F.col(key_col)).alias("sh_id")), m_bits=m_bits, k=k
     ).collect()
     words = np.zeros(m_bits // WORD_BITS, dtype=np.uint32)
     for r in rows:
@@ -163,13 +199,16 @@ def bloom_membership_vectorized(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            key = pdf[probe_key].to_numpy(dtype=np.int64)
+            raw = pdf[probe_key]
+            nulls = raw.isna().to_numpy()
+            key = raw.fillna(0).to_numpy(dtype=np.int64) % MERSENNE31
             ok = np.ones(len(key), dtype=bool)
             for j in range(k):
                 h1 = (key + j * _BLOOM_STRIDE) % MERSENNE31
                 h2 = (h1 * _BLOOM_MULT + _BLOOM_ADD) % MERSENNE31
                 pos = h2 % m_bits
                 ok &= (w[pos // WORD_BITS] >> (pos % WORD_BITS)) & 1 == 1
+            ok &= ~nulls  # NULL key matches nothing → definite miss
             pdf = pdf.copy()
             pdf[flag_col] = ok
             yield pdf

@@ -1192,7 +1192,7 @@ def ivf_pq_residual_topk(
     m_sub: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
-    code_stride: int = 50,
+    code_stride: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -1255,35 +1255,43 @@ def _residual_adc_search(
     id_col: str,
     vec_col: str,
     query_id_col: str,
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Query half of residual IVF-PQ, shared by the inline path and the
     persisted-index probe: probe selection, per-(query, list) residual
-    distance tables, ADC pivot, rank."""
+    distance tables, ADC pivot, rank.  ``probes`` (query_id,
+    centroid_id, __qv__) skips the probe-selection pass when the
+    caller already computed it (the persisted path needs it first for
+    partition pruning)."""
     from pyspark.sql import Window as W
 
-    q = queries.select(
-        F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
-    ).withColumn("__qn__", l2_norm(F.col("__qv__")))
     cents = F.broadcast(
         centroids.select(
             F.col(id_col).alias("centroid_id"),
             as_double(F.col(vec_col)).alias("__cv__"),
         ).withColumn("__cn__", l2_norm(F.col("__cv__")))
     )
-    q_probes = topk_per_key(
-        q.crossJoin(cents).select(
-            query_id_col,
-            "centroid_id",
-            F.col("__qv__"),
-            (
-                dot(F.col("__qv__"), F.col("__cv__"))
-                / (F.col("__qn__") * F.col("__cn__"))
-            ).alias("__csim__"),
-        ),
-        [query_id_col],
-        [F.col("__csim__").desc(), F.col("centroid_id")],
-        n_probe,
-    ).select(query_id_col, "centroid_id", "__qv__")
+    if probes is not None:
+        q_probes = probes
+    else:
+        q = queries.select(
+            F.col(id_col).alias(query_id_col),
+            as_double(F.col(vec_col)).alias("__qv__"),
+        ).withColumn("__qn__", l2_norm(F.col("__qv__")))
+        q_probes = topk_per_key(
+            q.crossJoin(cents).select(
+                query_id_col,
+                "centroid_id",
+                F.col("__qv__"),
+                (
+                    dot(F.col("__qv__"), F.col("__cv__"))
+                    / (F.col("__qn__") * F.col("__cn__"))
+                ).alias("__csim__"),
+            ),
+            [query_id_col],
+            [F.col("__csim__").desc(), F.col("centroid_id")],
+            n_probe,
+        ).select(query_id_col, "centroid_id", "__qv__")
 
     # Per-(query, probed-list) residual → slices → distance table.
     qres = q_probes.join(cents.drop("__cn__"), "centroid_id").select(
@@ -1337,7 +1345,7 @@ def ivf_pq_residual_index(
     m_sub: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
-    code_stride: int = 50,
+    code_stride: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
@@ -1438,7 +1446,7 @@ def ivfpq_persist(
     m_sub: int = 8,
     sub_dim: int = 8,
     n_codes: int = 16,
-    code_stride: int = 50,
+    code_stride: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
@@ -1497,7 +1505,9 @@ def ivfpq_probe_persisted(
     cb = spark.read.parquet(path + "/_codebook")
     codes_all = spark.read.parquet(path)
 
-    # Resolve probe lists once (bounded: n_queries × n_probe ids).
+    # Resolve probe lists ONCE (bounded: n_queries × n_probe rows,
+    # truncated so it feeds both the partition-filter id list and the
+    # ADC search without recomputing the centroid scan).
     q = queries.select(
         F.col(id_col).alias(query_id_col), as_double(F.col(vec_col)).alias("__qv__")
     ).withColumn("__qn__", l2_norm(F.col("__qv__")))
@@ -1512,6 +1522,7 @@ def ivfpq_probe_persisted(
             q.crossJoin(cents).select(
                 query_id_col,
                 "centroid_id",
+                F.col("__qv__"),
                 (
                     dot(F.col("__qv__"), F.col("__cv__"))
                     / (F.col("__qn__") * F.col("__cn__"))
@@ -1520,7 +1531,7 @@ def ivfpq_probe_persisted(
             [query_id_col],
             [F.col("__csim__").desc(), F.col("centroid_id")],
             n_probe,
-        ).select(query_id_col, "centroid_id")
+        ).select(query_id_col, "centroid_id", "__qv__")
     )
     probe_ids = [
         r.centroid_id for r in probes.select("centroid_id").distinct().collect()
@@ -1528,5 +1539,5 @@ def ivfpq_probe_persisted(
     pruned = codes_all.filter(F.col("centroid_id").isin(probe_ids))
     return _residual_adc_search(
         queries, centroids, cb, pruned, k, n_probe, m_sub, sub_dim,
-        id_col, vec_col, query_id_col,
+        id_col, vec_col, query_id_col, probes=probes,
     )

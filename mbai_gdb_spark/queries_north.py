@@ -3131,10 +3131,12 @@ def a17_month_over_month(spark, sf_dir):
                JOIN cent c ON c.centroid_id = a.centroid_id
     ),
     rcb AS (
-        SELECT CAST(vec_id // 50 AS BIGINT) AS code_id, s.m AS sub_id,
+        -- code_stride 7 (NOT the centroid stride 50: centroid ids'
+        -- own residuals are exactly zero and would degenerate the book)
+        SELECT CAST(vec_id // 7 AS BIGINT) AS code_id, s.m AS sub_id,
                rv[s.m * 8 + 1 : s.m * 8 + 8] AS cw
         FROM res, UNNEST(generate_series(0, 7)) AS s(m)
-        WHERE vec_id % 50 = 0 AND vec_id < 800
+        WHERE vec_id % 7 = 0 AND vec_id < 112
     ),
     rvs AS (
         SELECT vec_id, s.m AS sub_id, rv[s.m * 8 + 1 : s.m * 8 + 8] AS sv

@@ -125,3 +125,51 @@ def test_bloom_join_property_exactness(spark, probe_keys, build_keys, how):
     got = bloom_pruned_join(probe, build, "key", "bkey", how=how, m_bits=1 << 7, k=2)
     exp = probe.join(build, probe["key"] == build["bkey"], how)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_null_and_negative_keys(spark):
+    """NULL keys: kept by anti (match nothing), dropped by inner/semi —
+    exactly the plain join's behavior.  Negative keys: handled via pmod
+    on both paths (Spark % is sign-of-dividend and would otherwise
+    produce negative bit positions)."""
+    from mbai_gdb_spark.ops.bloom_join import bloom_membership_vectorized
+
+    probe = spark.createDataFrame(
+        [(0, None), (1, -5), (2, -5), (3, 7), (4, -999999)],
+        "row_id long, key long",
+    )
+    build = spark.createDataFrame([(-5,), (7,)], "bkey long")
+    for how in ("inner", "left_semi", "left_anti"):
+        got = bloom_pruned_join(probe, build, "key", "bkey", how=how)
+        exp = probe.join(build, probe["key"] == build["bkey"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        ), how
+    # vectorized path: NULL flags False, negatives agree with literal
+    flagged = {
+        r.row_id: r["__bloom_pass__"]
+        for r in bloom_membership_vectorized(
+            build, "bkey", probe, "key"
+        ).collect()
+    }
+    assert flagged[0] is False and flagged[1] and flagged[3]
+    lit_pass = {
+        r.row_id
+        for r in probe.filter(
+            F.coalesce(
+                bloom_membership(build, "bkey", F.col("key"), m_bits=1 << 24),
+                F.lit(False),
+            )
+        ).collect()
+    }
+    vec_pass = {k for k, v in flagged.items() if v}
+    assert lit_pass == vec_pass
+
+
+def test_string_keys_rejected(spark):
+    import pytest
+
+    probe = spark.createDataFrame([(1, "abc")], "row_id long, key string")
+    build = spark.createDataFrame([("abc",)], "bkey string")
+    with pytest.raises(ValueError, match="integral"):
+        bloom_pruned_join(probe, build, "key", "bkey")

@@ -348,7 +348,11 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
     assert got[3] == ("c", None) and got[2] == ("b", 9.5)
 
 
-def test_vacuum_dataset_removes_leftovers_keeps_live_lock(spark, tmp_path):
+def test_vacuum_dataset_live_lock_blocks_everything(spark, tmp_path):
+    """A LIVE lock means a writer may be mid-swap: vacuum must not
+    touch staging/old (removing them would destroy the in-flight
+    merge) — it skips entirely.  Once the lock is stale, everything
+    cleans up in one pass."""
     import os
     import time as _time
 
@@ -358,21 +362,22 @@ def test_vacuum_dataset_removes_leftovers_keeps_live_lock(spark, tmp_path):
     merge_upsert(
         spark.createDataFrame([(1, "a")], "k long, v string"), path, ["k"], spark
     )
-    # Simulate crash leftovers.
+    # Simulate crash leftovers + a LIVE writer lock.
     os.makedirs(path + "__staging")
     os.makedirs(path + "__old")
     fd = os.open(path + "__lock", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
     os.close(fd)
 
     out = vacuum_dataset(path)
-    assert out == {"staging": True, "old": True, "lock": False,
-                   "restored_old": False}  # live lock kept
+    assert out["skipped_live_lock"] is True
+    assert os.path.exists(path + "__staging") and os.path.exists(path + "__old")
     assert os.path.exists(path + "__lock")
 
     old_t = _time.time() - 7200
     os.utime(path + "__lock", (old_t, old_t))
     out = vacuum_dataset(path)
-    assert out["lock"] is True and not os.path.exists(path + "__lock")
+    assert out["staging"] and out["old"] and out["lock"]
+    assert not os.path.exists(path + "__lock")
     # Dataset untouched throughout.
     assert spark.read.parquet(path).count() == 1
 
@@ -432,7 +437,7 @@ def test_vacuum_restores_dataset_after_interrupted_swap(spark, tmp_path):
     os.makedirs(path + "__old")
     out = vacuum_dataset(path)
     assert out == {"staging": False, "old": True, "lock": False,
-                   "restored_old": False}
+                   "restored_old": False, "skipped_live_lock": False}
     assert spark.read.parquet(path).count() == 2
 
 
@@ -505,3 +510,39 @@ def test_changelog_snapshot_property_vs_pure_python(spark, entries, n_splits):
             assert merged[k] == best[k][0]
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_merge_changelog_rejects_batch_missing_table_columns(spark, tmp_path):
+    import pytest
+
+    from mbai_gdb_spark.io import merge_changelog
+
+    path = str(tmp_path / "cdc_schema")
+    wide = spark.createDataFrame(
+        [(1, 1, "I", "a", 9)], "k long, seq long, op string, attr string, extra long"
+    )
+    merge_changelog(spark, path, wide, ["k"], "seq")
+    narrow = spark.createDataFrame(
+        [(2, 2, "I", "b")], "k long, seq long, op string, attr string"
+    )
+    with pytest.raises(ValueError, match="missing table columns"):
+        merge_changelog(spark, path, narrow, ["k"], "seq")
+
+
+def test_merge_changelog_timestamp_sequence(spark, tmp_path):
+    """Arbitration keeps the sequence column's own type: sub-second
+    timestamp ordering must survive (a cast to long would truncate to
+    seconds and tie)."""
+    import datetime as dt
+
+    from mbai_gdb_spark.io import merge_changelog
+
+    path = str(tmp_path / "cdc_ts")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0, 100000)
+    t1 = dt.datetime(2024, 1, 1, 0, 0, 0, 600000)  # same second, later
+    b1 = spark.createDataFrame([(1, t1, "U", "late")], "k long, seq timestamp, op string, attr string")
+    b2 = spark.createDataFrame([(1, t0, "U", "early")], "k long, seq timestamp, op string, attr string")
+    merge_changelog(spark, path, b1, ["k"], "seq")
+    merge_changelog(spark, path, b2, ["k"], "seq")  # older sub-second entry
+    got = spark.read.parquet(path).collect()
+    assert len(got) == 1 and got[0].attr == "late"

@@ -102,14 +102,14 @@ def test_ivfpq_persisted_probe_matches_inline(spark, tmp_path):
 
     emb = read_table(spark, SF_DIR, "embeddings")
     path = str(tmp_path / "ivfpq")
-    ivfpq_persist(emb, path, centroid_stride=50, code_stride=50, vectorized=False)
+    ivfpq_persist(emb, path, centroid_stride=50, code_stride=7, vectorized=False)
 
     queries = emb.filter(F.col("vec_id") < 5)
     want = sorted(
         map(
             tuple,
             ivf_pq_residual_topk(
-                emb, queries, k=3, n_probe=2, centroid_stride=50, code_stride=50
+                emb, queries, k=3, n_probe=2, centroid_stride=50, code_stride=7
             ).collect(),
         )
     )
@@ -125,7 +125,7 @@ def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
 
     emb = read_table(spark, SF_DIR, "embeddings")
     path = str(tmp_path / "ivfpq")
-    ivfpq_persist(emb, path, centroid_stride=50, code_stride=50, vectorized=False)
+    ivfpq_persist(emb, path, centroid_stride=50, code_stride=7, vectorized=False)
 
     queries = emb.filter(F.col("vec_id") < 2)
     got_df = ivfpq_probe_persisted(spark, path, queries, k=3, n_probe=2)
