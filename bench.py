@@ -102,6 +102,7 @@ HEADLINE = [
     "dq_orders_constraints",
     "cdc_apply_changelog",
     "text_unicode_profile",
+    "dedup_exact_normalized",
 ]
 
 

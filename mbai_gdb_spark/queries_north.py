@@ -3724,3 +3724,52 @@ def text_unicode_profile(spark, sf_dir):
         F.length(F.lower(F.col("nfc"))).alias("n_nfc_lower"),
         (F.col("nfc") != F.col("raw")).alias("nfc_changed"),
     )
+
+
+@query(
+    "dedup_exact_normalized",
+    """
+    WITH corpus AS (
+        SELECT doc_id, text || ' ' || chr(233) AS text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000,
+               upper(text) || ' e' || chr(769) AS text
+        FROM documents
+    ),
+    norm AS (
+        SELECT doc_id, lower(nfc_normalize(text)) AS key FROM corpus
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY key) AS canonical_doc_id
+    FROM norm
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup AFTER Unicode canonicalization — the composition
+    normalize_documents ∘ hash-groupBy that plain exact dedup needs on
+    real corpora: each document is paired with a mangled twin
+    (uppercased, its precomposed é re-spelled as e+combining-acute),
+    so collapsing the pair requires BOTH casefolding and NFC; raw
+    exact dedup would keep all 2N rows.  Output (doc_id,
+    canonical_doc_id): every twin canonicalizes to the original's id
+    via one window-min over the normalized key — a single shuffle,
+    same plan shape as dedup_exact_documents."""
+    from pyspark.sql import Window as W
+
+    from mbai_gdb_spark.ops.text import normalize_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    orig = docs.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" é")).alias("text")
+    )
+    twin = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" é")).alias("text"),
+    )
+    corpus = orig.unionByName(twin)
+    normed = normalize_documents(corpus, text_col="text", out_col="key")
+    keyed = normed.select("doc_id", F.lower(F.col("key")).alias("key"))
+    w = W.partitionBy("key")
+    return keyed.select(
+        "doc_id", F.min("doc_id").over(w).alias("canonical_doc_id")
+    )
