@@ -252,11 +252,13 @@ def main() -> None:
     superlinear = scale_guard["wall_ratio_2000_over_200"] > 6.0
     scale_guard["superlinear"] = superlinear
 
-    # sf1 tier (10× sf0.1, tools/gen_sf1.py): one cold pass over the 10
-    # most expensive headline queries.  The wall ratio vs this run's own
-    # sf0.1 COLD numbers is the super-linearity check the in-tier scale
-    # guard can't see — linear-in-data plans should land near 10× (or
-    # below where fixed overhead dominates); a ratio far past the data
+    # sf1 tier (10× sf0.1, tools/gen_sf1.py): cold + WARM pass over the
+    # 10 most expensive headline queries.  The wall ratio compares
+    # sf1 WARM to this run's sf0.1 WARM numbers — cold/cold mixing
+    # would let the sf0.1 denominator's one-off codegen compile (~1-2 s,
+    # the same order as the sf0.1 queries) bias every ratio low and
+    # mask a super-linear plan.  Linear-in-data plans should land near
+    # 10× or below where fixed overhead dominates; far past the data
     # ratio means a shuffle/skew/quadratic surprise.  Skipped silently
     # when the tier has not been generated.
     sf1_dir = os.environ.get(
@@ -277,7 +279,8 @@ def main() -> None:
             "search_tfidf_topk",
             "io_merge_idempotent",
         ]
-        sf1_timings: dict[str, float] = {}
+        sf1_cold: dict[str, float] = {}
+        sf1_warm: dict[str, float] = {}
         ratios: dict[str, float] = {}
         for name in SF1_QUERIES:
             fn = QUERIES.get(name)
@@ -286,14 +289,18 @@ def main() -> None:
             _cleanup()
             t0 = time.perf_counter()
             fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
-            sf1_timings[name] = round(time.perf_counter() - t0, 3)
-            if cold.get(name):
-                ratios[name] = round(sf1_timings[name] / cold[name], 2)
+            sf1_cold[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+            sf1_warm[name] = round(time.perf_counter() - t0, 3)
+            if timings.get(name):
+                ratios[name] = round(sf1_warm[name] / timings[name], 2)
         sf1_section = {
             "sf1_dir": sf1_dir,
             "data_ratio": 10.0,
-            "queries_cold": sf1_timings,
-            "wall_ratio_vs_sf0.1_cold": ratios,
+            "queries_cold": sf1_cold,
+            "queries": sf1_warm,
+            "wall_ratio_warm_over_sf0.1_warm": ratios,
             "max_wall_ratio": max(ratios.values(), default=0.0),
         }
 

@@ -104,38 +104,52 @@ def _writer_lock(path: str, stale_after: float | None = 3600.0):
     two interleaved writers would base their merge on the same snapshot
     and one's rows would vanish (lost update).  Protocol: an intent
     marker ``<path>__lock`` created with O_CREAT|O_EXCL — atomic on
-    local/POSIX filesystems — holding pid + timestamp.  A second writer
-    fails FAST with :class:`ConcurrentWriteError` rather than queueing
-    (batch pipelines should serialize at the orchestrator; silent
-    waiting hides scheduling bugs).  A lock older than ``stale_after``
-    seconds is presumed crashed and broken (the rename-aside swap in
-    :func:`merge_upsert` keeps either old or new data recoverable, so
-    breaking a stale lock never loses committed rows).
+    local/POSIX filesystems — holding an OWNERSHIP TOKEN plus pid and
+    timestamp.  A second writer fails FAST with
+    :class:`ConcurrentWriteError` rather than queueing (batch
+    pipelines should serialize at the orchestrator; silent waiting
+    hides scheduling bugs).
 
-    Local-filesystem semantics only: O_EXCL is not atomic on some
-    network mounts, and object stores need a lakehouse format
-    (Delta/Iceberg MERGE with optimistic commit) — same caveat as the
-    rename-aside swap itself.
+    A lock older than ``stale_after`` seconds is presumed crashed and
+    taken over by atomically RENAMING it aside (exactly one contender
+    wins the rename) before creating a fresh lock.  Release verifies
+    the token, so a writer that overran ``stale_after`` and lost its
+    lock to a takeover cannot delete the new holder's lock on exit —
+    size ``stale_after`` above the worst-case merge duration.
+
+    Local-filesystem semantics only: O_EXCL/rename atomicity does not
+    hold on some network mounts, and object stores need a lakehouse
+    format (Delta/Iceberg MERGE with optimistic commit) — same caveat
+    as the rename-aside swap itself.
     """
+    import uuid
+
     lock = path.rstrip("/") + "__lock"
+    token = uuid.uuid4().hex
     os.makedirs(os.path.dirname(os.path.abspath(lock)) or ".", exist_ok=True)
-    try:
+
+    def acquire():
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, f"token={token} pid={os.getpid()} ts={time.time()}\n".encode())
+        os.close(fd)
+
+    try:
+        acquire()
     except FileExistsError:
         try:
             age = time.time() - os.path.getmtime(lock)
         except OSError:
             age = 0.0  # raced with the holder's release — treat as live
         if stale_after is not None and age > stale_after:
+            # Atomic takeover: exactly one contender wins the rename.
             try:
-                os.unlink(lock)  # break the stale lock, then retry once
+                os.replace(lock, lock + f".broken.{token}")
+                os.unlink(lock + f".broken.{token}")
             except FileNotFoundError:
-                pass
+                pass  # someone else already took it over / released
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                acquire()
             except FileExistsError:
-                # Another stale-breaker re-created it first: same
-                # contention outcome, same documented exception.
                 raise ConcurrentWriteError(
                     f"dataset {path!r} lock was re-acquired by a "
                     "concurrent writer while breaking a stale lock"
@@ -147,13 +161,16 @@ def _writer_lock(path: str, stale_after: float | None = 3600.0):
                 "crashed less than stale_after ago"
             )
     try:
-        os.write(fd, f"pid={os.getpid()} ts={time.time()}\n".encode())
-        os.close(fd)
         yield
     finally:
+        # Release ONLY if we still own it (a takeover after overrunning
+        # stale_after means the lock now belongs to someone else).
         try:
-            os.unlink(lock)
-        except FileNotFoundError:
+            with open(lock, "rb") as f:
+                owned = f.read().startswith(f"token={token} ".encode())
+            if owned:
+                os.unlink(lock)
+        except (FileNotFoundError, OSError):
             pass
 
 
@@ -515,6 +532,7 @@ def merge_changelog(
     seq_col: str,
     op_col: str = "op",
     delete_op: str = "D",
+    allow_schema_evolution: bool = False,
 ) -> None:
     """Apply a CDC batch to a persisted parquet table with FULL
     order-independence: the SEQUENCE arbitrates, not arrival order.
@@ -539,19 +557,38 @@ def merge_changelog(
         log_cols = log.columns
         if _path_has_data(path):
             existing = spark.read.parquet(path)
-            extra = [
+            missing = [
                 c
                 for c in existing.columns
                 if c not in changelog.columns and c != op_col
             ]
-            if extra:
+            added = [
+                c
+                for c in changelog.columns
+                if c not in existing.columns and c not in (op_col, "__arb__")
+            ]
+            if missing and not allow_schema_evolution:
                 # Silently projecting the base onto the batch's columns
                 # would DROP these permanently — fail loudly, matching
                 # merge_upsert's strict default.
                 raise ValueError(
-                    f"changelog batch is missing table columns {extra}; "
-                    "align schemas before merging"
+                    f"changelog batch is missing table columns {missing}; "
+                    "align schemas or pass allow_schema_evolution=True"
                 )
+            if added and not allow_schema_evolution:
+                # Symmetric strictness: a batch must not silently evolve
+                # the persisted schema either (typo'd producer columns
+                # would otherwise commit forever).
+                raise ValueError(
+                    f"changelog batch adds new columns {added}; "
+                    "align schemas or pass allow_schema_evolution=True"
+                )
+            if missing:
+                # Evolution: table-only columns ride along, NULL on
+                # changelog rows (strict mode never reaches here).
+                for c in missing:
+                    log = log.withColumn(c, F.lit(None).cast(existing.schema[c].dataType))
+                log_cols = log.columns
             if seq_col in existing.columns:
                 arb = F.col(seq_col)
             else:
@@ -559,31 +596,30 @@ def merge_changelog(
                 # arbitration — desc ordering puts NULLs last, so base
                 # rows lose to ANY changelog entry for their key.
                 arb = F.lit(None).cast(changelog.schema[seq_col].dataType)
+            # Project base/tombstones onto the LOG's columns (which by
+            # now include any table-only evolution columns) so nothing
+            # the table carries is dropped.
+            data_cols = [c for c in log_cols if c not in (op_col, "__arb__")]
             base = existing.select(
                 *[
                     (F.col(c) if c in existing.columns else F.lit(None)).alias(c)
-                    for c in changelog.columns
-                    if c != op_col
+                    for c in data_cols
                 ],
             ).withColumn(op_col, F.lit("I")).withColumn("__arb__", arb)
             log = log.unionByName(base.select(*log_cols))
             tomb_path = path.rstrip("/") + "/_tombstones"
             if _path_has_data(tomb_path):
                 tombs = spark.read.parquet(tomb_path)
-                trows = tombs.select(
-                    *[
-                        (
-                            F.col(c)
-                            if c in tombs.columns
-                            else (
-                                F.lit(delete_op)
-                                if c == op_col
-                                else F.lit(None)
-                            )
-                        ).alias(c)
-                        for c in changelog.columns
-                    ],
-                ).withColumn("__arb__", F.col(seq_col))
+                trows = (
+                    tombs.select(
+                        *[
+                            (F.col(c) if c in tombs.columns else F.lit(None)).alias(c)
+                            for c in data_cols
+                        ],
+                    )
+                    .withColumn(op_col, F.lit(delete_op))
+                    .withColumn("__arb__", F.col(seq_col))
+                )
                 log = log.unionByName(trows.select(*log_cols))
         winners = _changelog_winners(log, key_cols, "__arb__", op_col, delete_op)
         winners = winners.transform(_ckpt)  # reads the path it will replace
@@ -630,39 +666,27 @@ def vacuum_dataset(path: str, break_stale_lock_after: float | None = 3600.0) -> 
         "skipped_live_lock": False,
     }
     base = path.rstrip("/")
-    lock = base + "__lock"
-    if os.path.exists(lock):
-        try:
-            lock_age = time.time() - os.path.getmtime(lock)
-        except OSError:
-            lock_age = 0.0
-        if break_stale_lock_after is None or lock_age <= break_stale_lock_after:
-            # A LIVE writer may be mid-swap: touching staging/old (or
-            # restoring) under it would destroy the in-flight merge.
-            removed["skipped_live_lock"] = True
-            return removed
-    old = base + "__old"
-    if os.path.isdir(old) and not _path_has_data(base):
-        # Interrupted swap: __old is the only copy — put it back.
-        if os.path.isdir(base):
-            shutil.rmtree(base)  # empty torso from a partial recreate
-        os.replace(old, base)
-        removed["restored_old"] = True
-    for suffix, key in (("__staging", "staging"), ("__old", "old")):
-        p = base + suffix
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-            removed[key] = True
-    lock = base + "__lock"
-    if os.path.exists(lock) and break_stale_lock_after is not None:
-        try:
-            age = time.time() - os.path.getmtime(lock)
-        except OSError:
-            age = 0.0
-        if age > break_stale_lock_after:
-            try:
-                os.unlink(lock)
-                removed["lock"] = True
-            except FileNotFoundError:
-                pass
+    had_lock = os.path.exists(base + "__lock")
+    try:
+        # Clean UNDER the writer lock: a point-in-time lock check would
+        # leave a window where a writer acquires just after the check
+        # and vacuum deletes its in-flight staging dir.  Acquiring (and
+        # auto-breaking a stale lock via the takeover protocol) makes
+        # the cleanup mutually exclusive with any writer.
+        with _writer_lock(path, stale_after=break_stale_lock_after):
+            removed["lock"] = had_lock  # a pre-existing lock was stale
+            old = base + "__old"
+            if os.path.isdir(old) and not _path_has_data(base):
+                # Interrupted swap: __old is the only copy — restore it.
+                if os.path.isdir(base):
+                    shutil.rmtree(base)  # empty torso from a partial recreate
+                os.replace(old, base)
+                removed["restored_old"] = True
+            for suffix, key in (("__staging", "staging"), ("__old", "old")):
+                p = base + suffix
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+                    removed[key] = True
+    except ConcurrentWriteError:
+        removed["skipped_live_lock"] = True
     return removed

@@ -93,7 +93,13 @@ def bloom_membership(
     keys are handled via pmod normalization on BOTH sides."""
     _require_integral(keys, key_col)
     rows = bloom_bitmap(
-        keys.select(_norm_key(F.col(key_col)).alias("sh_id")), m_bits=m_bits, k=k
+        # NULL build keys never equi-match — drop them (keeping them
+        # would NULL-poison the bitmap rows and crash the collect)
+        keys.filter(F.col(key_col).isNotNull()).select(
+            _norm_key(F.col(key_col)).alias("sh_id")
+        ),
+        m_bits=m_bits,
+        k=k,
     ).collect()
     words = [0] * (m_bits // WORD_BITS)
     for r in rows:
@@ -180,7 +186,11 @@ def bloom_membership_vectorized(
     _require_integral(keys, key_col)
     _require_integral(probe, probe_key)
     rows = bloom_bitmap(
-        keys.select(_norm_key(F.col(key_col)).alias("sh_id")), m_bits=m_bits, k=k
+        keys.filter(F.col(key_col).isNotNull()).select(
+            _norm_key(F.col(key_col)).alias("sh_id")
+        ),
+        m_bits=m_bits,
+        k=k,
     ).collect()
     words = np.zeros(m_bits // WORD_BITS, dtype=np.uint32)
     for r in rows:

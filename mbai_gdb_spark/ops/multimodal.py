@@ -270,14 +270,20 @@ def _gif_lzw(data: bytes, mcs: int, max_pixels: int):
     return bytes(out)
 
 
-def _gif_iter_frames(b: bytes):
+def _gif_iter_frames(b: bytes, decode_pixels: int | None = None):
     """Yield (w, h, rgb) per image block of a GIF87a/89a stream — the
     real demuxer loop behind both single-image decode and animated
     frame sampling.  Frames are decoded INDEPENDENTLY (no canvas
     compositing/disposal — each image block's own pixels + palette);
     raises ValueError on any malformation, which callers map to None.
     Extensions are skipped; interlace is rejected (rare in corpora,
-    deinterlacing is a row permutation away if ever needed)."""
+    deinterlacing is a row permutation away if ever needed).
+
+    ``decode_pixels=N`` LZW-decodes only the first N frames; later
+    frames are structurally walked (descriptor + sub-block lengths +
+    trailer still validated) and yielded as (w, h, None) — the
+    single-image path uses N=1 so strictness doesn't cost a full
+    animated decode."""
     import struct
 
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
@@ -285,6 +291,7 @@ def _gif_iter_frames(b: bytes):
     _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
     pos = 13
     gct = None
+    frame_idx = 0
     if packed & 0x80:
         n = 2 << (packed & 7)
         if len(b) < pos + 3 * n:
@@ -326,6 +333,11 @@ def _gif_iter_frames(b: bytes):
                 data += b[pos : pos + ln]
                 pos += ln
             pos += 1  # sub-block terminator
+            if decode_pixels is not None and frame_idx >= decode_pixels:
+                frame_idx += 1
+                yield iw, ih, None  # structurally validated, not decoded
+                continue
+            frame_idx += 1
             idx = _gif_lzw(bytes(data), mcs, iw * ih)
             if idx is None:
                 raise ValueError("bad LZW stream")
@@ -362,11 +374,16 @@ def gif_frames(b: bytes):
 def _gif_decode(b: bytes):
     """GIF87a/89a FIRST frame → (w, h, 3, row-major RGB) for the
     single-image dispatcher; see :func:`_gif_iter_frames`.  Demuxes the
-    WHOLE container (not just the first frame) so a stream truncated
-    after frame 1 — including one missing only the 0x3B trailer — is
-    rejected like any other malformation."""
-    frames = gif_frames(b)
-    if not frames:
+    WHOLE container (so a stream truncated after frame 1 — including
+    one missing only the 0x3B trailer — is rejected like any other
+    malformation) but LZW-decodes ONLY the first frame: later frames
+    are walked structurally, so strict validation doesn't cost a full
+    animated decode."""
+    try:
+        frames = list(_gif_iter_frames(b, decode_pixels=1))
+    except Exception:
+        return None
+    if not frames or frames[0][2] is None:
         return None
     iw, ih, rgb = frames[0]
     return iw, ih, 3, rgb

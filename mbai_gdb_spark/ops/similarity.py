@@ -1216,13 +1216,28 @@ def ivf_pq_residual_topk(
     codebook over residuals of ids 0, code_stride, ...; fixed
     left-to-right ADC sum; vec_id tie-breaks), so the result can sit
     behind a value-hash oracle when the HOF assign path is used.
-    """
-    from pyspark.sql import Window as W
 
+    Default ``code_stride=7`` is deliberately NOT the centroid stride:
+    sampling codewords at the centroid ids would take the centroids'
+    OWN residuals — exactly zero — and degenerate the codebook to
+    identical zero codewords.
+    """
     centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
     assign_fn = ivf_assign_vectorized if vectorized_assign else ivf_assign
     if prebuilt is not None:
-        codes_raw, assignment = prebuilt
+        # (codes, assignment) or (codes, assignment, codebook) — pass
+        # the codebook from ivf_pq_residual_index to skip re-deriving
+        # it per query batch; without it the codebook is recomputed
+        # deterministically (parameters must match the build's, or ADC
+        # decodes against the wrong book with no error).
+        if len(prebuilt) == 3:
+            codes_raw, assignment, cb = prebuilt
+        else:
+            codes_raw, assignment = prebuilt
+            res = ivf_residuals(corpus, centroids, assignment, id_col, vec_col)
+            cb = pq_codebook(
+                res, id_col, "residual", m_sub, sub_dim, n_codes, code_stride
+            )
         codes = codes_raw.join(assignment, id_col)
     else:
         assignment = assign_fn(corpus, centroids, id_col, vec_col)
@@ -1231,11 +1246,6 @@ def ivf_pq_residual_topk(
         codes = pq_encode(res, cb, id_col, "residual", m_sub, sub_dim).join(
             assignment, id_col
         )
-    # The codebook is rebuilt deterministically from corpus state in
-    # the prebuilt case too (same recipe as ivf_pq_topk's raw path).
-    if prebuilt is not None:
-        res = ivf_residuals(corpus, centroids, assignment, id_col, vec_col)
-        cb = pq_codebook(res, id_col, "residual", m_sub, sub_dim, n_codes, code_stride)
 
     return _residual_adc_search(
         queries, centroids, cb, codes, k, n_probe, m_sub, sub_dim,
@@ -1351,7 +1361,8 @@ def ivf_pq_residual_index(
     vectorized: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Residual twin of :func:`ivf_pq_index`: (codes-over-residuals,
-    assignment), amortized across query batches."""
+    assignment, codebook) — pass the full 3-tuple as ``prebuilt`` so
+    query batches skip the codebook re-derivation too."""
     centroids = corpus.filter(F.col(id_col) % centroid_stride == 0)
     assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
     from mbai_gdb_spark.ops.lineage import truncate
@@ -1362,7 +1373,7 @@ def ivf_pq_residual_index(
     cb = pq_codebook(res, id_col, "residual", m_sub, sub_dim, n_codes, code_stride)
     enc = pq_encode_vectorized if vectorized else pq_encode
     codes = enc(res, cb, id_col, "residual", m_sub, sub_dim)
-    return codes, assignment
+    return codes, assignment, truncate(cb)
 
 
 def l2_topk_vectorized(

@@ -173,3 +173,14 @@ def test_string_keys_rejected(spark):
     build = spark.createDataFrame([("abc",)], "bkey string")
     with pytest.raises(ValueError, match="integral"):
         bloom_pruned_join(probe, build, "key", "bkey")
+
+
+def test_null_build_keys_tolerated(spark):
+    """NULL build-side keys equi-match nothing; they must be ignored,
+    not crash the bitmap build."""
+    probe = spark.createDataFrame([(1, 7), (2, 8)], "row_id long, key long")
+    build = spark.createDataFrame([(7,), (None,)], "bkey long")
+    for how in ("inner", "left_semi", "left_anti"):
+        got = bloom_pruned_join(probe, build, "key", "bkey", how=how)
+        exp = probe.join(build, probe["key"] == build["bkey"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect())), how

@@ -162,3 +162,24 @@ def test_animated_gif_frames_and_sampling(spark):
     for r in out:
         f = r.frame_idx
         assert bytes(r.pixels) == b"".join(bytes(pal[(f + i) % 8]) for i in range(12))
+
+
+def test_first_frame_decode_skips_later_frames_lzw():
+    """Single-image decode validates the whole container structurally
+    but only LZW-decodes frame 1 — and still rejects structural
+    truncation after frame 1."""
+    from mbai_gdb_spark.ops.multimodal import _gif_iter_frames, encode_gif_animated
+
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    frames = [bytes([i % 4] * 12) for i in range(5)]
+    g = encode_gif_animated(4, 3, pal, frames)
+    out = list(_gif_iter_frames(g, decode_pixels=1))
+    assert len(out) == 5
+    assert out[0][2] is not None and all(f[2] is None for f in out[1:])
+    # full decode still yields pixels for all frames
+    full = list(_gif_iter_frames(g))
+    assert all(f[2] is not None for f in full)
+    assert out[0][2] == full[0][2]
+    # structural truncation after frame 1 is still rejected
+    assert decode_payload_bytes(g) is not None
+    assert decode_payload_bytes(g[:-1]) is None  # missing trailer

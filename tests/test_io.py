@@ -546,3 +546,77 @@ def test_merge_changelog_timestamp_sequence(spark, tmp_path):
     merge_changelog(spark, path, b2, ["k"], "seq")  # older sub-second entry
     got = spark.read.parquet(path).collect()
     assert len(got) == 1 and got[0].attr == "late"
+
+
+def test_lock_release_checks_ownership(tmp_path):
+    """A writer that overran stale_after and lost its lock to a
+    takeover must NOT delete the new holder's lock on exit."""
+    import os
+
+    from mbai_gdb_spark.io import _writer_lock
+
+    path = str(tmp_path / "own")
+    lock = path + "__lock"
+    with _writer_lock(path, stale_after=3600.0):
+        # Simulate a takeover while the first writer is still inside:
+        # replace the lock with another holder's.
+        os.unlink(lock)
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, b"token=someone-else pid=1 ts=0\n")
+        os.close(fd)
+    # First writer exited; the usurper's lock must survive.
+    assert os.path.exists(lock)
+    with open(lock, "rb") as f:
+        assert f.read().startswith(b"token=someone-else")
+    os.unlink(lock)
+
+
+def test_stale_lock_takeover_is_atomic(tmp_path):
+    import os
+    import time as _time
+
+    from mbai_gdb_spark.io import _writer_lock
+
+    path = str(tmp_path / "stale")
+    lock = path + "__lock"
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.write(fd, b"token=dead pid=1 ts=0\n")
+    os.close(fd)
+    old_t = _time.time() - 7200
+    os.utime(lock, (old_t, old_t))
+    with _writer_lock(path, stale_after=3600.0):
+        with open(lock, "rb") as f:
+            content = f.read()
+        assert b"token=dead" not in content  # taken over, not reused
+    assert not os.path.exists(lock)
+
+
+def test_merge_changelog_schema_evolution_both_directions(spark, tmp_path):
+    import pytest
+
+    from mbai_gdb_spark.io import merge_changelog
+
+    path = str(tmp_path / "cdc_evo")
+    b1 = spark.createDataFrame(
+        [(1, 1, "I", "a")], "k long, seq long, op string, attr string"
+    )
+    merge_changelog(spark, path, b1, ["k"], "seq")
+    wide = spark.createDataFrame(
+        [(2, 2, "I", "b", 9)], "k long, seq long, op string, attr string, extra long"
+    )
+    # Strict default rejects ADDED columns too (symmetric with missing).
+    with pytest.raises(ValueError, match="adds new columns"):
+        merge_changelog(spark, path, wide, ["k"], "seq")
+    merge_changelog(spark, path, wide, ["k"], "seq", allow_schema_evolution=True)
+    got = {r.k: (r.attr, r.extra) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", None), 2: ("b", 9)}
+    # And a batch missing the evolved column merges under evolution,
+    # with the table-only column preserved (not dropped).
+    narrow = spark.createDataFrame(
+        [(3, 3, "I", "c"), (2, 4, "U", "b2")], "k long, seq long, op string, attr string"
+    )
+    merge_changelog(spark, path, narrow, ["k"], "seq", allow_schema_evolution=True)
+    got = {r.k: (r.attr, r.extra) for r in spark.read.parquet(path).collect()}
+    assert got[3] == ("c", None)
+    assert got[1] == ("a", None)
+    assert got[2][0] == "b2"  # updated row; its extra is NULL (batch had none)

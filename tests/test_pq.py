@@ -172,7 +172,7 @@ def test_ivfpq_residual_prebuilt_matches_inline(spark):
         m_sub=8, sub_dim=8, n_codes=8, code_stride=11,
     )
     inline = sorted(map(tuple, ivf_pq_residual_topk(emb, queries, **kw).collect()))
-    codes, assignment = ivf_pq_residual_index(
+    codes, assignment, cb = ivf_pq_residual_index(
         emb, centroid_stride=50, m_sub=8, sub_dim=8, n_codes=8, code_stride=11,
         vectorized=False,
     )
@@ -180,7 +180,7 @@ def test_ivfpq_residual_prebuilt_matches_inline(spark):
         map(
             tuple,
             ivf_pq_residual_topk(
-                emb, queries, prebuilt=(codes, assignment), **kw
+                emb, queries, prebuilt=(codes, assignment, cb), **kw
             ).collect(),
         )
     )

@@ -108,7 +108,7 @@ def main() -> None:
         # Residual-encoded variant: same scan cost (codes-only), tighter
         # quantization — classic Jegou IVFADC.
         t0 = time.perf_counter()
-        rcodes, rassign = ivf_pq_residual_index(
+        rcodes, rassign, rcb = ivf_pq_residual_index(
             corpus, centroid_stride=stride, code_stride=max(50, n // 16)
         )
         rcodes = rcodes.localCheckpoint(eager=True)
@@ -117,7 +117,7 @@ def main() -> None:
         t0 = time.perf_counter()
         res_df = ivf_pq_residual_topk(
             corpus, queries, k=5, n_probe=2, centroid_stride=stride,
-            code_stride=max(50, n // 16), prebuilt=(rcodes, rassign),
+            code_stride=max(50, n // 16), prebuilt=(rcodes, rassign, rcb),
             vectorized_assign=True,
         )
         res_df.count()
@@ -148,7 +148,7 @@ def main() -> None:
                 vectorized_assign=True, **ckw
             ).collect()
         }
-        crcodes, crassign = ivf_pq_residual_index(
+        crcodes, crassign, crcb = ivf_pq_residual_index(
             ccorpus, centroid_stride=stride, n_codes=n_codes, code_stride=cstride
         )
         crcodes = crcodes.localCheckpoint(eager=True)
@@ -156,7 +156,7 @@ def main() -> None:
         res_set = {
             (r.query_id, r.vec_id)
             for r in ivf_pq_residual_topk(
-                ccorpus, cqueries, prebuilt=(crcodes, crassign),
+                ccorpus, cqueries, prebuilt=(crcodes, crassign, crcb),
                 vectorized_assign=True, **ckw
             ).collect()
         }
