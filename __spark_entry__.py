@@ -36,74 +36,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
 #
-# Round-6 head (exactly 50): the flagship anchor; the 15 round-5
-# additions that have never had a driver row (judge-verified locally
-# in the r5 verdict, listed first so certification closes this round);
-# the 28 queries whose latest driver row is r03; and 6 of the round-6
-# additions. Overflow r6 additions (export_safetensors_manifest, plus
-# any landed after) are r7 rotation candidates alongside the r01/r02
-# backfill tail (q18_large_orders is r01-latest; ~40 r02-latest) —
-# all are check_parity-verified locally every round.
-_HEAD_R6 = [
+# Round-7 head (exactly 50): the flagship anchor; the 4 round-6-late
+# additions that have never had a driver row; then every remaining
+# query whose latest driver row is r01/r02 (q18_large_orders is the
+# lone r01; 44 are r02-latest). This COMPLETES the rotation: after
+# the r7 driver run, all 148 registry queries hold a green driver
+# CORRECTNESS row from r04 or later (distribution after r7:
+# 50xr07, 50xr06, 48xr05). Future rounds only need to re-certify
+# queries whose implementation changed; the full registry is still
+# re-verified locally every round by tools/check_parity.py.
+_HEAD_R7 = [
     # standing anchor
     "flagship_session_attribution",
-    # round-5 additions, never driver-checked (15)
-    "dedup_semantic",
-    "sketch_hll_distinct",
-    "text_bpe_encode",
-    "io_zorder_profile",
-    "sim_ivfpq_top5",
-    "text_chunk_windows",
-    "io_incremental_rollup",
-    "w18_ohlc_bars",
-    "w19_time_weighted_value",
-    "mm_decode_gif",
-    "mm_gif_frame_sample",
-    "mm_resize_roundtrip",
-    "sample_weighted_docs",
-    "text_bigram_surprise",
-    "a17_month_over_month",
-    # backfills whose latest driver row is r03 (28)
-    "a13_order_count_distribution",
-    "q7_nation_trade_volume",
-    "w12_hourly_time_buckets",
-    "a12_pivot_event_counts",
-    "q19_bracketed_revenue",
-    "q17_below_avg_quantity",
-    "q21_sole_problem_supplier",
-    "q22_dormant_capital",
-    "q3_unshipped_revenue",
-    "q10_returned_revenue",
-    "nba_period_chain",
-    "nba_cross_period_next",
-    "nba_score_next_chain",
-    "sim_cosine_top5",
-    "emb_quantize_int8",
-    "text_dup_spans",
-    "mix_source_weights",
-    "emb_class_centroids",
-    "emb_centroid_classify",
-    "text_clf_score",
-    "dedup_lsh_hot_clusters",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q20_excess_suppliers",
-    # round-6 additions, never driver-checked
-    "sim_ivfpq_residual_top5",
-    "mm_decode_jpeg",
-    "mm_decode_jpeg_progressive",
-    "j13_bloom_pruned_revenue",
-    "io_table_stats",
-    "dq_orders_constraints",
+    # round-6-late additions, never driver-checked (4)
+    "export_safetensors_manifest",
+    "cdc_apply_changelog",
+    "text_unicode_profile",
+    "dedup_exact_normalized",
+    # backfills whose latest driver row is r01/r02 (45)
+    "a5_nation_customer_rollup",
+    "a7_distinct_segments",
+    "j1_region_revenue",
+    "j5_local_supplier_revenue",
+    "j6_customer_order_counts",
+    "j8_customers_without_orders",
+    "j9_customers_with_urgent_orders",
+    "w10_latest_event_per_user",
+    "o3_top10_customers_by_revenue",
+    "j7_asof_click_to_view",
+    "j3_purchases_in_sessions",
+    "u1_union_trading_nations",
+    "f_string_part_features",
+    "f_datetime_orders",
+    "f_json_event_props",
+    "j10_motif_customer_supplier_nation",
+    "graph_bfs_trade_hops",
+    "f_array_ops",
+    "a10_rollup_revenue",
+    "a11_quantity_percentiles",
+    "tpch_scalar_suite",
+    "q18_large_orders",
+    "nba_score_chain",
+    "nba_action_next_chain",
+    "nba_rebound_attribution",
+    "nba_season_next_game",
+    "nba_player_dimension",
+    "nba_export_edge_index",
+    "nba_possessions",
+    "nba_team_graph",
+    "text_profile",
+    "text_fingerprint",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_lsh_neighbors",
+    "mm_binary_metadata",
+    "dedup_embedding_cosine",
+    "text_bpe_token_count",
+    "text_repetition",
+    "sketch_kmv_distinct",
+    "sample_stratified_documents",
+    "decontam_eval_overlap",
+    "pack_sequences",
+    "text_top_ngrams",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: QUERIES[k] for k in _HEAD_R6 if k in QUERIES}
+    head = {k: QUERIES[k] for k in _HEAD_R7 if k in QUERIES}
     tail = {k: v for k, v in QUERIES.items() if k not in head}
     return {**head, **tail}
 
