@@ -488,12 +488,27 @@ def _changelog_winners(
 ) -> DataFrame:
     """Per-key winning row: latest by ``seq_col``, delete beating an
     upsert at equal sequence — the arbitration core shared by
-    :func:`changelog_snapshot` and :func:`merge_changelog`."""
+    :func:`changelog_snapshot` and :func:`merge_changelog`.
+
+    Producers are expected to emit at most one op per (key, seq); when
+    two NON-delete ops nevertheless share a sequence, a stable hash of
+    the remaining value columns breaks the tie, so the winner is a
+    pure function of the log's CONTENTS — never of partition layout or
+    arrival order — and the order-independence guarantee survives
+    even malformed duplicate sequences."""
     from pyspark.sql import Window as W
 
     op_rank = F.when(F.col(op_col) == delete_op, 0).otherwise(1)
+    value_cols = [
+        c
+        for c in changelog.columns
+        if c not in key_cols and c not in (seq_col, op_col)
+    ]
+    content_tiebreak = (
+        [F.xxhash64(*[F.col(c) for c in value_cols]).asc()] if value_cols else []
+    )
     w = W.partitionBy(*[F.col(c) for c in key_cols]).orderBy(
-        F.col(seq_col).desc(), op_rank.asc()
+        F.col(seq_col).desc(), op_rank.asc(), *content_tiebreak
     )
     return (
         changelog.withColumn("__rn__", F.row_number().over(w))
@@ -547,7 +562,10 @@ def merge_changelog(
     the single-writer lock; tombstones ride inside the staging dir so
     the swap stays atomic-per-rename.  A pre-existing table WITHOUT
     the sequence column falls back to a floor below the batch (its
-    rows lose to any changelog entry).
+    rows lose to any changelog entry) — ``seq_col`` is exempt from the
+    strict added-columns check precisely so this fallback works
+    without ``allow_schema_evolution``; the merged table then carries
+    the sequence column going forward.
     """
     with _writer_lock(path):
         # Arbitration uses the sequence column's OWN type (any orderable
@@ -565,7 +583,12 @@ def merge_changelog(
             added = [
                 c
                 for c in changelog.columns
-                if c not in existing.columns and c not in (op_col, "__arb__")
+                # seq_col is exempt: it is part of the changelog
+                # PROTOCOL, not producer data — its absence in the base
+                # is the documented NULL-arbitration fallback below,
+                # which must stay reachable in strict mode.
+                if c not in existing.columns
+                and c not in (op_col, "__arb__", seq_col)
             ]
             if missing and not allow_schema_evolution:
                 # Silently projecting the base onto the batch's columns

@@ -1577,6 +1577,12 @@ def _jpeg_decode(b: bytes):
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("jpeg: marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — skip them so legal FF-padded streams parse.
+        while pos + 2 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(b):
+            break
         marker = b[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:

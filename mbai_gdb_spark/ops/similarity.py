@@ -1412,6 +1412,12 @@ def l2_topk_vectorized(
     qmat = np.array([r[1] for r in q_rows], dtype=np.float64)
 
     def scan(batches):
+        if len(qid) == 0:
+            # No queries: emit nothing.  Without this guard the
+            # per-query candidate lists stay empty and
+            # np.concatenate([]) raises INSIDE the executor, failing
+            # the stage instead of returning an empty result.
+            return
         for pdf in batches:
             if len(pdf) == 0:
                 continue
