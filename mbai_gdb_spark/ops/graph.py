@@ -368,28 +368,107 @@ def kcore(
     >= k.  Output: (vertex, core_degree) — each member's degree WITHIN
     the core.
 
-    Classic iterative peel: drop all vertices with current degree < k,
-    recompute, repeat until fixpoint.  Each round is one degree
-    aggregation + two anti-joins (edges whose endpoint was peeled);
-    only the peeled-vertex COUNT reaches the driver (the bounded-scalar
-    convergence pattern of pagerank/CC/k-means here).  Rounds needed =
-    peeling depth, not graph size.
-
-    Unlike pagerank/CC — whose per-round frame is a small vertex
-    table — the peel REWRITES the edge frame every round, so the
-    default is to checkpoint every round: letting even a few rounds of
-    anti-join lineage stack up re-executes the whole prefix at each
-    convergence count (measured 40.6 s vs 3.9 s for the same profile
-    at checkpoint_every 5 vs 1).  The k-core is unique, so the result
-    is deterministic regardless of peel order.
-    """
-    e = kcore_edges(edges, k, src, dst, max_iter, checkpoint_every)
-    return (
-        e.select(F.col("u").alias("vertex"))
-        .unionAll(e.select(F.col("v").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count(F.lit(1)).alias("core_degree"))
+    Delta-based peel (see :func:`kcore_edges` for the formulation): at
+    the fixpoint the surviving degree table IS the core-degree table —
+    every removed neighbor decremented each survivor exactly once, so
+    ``deg(v) = |neighbors of v still alive|`` — and the result needs
+    no edge materialization or degree re-aggregation at all.  The
+    k-core is unique, so the result is deterministic regardless of
+    peel order."""
+    adj, alive = _kcore_state(edges, src, dst)
+    alive = _kcore_peel(adj, alive, k, max_iter, checkpoint_every)
+    return alive.select(
+        F.col("vid").alias("vertex"), F.col("deg").alias("core_degree")
     )
+
+
+def _kcore_state(
+    edges: DataFrame, src: str, dst: str, canonical: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """(adjacency, degree) state for the delta peel: the canonical
+    edge set exploded into BOTH directions (vid, nbr) — checkpointed,
+    scanned once per round — plus the initial (vid, deg) table."""
+    if canonical:
+        e = edges.select("u", "v")
+    else:
+        u, v = F.col(src), F.col(dst)
+        e = (
+            edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+    adj = (
+        e.select(F.col("u").alias("vid"), F.col("v").alias("nbr"))
+        .unionAll(e.select(F.col("v").alias("vid"), F.col("u").alias("nbr")))
+        .transform(_ckpt)
+    )
+    alive = (
+        adj.groupBy("vid").agg(F.count(F.lit(1)).alias("deg")).transform(_ckpt)
+    )
+    return adj, alive
+
+
+def _kcore_peel(
+    adj: DataFrame,
+    alive: DataFrame,
+    k: int,
+    max_iter: int = 100,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Peel ``alive`` (vid, deg) to the k-core fixpoint against the
+    immutable ``adj`` frame; returns the surviving degree table, whose
+    ``deg`` equals each vertex's degree WITHIN the core."""
+    for i in range(max_iter):
+        newly = alive.filter(F.col("deg") < k).select("vid")
+        n_new = newly.count()  # bounded scalar: convergence check
+        if n_new == 0:
+            break
+        alive = alive.filter(F.col("deg") >= k)
+        # Vertex-id deltas are 8 bytes each; even a full-graph cascade
+        # broadcasts a few MB, so the map-side join is always safe
+        # here and skips shuffling the adjacency frame entirely.
+        nd = F.broadcast(newly) if n_new <= 1_000_000 else newly
+        dec = (
+            adj.join(nd.withColumnRenamed("vid", "nbr"), "nbr")
+            .groupBy("vid")
+            .agg(F.count(F.lit(1)).alias("dec"))
+        )
+        alive = alive.join(dec, "vid", "left").select(
+            "vid",
+            (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            alive = alive.transform(_ckpt)  # small vertex table
+    return alive
+
+
+def kcore_profile(
+    edges: DataFrame,
+    ks: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 100,
+) -> list[tuple[int, int, int]]:
+    """(k, n_vertices, n_edges) for each k in ascending ``ks`` — ONE
+    continuous peel: cores nest, so the k2-peel resumes from the
+    k1-fixpoint's degree table over the SAME immutable adjacency
+    frame.  No edge frame is ever rewritten or semi-joined and no
+    degree is ever re-aggregated: ``n_edges = sum(deg) / 2`` because
+    the fixpoint degrees are exactly the within-core degrees.  Driver
+    traffic is one bounded scalar per peel round plus the two profile
+    scalars per k."""
+    if list(ks) != sorted(ks):
+        raise ValueError("ks must be ascending (cores nest)")
+    adj, alive = _kcore_state(edges, src, dst)
+    rows = []
+    for k in ks:
+        alive = _kcore_peel(adj, alive, k, max_iter)
+        r = alive.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("deg"), F.lit(0)).alias("s"),
+        ).first()
+        rows.append((k, r.n, r.s // 2))
+    return rows
 
 
 def kcore_edges(
@@ -407,40 +486,40 @@ def kcore_edges(
     k2 > k1, the k2-core of G is the k2-core of the k1-core — so a
     profile over increasing k values should peel each core from the
     PREVIOUS core's (far smaller) edge frame, not from scratch
-    (``canonical=True`` skips re-canonicalization on such re-peels;
-    measured ~2x on the sf0.1 co-purchase profile).
+    (``canonical=True`` skips re-canonicalization on such re-peels).
 
-    Per round, ``peeled`` is checkpointed EAGERLY before the
-    convergence check so the degree aggregation runs once — the
-    anti-joins read the checkpoint instead of recomputing the
-    aggregation inside their own lineage (the second ~2x).
+    DELTA PEEL (round 7): the edge frame is IMMUTABLE through the
+    peel.  State per round is only the small (vertex, degree) table:
+    the round's newly-peeled set Δ joins the (bidirectional,
+    checkpointed) adjacency frame ONCE to count, per surviving
+    vertex, how many of its neighbors just left, and degrees are
+    decremented by that count — the standard delta-based formulation
+    of Matula–Beck peeling.  Per round that is one map-side broadcast
+    join over the adjacency plus a tiny vertex-table update,
+    replacing the old degree-reaggregation + two anti-joins + FULL
+    edge-frame checkpoint.  Rounds still equal peeling depth, but
+    each round's shuffle/checkpoint is proportional to |Δ's incident
+    edges| and |vertices|, not |edges| — the term that made the old
+    peel's cost compound with depth at 10x data (BENCH_r06 sf1:
+    5.91x wall).  Δ sets are disjoint, so every removed neighbor
+    decrements a survivor exactly once and the fixpoint is the same
+    unique k-core.
+
+    The returned core edge set (survivor semi-join, both endpoints)
+    is eagerly checkpointed: callers scan it more than once, and its
+    lineage otherwise carries the whole peel.  Callers needing only
+    core DEGREES should use :func:`kcore` and profiles
+    :func:`kcore_profile` — neither materializes edges at all.
     """
-    if canonical:
-        e = edges.select("u", "v")
-    else:
-        u, v = F.col(src), F.col(dst)
-        e = (
-            edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-            .transform(_ckpt_lazy)
-        )
-    for i in range(max_iter):
-        deg = (
-            e.select(F.col("u").alias("vid"))
-            .unionAll(e.select(F.col("v").alias("vid")))
-            .groupBy("vid")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        peeled = (
-            deg.filter(F.col("deg") < k).select("vid").transform(_ckpt)
-        )
-        if peeled.isEmpty():  # bounded scalar: convergence check
-            break
-        e = (
-            e.join(peeled.withColumnRenamed("vid", "u"), "u", "left_anti")
-            .join(peeled.withColumnRenamed("vid", "v"), "v", "left_anti")
-        )
-        if (i + 1) % checkpoint_every == 0:
-            e = e.transform(_ckpt)
-    return e
+    adj, alive = _kcore_state(edges, src, dst, canonical=canonical)
+    alive = _kcore_peel(adj, alive, k, max_iter, checkpoint_every)
+    au = alive.select(F.col("vid").alias("u"))
+    av = alive.select(F.col("vid").alias("v"))
+    e = adj.filter(F.col("vid") < F.col("nbr")).select(
+        F.col("vid").alias("u"), F.col("nbr").alias("v")
+    )
+    return (
+        e.join(au, "u", "left_semi")
+        .join(av, "v", "left_semi")
+        .transform(_ckpt)
+    )

@@ -2425,15 +2425,19 @@ _KCORE_GOLD = [
 def graph_kcore_profile(spark, sf_dir):
     """k-core decomposition profile of the co-purchase graph: for k in
     (48, 80, 112), the size of the maximal subgraph where every part
-    co-occurs with >= k others (ops.graph.kcore — iterative peel, one
-    degree agg + two anti-joins per round, bounded-scalar convergence).
+    co-occurs with >= k others (ops.graph.kcore_profile — delta-based
+    Matula-Beck peel: ONE immutable adjacency frame, one continuous
+    peel threading the small (vertex, degree) table through ascending
+    ks; per round only the newly-peeled delta touches the adjacency,
+    and n_edges falls out of the fixpoint degrees as sum(deg)/2, so
+    no edge frame is ever rewritten, semi-joined, or re-aggregated).
     The peel is iterative-to-fixpoint — not ANSI-SQL-expressible — so
     the oracle pins the deterministic profile as golden VALUES keyed by
     the SQL-computable edge-count fingerprint (the W11/BPE golden
     scheme); the k-core's uniqueness makes the result peel-order- and
     partitioning-independent, and unit tests certify the algorithm on
     closed-form graphs."""
-    from mbai_gdb_spark.ops.graph import kcore_edges
+    from mbai_gdb_spark.ops.graph import kcore_profile
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
@@ -2443,24 +2447,8 @@ def graph_kcore_profile(spark, sf_dir):
         .filter(F.col("u") < F.col("v"))
         .select("u", "v")
         .distinct()
-        .localCheckpoint(eager=True)  # shared by the three peels
     )
-    rows = []
-    core = edges
-    for k in (48, 80, 112):
-        # cores nest: peel each k from the PREVIOUS core's edge frame
-        core = kcore_edges(core, k, "u", "v", canonical=True)
-        out = (
-            core.select(F.col("u").alias("vertex"))
-            .unionAll(core.select(F.col("v").alias("vertex")))
-            .groupBy("vertex")
-            .agg(F.count(F.lit(1)).alias("core_degree"))
-        )
-        r = out.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("core_degree"), F.lit(0)).alias("s"),
-        ).first()
-        rows.append((k, r.n, r.s // 2))
+    rows = kcore_profile(edges, [48, 80, 112], "u", "v")
     return spark.createDataFrame(rows, "k int, n_vertices long, n_edges long")
 
 
