@@ -161,6 +161,38 @@ def _bench_nba_pipeline(spark, n_games: int) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _persist_full_battery(out: dict) -> None:
+    """Write the COMPLETE battery JSON to BENCH_full_r{N}.json in the
+    repo.  The driver's BENCH_r{N}.json artifact preserves only a 2 KB
+    tail of stdout, which loses the battery head and makes
+    round-over-round comparison impossible past ~18 entries (a round-6
+    verdict finding) — this file is the machine-readable record
+    ``tools/bench_compare.py`` diffs instead.  The round number is
+    inferred as max(existing BENCH_r{N}) + 1: at the time either the
+    driver or the builder runs the round-N battery, the driver has
+    written artifacts only up to round N-1.  Override the destination
+    with $SPARK_GRAFT_BENCH_FULL; failures to write never fail the
+    bench (the stdout line is the contract)."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = max(rounds, default=0) + 1
+        path = os.environ.get("SPARK_GRAFT_BENCH_FULL") or os.path.join(
+            repo, f"BENCH_full_r{rnd:02d}.json"
+        )
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except OSError as exc:
+        print(f"bench: full-battery persist skipped: {exc}", file=sys.stderr)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -317,6 +349,7 @@ def main() -> None:
     if sf1_section is not None:
         out["sf1"] = sf1_section
     print(json.dumps(out))
+    _persist_full_battery(out)
     if superlinear:
         print(
             "SCALE GUARD FAILED: 10x games cost "
