@@ -31,10 +31,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 138+ oracle-bearing queries, so the 50-slot window ROTATES each
+# 149 oracle-bearing queries, so the 50-slot window ROTATES each
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
+# Queries ADDED in round 7 (j13_bloom_smj_revenue, ...) are r8
+# rotation candidates; they are check_parity-certified locally until
+# their driver slot comes up.
 #
 # Round-7 head (exactly 50): the flagship anchor; the 4 round-6-late
 # additions that have never had a driver row; then every remaining

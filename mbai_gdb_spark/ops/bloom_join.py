@@ -122,6 +122,7 @@ def bloom_pruned_join(
     how: str = "inner",
     m_bits: int = 1 << 17,
     k: int = 4,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Join with the probe side Bloom-pruned map-side first; the result
     is EXACTLY the unpruned join's.
@@ -134,6 +135,15 @@ def bloom_pruned_join(
     emitted without touching the join; only the (few) Bloom-pass rows
     pay the exact anti-join.  For a selective build side this turns the
     anti-join's full-probe shuffle into a shuffle of ~FPR·|probe| rows.
+
+    ``join_hint`` (e.g. ``'merge'``, ``'shuffle_hash'``) is applied to
+    the build side of the exact join.  The module cost model (header)
+    says the prune only pays when the exact join is NOT a broadcast
+    hash join — on a small-fixture certification run Catalyst would
+    happily broadcast the dim and hide the operator's real regime, so
+    tests/demos pass ``'merge'`` to pin the sort-merge shape the prune
+    exists for.  The hint changes the physical strategy only; results
+    are identical.
     """
     if how not in ("inner", "left_semi", "left_anti"):
         raise ValueError("how must be inner, left_semi or left_anti")
@@ -142,6 +152,8 @@ def bloom_pruned_join(
     member = bloom_membership(
         build.select(bk), bk, F.col(probe_key), m_bits=m_bits, k=k
     )
+    if join_hint is not None:
+        build = build.hint(join_hint)
     # NULL keys: member is NULL.  A NULL key equi-matches nothing, so
     # it is a DEFINITE miss — kept by anti joins (plain left_anti keeps
     # null-key rows), dropped by inner/semi (plain joins drop them).

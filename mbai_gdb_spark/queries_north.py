@@ -3459,13 +3459,61 @@ def j13_bloom_pruned_revenue(spark, sf_dir):
     tables (Bloom-fail rows are definite non-matches; false positives
     are removed by the exact join that follows, so the result is
     hash-identical to the plain join the oracle runs).  Revenue in
-    exact integer 1e-4 units per the cross-engine convention."""
+    exact integer 1e-4 units per the cross-engine convention.
+
+    DEMONSTRATION SHAPE: at certification scale the dim fits a
+    broadcast, so Catalyst plans a BroadcastHashJoin here and the
+    plain BHJ would actually be faster — exactly the regime the
+    module's own cost model (ops/bloom_join.py header) says NOT to
+    use the prune in.  This query certifies the operator's
+    correctness algebra; :func:`j13_bloom_smj_revenue` pins the
+    sort-merge regime the operator exists for, and
+    tools/bloomjoin_scale_experiment.py measures where it pays."""
     from mbai_gdb_spark.ops.bloom_join import bloom_pruned_join
     from mbai_gdb_spark.queries import scaled_long
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey", "p_brand")
     joined = bloom_pruned_join(li, part, "l_partkey", "p_partkey", how="inner")
+    rev = scaled_long(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(rev).alias("revenue_e4"),
+    )
+
+
+@query(
+    "j13_bloom_smj_revenue",
+    """
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY p.p_brand
+    """,
+)
+def j13_bloom_smj_revenue(spark, sf_dir):
+    """The Bloom-pruned join in its REAL regime: the exact join pinned
+    to sort-merge via a MERGE hint (``join_hint='merge'``), the plan
+    shape a 100 TB fact x too-big-to-broadcast dim join takes.  Here
+    the map-side Bloom predicate prunes the probe BEFORE its sort +
+    shuffle — the work the prune exists to cut; under a broadcast plan
+    (see :func:`j13_bloom_pruned_revenue`, the demonstration shape)
+    there is no probe shuffle to save.  The hint changes physical
+    strategy only, so the oracle is identical; the no-BroadcastHashJoin
+    plan shape is asserted in tests/test_bloom_join.py."""
+    from mbai_gdb_spark.ops.bloom_join import bloom_pruned_join
+    from mbai_gdb_spark.queries import scaled_long
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey", "p_brand")
+    joined = bloom_pruned_join(
+        li, part, "l_partkey", "p_partkey", how="inner", join_hint="merge"
+    )
     rev = scaled_long(
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 10000
     )

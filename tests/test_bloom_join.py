@@ -184,3 +184,36 @@ def test_null_build_keys_tolerated(spark):
         got = bloom_pruned_join(probe, build, "key", "bkey", how=how)
         exp = probe.join(build, probe["key"] == build["bkey"], how)
         assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect())), how
+
+
+def test_merge_hint_pins_sort_merge_plan(spark):
+    """j13_bloom_smj_revenue's contract: with join_hint='merge' the
+    exact join is a SortMergeJoin even when the build side is small
+    enough that Catalyst would broadcast it — the operator's real
+    regime — and results still equal the plain join."""
+    import mbai_gdb_spark.queries_north  # noqa: F401
+    from mbai_gdb_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = QUERIES["j13_bloom_smj_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # Same rows as the broadcast-regime demonstration shape.
+    demo = QUERIES["j13_bloom_pruned_revenue"](spark, sf_dir)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, demo.collect()))
+
+
+def test_join_hint_preserves_exactness(spark):
+    probe = spark.createDataFrame(
+        [(i, i % 13) for i in range(200)], "row_id long, key long"
+    )
+    build = spark.createDataFrame([(3,), (7,), (99,)], "bkey long")
+    for how in ("inner", "left_semi", "left_anti"):
+        got = bloom_pruned_join(
+            probe, build, "key", "bkey", how=how, join_hint="merge"
+        )
+        exp = probe.join(build, probe["key"] == build["bkey"], how)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        ), how
