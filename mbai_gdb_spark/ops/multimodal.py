@@ -22,6 +22,17 @@ payload must not kill the stage).
 Scale notes: mapInPandas streams record batches (no per-row Python), and
 binary payloads never shuffle unless the caller repartitions; metadata
 extraction is a map-only stage.
+
+100 TB codec posture: the plan shape (Arrow batches, NULL-on-corrupt,
+embarrassingly parallel) is the scale-correct one, but the pure-Python
+per-symbol Huffman/LZW loops are honest throughput bottlenecks on real
+image corpora.  ``decode_payload_bytes`` is therefore the PLUGGABLE
+DECODE KERNEL: every downstream operator (resize, checksum, byte
+features, frame sampling) reads pixels only through it, and a native
+codec (PIL, libjpeg-turbo, nvJPEG) swaps in per-format via
+``register_decoder`` — or ``install_native_codecs()`` /
+``$SPARK_GRAFT_NATIVE_CODECS=1`` for the PIL-backed set — with the
+pure-Python chain as automatic fallback and zero changes downstream.
 """
 
 from __future__ import annotations
@@ -389,19 +400,63 @@ def _gif_decode(b: bytes):
     return iw, ih, 3, rgb
 
 
-def decode_payload_bytes(b: bytes):
-    """Dispatch on magic bytes → (format, width, height, channels,
-    raw row-major pixels) or None.  A payload that passes a magic-byte
-    check but is corrupt past it (truncated IHDR, bad IDAT deflate,
-    non-multiple-of-3 palette, malformed PPM header ...) must yield
-    None, not an exception — one broken file cannot kill a stage."""
-    for fmt, fn in (
+# The pluggable decode-kernel seam (100 TB posture): every image
+# operator downstream — resize, checksum, byte features, GIF frame
+# sampling — reads pixels ONLY through decode_payload_bytes, so
+# swapping a native codec (PIL/libjpeg-turbo/nvJPEG) in for the pure-
+# Python kernels is one register_decoder() call per format and zero
+# changes anywhere else.  Custom decoders are consulted FIRST (most
+# recent registration wins) and fall back to the pure-Python chain by
+# returning None.  Spark operators capture the chain at PLAN-
+# CONSTRUCTION time (see _decode_chain), so driver-side registration
+# reaches executors inside the pickled closure — register BEFORE
+# building the DataFrame; for plans built elsewhere (or kernels that
+# don't pickle), use the import-time env hook at the bottom of this
+# module, which runs in every worker's re-import too.
+_CUSTOM_DECODERS: list = []
+
+
+def register_decoder(fmt: str, fn) -> None:
+    """Install a custom decode kernel ahead of the pure-Python chain.
+
+    ``fn(payload_bytes) -> (width, height, channels, raw_row_major_
+    pixels) | None``.  Contract: return None to DECLINE (the next
+    decoder in the chain, ultimately the pure-Python one, gets the
+    payload); raise to mark the payload CORRUPT (decode_payload_bytes
+    returns None for the whole payload, never an exception — one
+    broken file cannot kill a stage).  Pixel conventions must match
+    the pure kernels: 8-bit, row-major, channels 1 (gray) or 3 (RGB).
+    Lossy-codec caveat: a native JPEG IDCT may legitimately differ by
+    ±1 LSB from the pure float-IDCT path on non-trivial content; the
+    oracle fixtures (constant 8x8 blocks, DC-only) are exact under
+    any conformant IDCT."""
+    _CUSTOM_DECODERS.insert(0, (fmt, fn))
+
+
+def unregister_decoder(fmt: str) -> None:
+    """Remove every custom decoder registered for ``fmt``."""
+    _CUSTOM_DECODERS[:] = [e for e in _CUSTOM_DECODERS if e[0] != fmt]
+
+
+def _decode_chain() -> tuple:
+    """The full decoder chain AT THIS MOMENT: custom kernels first,
+    pure-Python fallbacks last.  Spark operators capture this tuple at
+    PLAN-CONSTRUCTION time so driver-side ``register_decoder`` calls
+    ride into the pickled closure and reach executors — the module-
+    global registry alone would not (workers re-import this module
+    with an empty registry)."""
+    return (
+        *_CUSTOM_DECODERS,
         ("png", _png_decode),
         ("bmp", _bmp_decode),
         ("ppm", _ppm_decode),
         ("gif", _gif_decode),
         ("jpeg", _jpeg_decode),
-    ):
+    )
+
+
+def _decode_with(chain: tuple, b: bytes):
+    for fmt, fn in chain:
         try:
             out = fn(b)
         except Exception:
@@ -409,6 +464,64 @@ def decode_payload_bytes(b: bytes):
         if out is not None:
             return (fmt, *out)
     return None
+
+
+def decode_payload_bytes(b: bytes):
+    """Dispatch on magic bytes → (format, width, height, channels,
+    raw row-major pixels) or None.  A payload that passes a magic-byte
+    check but is corrupt past it (truncated IHDR, bad IDAT deflate,
+    non-multiple-of-3 palette, malformed PPM header ...) must yield
+    None, not an exception — one broken file cannot kill a stage.
+    Custom kernels installed via :func:`register_decoder` are tried
+    first — the native-codec swap-in seam for 100 TB image corpora."""
+    return _decode_with(_decode_chain(), b)
+
+
+def install_native_codecs() -> bool:
+    """Register PIL-backed decode kernels for png/jpeg/gif/bmp when the
+    library is importable; returns whether anything was installed.
+
+    OPT-IN (call it, or set ``$SPARK_GRAFT_NATIVE_CODECS=1`` before
+    import): the pure-Python chain stays the default even with PIL
+    present, because bit-determinism across environments matters more
+    at certification scale than throughput, while at 100 TB of real
+    images the pure-Python per-symbol Huffman loop is the bottleneck
+    and this swap — or a libjpeg-turbo/nvJPEG kernel via
+    :func:`register_decoder` — is the scale path.  Every wrapper
+    sniffs magic bytes first and declines (returns None) on a format
+    mismatch or PIL failure, so the pure chain remains the fallback."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        return False
+    import io as _io
+
+    from PIL import Image
+
+    def _make(fmt: str, magic: tuple[bytes, ...]):
+        def _decode(b: bytes):
+            if not any(b.startswith(m) for m in magic):
+                return None
+            try:
+                im = Image.open(_io.BytesIO(b))
+                im.load()
+                if im.mode != "L":
+                    im = im.convert("RGB")
+            except Exception:
+                return None  # decline: the pure chain decides corruptness
+            ch = 1 if im.mode == "L" else 3
+            return (im.width, im.height, ch, im.tobytes())
+
+        return _decode
+
+    for fmt, magic in (
+        ("png", (b"\x89PNG\r\n\x1a\n",)),
+        ("jpeg", (b"\xff\xd8\xff",)),
+        ("gif", (b"GIF87a", b"GIF89a")),
+        ("bmp", (b"BM",)),
+    ):
+        register_decoder(fmt, _make(fmt, magic))
+    return True
 
 
 def encode_png(width: int, height: int, channels: int, pixels: bytes) -> bytes:
@@ -461,11 +574,13 @@ def decode_image(
     payloads are always broken).  Output pixels are raw row-major bytes —
     they feed :func:`byte_features` / :func:`resize_image` directly."""
 
+    chain = _decode_chain()  # plan-time capture: custom kernels ship in the closure
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fmts, ws, hs, cs, px = [], [], [], [], []
             for b in pdf[payload_col]:
-                out = decode_payload_bytes(bytes(b) if b is not None else b"")
+                out = _decode_with(chain, bytes(b) if b is not None else b"")
                 if out is None:
                     fmts.append(None), ws.append(None), hs.append(None)
                     cs.append(None), px.append(None)
@@ -663,6 +778,8 @@ def resize_image(
         ]
     )
 
+    chain = _decode_chain()  # plan-time capture: custom kernels ship in the closure
+
     def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             outs = []
@@ -671,7 +788,7 @@ def resize_image(
                 # decodes but trips the resample (pathological dims) maps
                 # to NULL instead of killing the stage.
                 try:
-                    dec = decode_payload_bytes(bytes(b) if b is not None else b"")
+                    dec = _decode_with(chain, bytes(b) if b is not None else b"")
                     if dec is None:
                         outs.append(None)
                         continue
@@ -1966,3 +2083,10 @@ def encode_jpeg_progressive(
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# Import-time native-codec gate: runs on executors too (mapInPandas
+# re-imports this module in each worker), which is what makes the env
+# var the cluster-safe way to flip the kernel — see register_decoder.
+if __import__("os").environ.get("SPARK_GRAFT_NATIVE_CODECS"):
+    install_native_codecs()
