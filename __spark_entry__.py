@@ -42,12 +42,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-7 head (exactly 50): the flagship anchor; the 4 round-6-late
 # additions that have never had a driver row; then every remaining
 # query whose latest driver row is r01/r02 (q18_large_orders is the
-# lone r01; 44 are r02-latest). This COMPLETES the rotation: after
-# the r7 driver run, all 148 registry queries hold a green driver
-# CORRECTNESS row from r04 or later (distribution after r7:
-# 50xr07, 50xr06, 48xr05). Future rounds only need to re-certify
-# queries whose implementation changed; the full registry is still
-# re-verified locally every round by tools/check_parity.py.
+# lone r01; 44 are r02-latest). ROTATION COMPLETE: after the r7
+# driver run, all 148 pre-r7 registry queries hold a green driver
+# CORRECTNESS row from r04 or later (distribution after r7: 50xr07,
+# 50xr06, 48xr05). Future rounds only need to certify queries added
+# or changed since (r7 additions listed above); the full registry is
+# still re-verified locally every round by tools/check_parity.py.
 _HEAD_R7 = [
     # standing anchor
     "flagship_session_attribution",
