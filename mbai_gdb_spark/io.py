@@ -227,30 +227,120 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def _delta_enabled(spark: SparkSession) -> bool:
+    """True when THIS session can run Delta Lake: the package imports
+    AND the Delta SQL extension is registered on the session (the
+    import alone does not prove the jars/extension are wired — a write
+    would fail at runtime).  Computed per call: cheap, and sessions
+    can be rebuilt mid-process in tests."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    exts = ""
+    try:
+        exts = spark.conf.get("spark.sql.extensions", "") or ""
+    except Exception:
+        pass
+    return "DeltaSparkSessionExtension" in exts
+
+
+def _merge_upsert_delta(
+    df: DataFrame,
+    path: str,
+    key_cols: list[str],
+    spark: SparkSession,
+    allow_schema_evolution: bool,
+) -> None:
+    """The same upsert contract through Delta's transactional MERGE
+    INTO: optimistic concurrency instead of the POSIX writer lock, so
+    multi-writer clusters and object stores are safe — the one
+    local[32]→cluster delta the parquet backend's own docstring
+    names.  Schema evolution maps to Delta's autoMerge (scoped to this
+    merge, restored after); the strict default lets Delta raise on
+    any batch/table schema mismatch, matching the parquet backend's
+    fail-loudly stance."""
+    from delta.tables import DeltaTable
+
+    batch = df.dropDuplicates(key_cols)
+    if not DeltaTable.isDeltaTable(spark, path):
+        writer = batch.write.format("delta").mode("append")
+        if allow_schema_evolution:
+            writer = writer.option("mergeSchema", "true")
+        writer.save(path)
+        return
+    conf_key = "spark.databricks.delta.schema.autoMerge.enabled"
+    prev = None
+    try:
+        prev = spark.conf.get(conf_key, None)
+    except Exception:
+        pass
+    try:
+        if allow_schema_evolution:
+            spark.conf.set(conf_key, "true")
+        cond = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in key_cols)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(batch.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    finally:
+        if allow_schema_evolution:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
+
+
 def merge_upsert(
     df: DataFrame,
     path: str,
     key_cols: list[str],
     spark: SparkSession,
     allow_schema_evolution: bool = False,
+    backend: str = "auto",
 ) -> None:
-    """Full upsert (update-if-exists, insert-if-absent) without a
-    lakehouse format: keep existing rows whose keys are absent from the
-    batch, then append the deduplicated batch — the WHEN MATCHED UPDATE
-    counterpart of :func:`write_insert_if_absent` (reference only ever
-    needs ON CREATE; this closes the sink surface).  Rewrites the
-    dataset, so at real scale prefer Delta/Iceberg MERGE INTO or
-    partition-scoped rewrites via :func:`write_partitioned`.
-    Single-writer per dataset, enforced by :func:`_writer_lock` — the
-    rename-aside swap is crash-safe but two concurrent merges would
-    each rebuild from the same snapshot and the loser's batch would
-    vanish.
+    """Full upsert (update-if-exists, insert-if-absent) — the WHEN
+    MATCHED UPDATE counterpart of :func:`write_insert_if_absent`
+    (reference only ever needs ON CREATE; this closes the sink
+    surface).
+
+    ``backend`` selects the storage engine:
+
+    - ``'parquet'`` — plain parquet + rename-aside swap under the
+      single-writer POSIX lock (:func:`_writer_lock`): crash-safe and
+      correct on a local filesystem, but two concurrent merges would
+      each rebuild from the same snapshot and the loser's batch would
+      vanish, which is why the lock exists.
+    - ``'delta'`` — Delta Lake ``MERGE INTO`` (requires delta-spark +
+      the session extension; raises otherwise): transactional
+      optimistic commit, multi-writer and object-store safe — the
+      backend to run on a real cluster.
+    - ``'auto'`` (default) — ``'delta'`` when this session can run it
+      (:func:`_delta_enabled`) and the target is empty or already a
+      Delta table; otherwise ``'parquet'``.  An existing parquet
+      dataset is never silently reinterpreted.
 
     ``allow_schema_evolution=True`` admits batches that ADD columns
-    (Delta's mergeSchema): existing rows carry NULL for the new
-    columns, and a batch MISSING columns the table has keeps those
+    (Delta's mergeSchema/autoMerge): existing rows carry NULL for the
+    new columns, and a batch MISSING columns the table has keeps those
     columns NULL on its rows.  Off by default — silent schema drift is
     usually a bug, and the strict path fails loudly on any mismatch."""
+    if backend not in ("auto", "parquet", "delta"):
+        raise ValueError("backend must be auto, parquet or delta")
+    if backend == "delta" or (
+        backend == "auto"
+        and _delta_enabled(spark)
+        and (
+            not _path_has_data(path)
+            or os.path.isdir(os.path.join(path, "_delta_log"))
+        )
+    ):
+        _merge_upsert_delta(df, path, key_cols, spark, allow_schema_evolution)
+        return
     with _writer_lock(path):
         batch = df.dropDuplicates(key_cols)
         if _path_has_data(path):

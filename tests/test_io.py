@@ -3,6 +3,30 @@ idempotent re-ingest, SURVEY §2.4 A8)."""
 
 from __future__ import annotations
 
+import pytest
+
+
+@pytest.fixture(params=["parquet", "delta"])
+def merge_backend(request, spark):
+    """Run merge_upsert's semantic tests over BOTH storage backends.
+    The delta leg exercises the transactional MERGE INTO adapter in
+    environments where delta-spark + the session extension exist; in
+    this sandbox neither does, so it skips (and the skip is visible in
+    the report rather than silently absent)."""
+    if request.param == "delta":
+        pytest.importorskip("delta", reason="delta-spark not installed")
+        from mbai_gdb_spark.io import _delta_enabled
+
+        if not _delta_enabled(spark):
+            pytest.skip("session lacks the Delta SQL extension")
+    return request.param
+
+
+def _read_merged(spark, path: str, backend: str):
+    if backend == "delta":
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)
+
 
 def test_write_insert_if_absent_is_idempotent(spark, tmp_path):
     from mbai_gdb_spark.io import write_insert_if_absent
@@ -30,20 +54,40 @@ def test_write_insert_if_absent_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(path).count() == 3
 
 
-def test_merge_upsert_updates_and_inserts(spark, tmp_path):
+def test_merge_upsert_updates_and_inserts(spark, tmp_path, merge_backend):
     from mbai_gdb_spark.io import merge_upsert
 
     path = str(tmp_path / "dim")
     merge_upsert(
         spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
-        path, ["id"], spark,
+        path, ["id"], spark, backend=merge_backend,
     )
     merge_upsert(
         spark.createDataFrame([(2, "B2"), (3, "c")], "id long, v string"),
-        path, ["id"], spark,
+        path, ["id"], spark, backend=merge_backend,
     )
-    rows = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    rows = {r.id: r.v for r in _read_merged(spark, path, merge_backend).collect()}
     assert rows == {1: "a", 2: "B2", 3: "c"}  # 2 updated, 3 inserted, 1 kept
+
+
+def test_merge_upsert_backend_selection(spark, tmp_path):
+    """'auto' must NEVER reinterpret an existing parquet dataset as
+    Delta, an unknown backend rejects, and an explicit 'delta' request
+    without the library fails loudly instead of silently degrading."""
+    from mbai_gdb_spark.io import _delta_enabled, merge_upsert
+
+    path = str(tmp_path / "sel")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    merge_upsert(df, path, ["id"], spark)  # auto -> parquet here
+    merge_upsert(df, path, ["id"], spark, backend="auto")
+    assert spark.read.parquet(path).count() == 1  # still plain parquet
+
+    with pytest.raises(ValueError, match="backend"):
+        merge_upsert(df, path, ["id"], spark, backend="iceberg")
+
+    if not _delta_enabled(spark):
+        with pytest.raises(Exception):  # ImportError or analysis error
+            merge_upsert(df, path, ["id"], spark, backend="delta")
 
 
 def test_partitioned_layout_prunes_partitions(spark, tmp_path):
@@ -322,29 +366,38 @@ def test_merge_changelog_respects_writer_lock(spark, tmp_path):
         os.unlink(lock)
 
 
-def test_merge_upsert_schema_evolution(spark, tmp_path):
+def test_merge_upsert_schema_evolution(spark, tmp_path, merge_backend):
     from mbai_gdb_spark.io import merge_upsert
 
     path = str(tmp_path / "evo")
     merge_upsert(
-        spark.createDataFrame([(1, "a")], "k long, v string"), path, ["k"], spark
+        spark.createDataFrame([(1, "a")], "k long, v string"),
+        path, ["k"], spark, backend=merge_backend,
     )
-    import pytest
-
     # Strict default: a batch with a NEW column fails loudly.
     wide = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, score double")
     with pytest.raises(Exception):
-        merge_upsert(wide, path, ["k"], spark)
+        merge_upsert(wide, path, ["k"], spark, backend=merge_backend)
     # Evolution: new column admitted, old rows read back as NULL.
-    merge_upsert(wide, path, ["k"], spark, allow_schema_evolution=True)
-    got = {r.k: (r.v, r.score) for r in spark.read.parquet(path).collect()}
+    merge_upsert(
+        wide, path, ["k"], spark,
+        allow_schema_evolution=True, backend=merge_backend,
+    )
+    got = {
+        r.k: (r.v, r.score)
+        for r in _read_merged(spark, path, merge_backend).collect()
+    }
     assert got == {1: ("a", None), 2: ("b", 9.5)}
     # And a narrow batch (missing the new column) still merges.
     merge_upsert(
         spark.createDataFrame([(3, "c")], "k long, v string"),
-        path, ["k"], spark, allow_schema_evolution=True,
+        path, ["k"], spark,
+        allow_schema_evolution=True, backend=merge_backend,
     )
-    got = {r.k: (r.v, r.score) for r in spark.read.parquet(path).collect()}
+    got = {
+        r.k: (r.v, r.score)
+        for r in _read_merged(spark, path, merge_backend).collect()
+    }
     assert got[3] == ("c", None) and got[2] == ("b", 9.5)
 
 
