@@ -103,6 +103,8 @@ HEADLINE = [
     "cdc_apply_changelog",
     "text_unicode_profile",
     "dedup_exact_normalized",
+    # Round-7 additions: Bloom prune in its sort-merge regime
+    "j13_bloom_smj_revenue",
 ]
 
 
