@@ -264,11 +264,29 @@ def _merge_upsert_delta(
 
     batch = df.dropDuplicates(key_cols)
     if not DeltaTable.isDeltaTable(spark, path):
-        writer = batch.write.format("delta").mode("append")
-        if allow_schema_evolution:
-            writer = writer.option("mergeSchema", "true")
-        writer.save(path)
-        return
+        if _path_has_data(path):
+            # Plain-parquet data already lives here: appending a
+            # _delta_log that references only the new files would
+            # leave the old rows orphaned-but-present for any future
+            # parquet read of the same dir.  Convert explicitly first.
+            raise ValueError(
+                f"{path} holds non-Delta parquet data; convert it "
+                "(CONVERT TO DELTA) or merge with backend='parquet'"
+            )
+        try:
+            # errorifexists: if a concurrent writer wins the race to
+            # commit version 0, this create FAILS (Delta's commit
+            # protocol is atomic) instead of both writers blind-
+            # appending duplicate keys — we then retry as a MERGE.
+            writer = batch.write.format("delta").mode("errorifexists")
+            if allow_schema_evolution:
+                writer = writer.option("mergeSchema", "true")
+            writer.save(path)
+            return
+        except Exception:
+            if not DeltaTable.isDeltaTable(spark, path):
+                raise  # genuine failure, not a lost create race
+            # fall through to the MERGE path against the winner's table
     conf_key = "spark.databricks.delta.schema.autoMerge.enabled"
     prev = None
     try:
@@ -331,16 +349,26 @@ def merge_upsert(
     usually a bug, and the strict path fails loudly on any mismatch."""
     if backend not in ("auto", "parquet", "delta"):
         raise ValueError("backend must be auto, parquet or delta")
+    is_delta_dir = os.path.isdir(os.path.join(path, "_delta_log"))
     if backend == "delta" or (
         backend == "auto"
         and _delta_enabled(spark)
-        and (
-            not _path_has_data(path)
-            or os.path.isdir(os.path.join(path, "_delta_log"))
-        )
+        and (not _path_has_data(path) or is_delta_dir)
     ):
         _merge_upsert_delta(df, path, key_cols, spark, allow_schema_evolution)
         return
+    if is_delta_dir:
+        # The parquet path must NEVER touch a Delta table: reading it
+        # as plain parquet resurrects superseded (unvacuumed) file
+        # versions and the rename-aside rewrite would destroy
+        # _delta_log consistency.  Reaching here means the session
+        # cannot run Delta (or backend='parquet' was forced) — fail
+        # loudly rather than corrupt.
+        raise RuntimeError(
+            f"{path} is a Delta table but this session cannot run Delta "
+            "(missing delta-spark or the session extension); merge from "
+            "a Delta-enabled session"
+        )
     with _writer_lock(path):
         batch = df.dropDuplicates(key_cols)
         if _path_has_data(path):
@@ -589,10 +617,27 @@ def _changelog_winners(
     from pyspark.sql import Window as W
 
     op_rank = F.when(F.col(op_col) == delete_op, 0).otherwise(1)
+
+    def _hashable(dt: T.DataType) -> bool:
+        # xxhash64 rejects MAP-typed inputs at any nesting depth
+        # (DATATYPE_MISMATCH.HASH_MAP_TYPE) — skip such columns so
+        # changelogs carrying map payloads keep working; the tie-break
+        # then covers the remaining columns (or is absent, restoring
+        # the pre-tie-break behavior for all-map payloads).
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
     value_cols = [
-        c
-        for c in changelog.columns
-        if c not in key_cols and c not in (seq_col, op_col)
+        f.name
+        for f in changelog.schema.fields
+        if f.name not in key_cols
+        and f.name not in (seq_col, op_col)
+        and _hashable(f.dataType)
     ]
     content_tiebreak = (
         [F.xxhash64(*[F.col(c) for c in value_cols]).asc()] if value_cols else []

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from mbai_gdb_spark.ops.lineage import truncate as _ckpt, truncate_lazy as _ckpt_lazy
 
 
@@ -424,10 +425,17 @@ def _kcore_peel(
         if n_new == 0:
             break
         alive = alive.filter(F.col("deg") >= k)
-        # Vertex-id deltas are 8 bytes each; even a full-graph cascade
-        # broadcasts a few MB, so the map-side join is always safe
-        # here and skips shuffling the adjacency frame entirely.
-        nd = F.broadcast(newly) if n_new <= 1_000_000 else newly
+        # NUMERIC vertex-id deltas are <= 8 bytes each, so even a
+        # full-graph cascade broadcasts a few MB and the map-side join
+        # skips shuffling the adjacency frame entirely.  Wide ids
+        # (UUID strings: 36+ bytes + JVM string overhead) would make a
+        # forced 1M-row broadcast tens of MB per round — leave those
+        # to the optimizer's own threshold.
+        numeric_id = isinstance(
+            alive.schema["vid"].dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+        nd = F.broadcast(newly) if (numeric_id and n_new <= 1_000_000) else newly
         dec = (
             adj.join(nd.withColumnRenamed("vid", "nbr"), "nbr")
             .groupBy("vid")

@@ -27,12 +27,17 @@ extraction is a map-only stage.
 embarrassingly parallel) is the scale-correct one, but the pure-Python
 per-symbol Huffman/LZW loops are honest throughput bottlenecks on real
 image corpora.  ``decode_payload_bytes`` is therefore the PLUGGABLE
-DECODE KERNEL: every downstream operator (resize, checksum, byte
-features, frame sampling) reads pixels only through it, and a native
-codec (PIL, libjpeg-turbo, nvJPEG) swaps in per-format via
-``register_decoder`` — or ``install_native_codecs()`` /
-``$SPARK_GRAFT_NATIVE_CODECS=1`` for the PIL-backed set — with the
-pure-Python chain as automatic fallback and zero changes downstream.
+DECODE KERNEL for single-image decode: ``decode_image`` and
+``resize_image`` — and everything consuming their pixels (checksums,
+pixel features) — read pixels only through it, so a native codec (PIL,
+libjpeg-turbo, nvJPEG) swaps in per-format via ``register_decoder`` —
+or ``install_native_codecs()`` / ``$SPARK_GRAFT_NATIVE_CODECS=1`` for
+the PIL-backed set — with the pure-Python chain as automatic fallback
+and no changes to those operators.  NOT behind the seam, by design:
+animated-GIF frame sampling (``gif_frames`` is a multi-frame demuxer
+with its own kernel — a native swap there is a separate seam) and
+``byte_features`` (a deterministic fake encoder over RAW payload
+bytes, no pixels involved).
 """
 
 from __future__ import annotations
@@ -400,12 +405,14 @@ def _gif_decode(b: bytes):
     return iw, ih, 3, rgb
 
 
-# The pluggable decode-kernel seam (100 TB posture): every image
-# operator downstream — resize, checksum, byte features, GIF frame
-# sampling — reads pixels ONLY through decode_payload_bytes, so
-# swapping a native codec (PIL/libjpeg-turbo/nvJPEG) in for the pure-
-# Python kernels is one register_decoder() call per format and zero
-# changes anywhere else.  Custom decoders are consulted FIRST (most
+# The pluggable decode-kernel seam (100 TB posture): single-image
+# decode (decode_image / resize_image and every consumer of their
+# pixels) reads ONLY through decode_payload_bytes, so swapping a
+# native codec (PIL/libjpeg-turbo/nvJPEG) in for the pure-Python
+# kernels is one register_decoder() call per format with no changes
+# to those operators.  (Animated-GIF frame sampling demuxes via
+# gif_frames — its own kernel, a separate seam; byte_features reads
+# raw payload bytes by design.)  Custom decoders are consulted FIRST (most
 # recent registration wins) and fall back to the pure-Python chain by
 # returning None.  Spark operators capture the chain at PLAN-
 # CONSTRUCTION time (see _decode_chain), so driver-side registration
@@ -2088,5 +2095,9 @@ def encode_jpeg_progressive(
 # Import-time native-codec gate: runs on executors too (mapInPandas
 # re-imports this module in each worker), which is what makes the env
 # var the cluster-safe way to flip the kernel — see register_decoder.
-if __import__("os").environ.get("SPARK_GRAFT_NATIVE_CODECS"):
+# Explicit off-values count as OFF ("=0" must not enable the lossy
+# native kernels that "=1" documents).
+if __import__("os").environ.get(
+    "SPARK_GRAFT_NATIVE_CODECS", ""
+).strip().lower() not in ("", "0", "false", "no", "off"):
     install_native_codecs()

@@ -102,3 +102,65 @@ def test_l2_topk_vectorized_empty_queries(spark):
     out = l2_topk_vectorized(corpus, empty_q, k=3)
     assert out.count() == 0
     assert out.columns == ["query_id", "vec_id", "l2_sq_dist", "rank"]
+
+
+# ---------------------------------------------------------------------------
+# Round-7 self-review findings
+# ---------------------------------------------------------------------------
+
+
+def test_changelog_map_typed_payload_still_works(spark):
+    """The content-hash tie-break must skip map-typed columns (xxhash64
+    rejects MAP at any nesting depth) instead of failing analysis."""
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.io import changelog_snapshot
+
+    log = spark.createDataFrame(
+        [(1, 5, "U", {"a": 1}), (1, 7, "U", {"a": 2}), (2, 1, "D", {"b": 3})],
+        "k int, seq int, op string, props map<string,int>",
+    )
+    got = changelog_snapshot(log, ["k"], "seq").collect()
+    assert len(got) == 1 and got[0].k == 1 and got[0].props == {"a": 2}
+    # Hashable columns alongside the map still drive the tie-break
+    # deterministically across arrival orders.
+    rows = [(1, 5, "U", "alpha", {"x": 1}), (1, 5, "U", "beta", {"x": 2})]
+    schema = "k int, seq int, op string, attr string, props map<string,int>"
+    winners = {
+        changelog_snapshot(spark.createDataFrame(perm, schema), ["k"], "seq")
+        .collect()[0]
+        .attr
+        for perm in (rows, rows[::-1])
+    }
+    assert len(winners) == 1
+
+
+def test_parquet_backend_refuses_delta_table(spark, tmp_path):
+    """The parquet merge path must never touch a Delta table dir:
+    reading it as plain parquet would resurrect superseded file
+    versions and the rewrite would destroy _delta_log consistency."""
+    import os
+
+    from mbai_gdb_spark.io import merge_upsert
+
+    path = str(tmp_path / "dt")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(path)
+    os.makedirs(os.path.join(path, "_delta_log"))
+    df = spark.createDataFrame([(2, "b")], "id long, v string")
+    with pytest.raises(RuntimeError, match="Delta table"):
+        merge_upsert(df, path, ["id"], spark, backend="parquet")
+    with pytest.raises(Exception):  # auto in a non-delta session: same guard
+        merge_upsert(df, path, ["id"], spark, backend="auto")
+
+
+def test_kcore_string_vertex_ids(spark):
+    """String ids take the optimizer-decided (non-forced-broadcast)
+    delta path and still converge to the right core."""
+    from mbai_gdb_spark.ops.graph import kcore
+
+    k4 = [(f"v{a}", f"v{b}") for a in range(5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [("v0", "tail")], "src string, dst string"
+    )
+    got = {r.vertex: r.core_degree for r in kcore(edges, 3).collect()}
+    assert got == {f"v{i}": 4 for i in range(5)}
