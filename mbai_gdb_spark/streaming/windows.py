@@ -39,3 +39,66 @@ def streaming_windowed_counts(
             "total_value_cents",
         )
     )
+
+
+def streaming_latest_per_user(events: DataFrame) -> DataFrame:
+    """Streaming twin of W10 top-1-per-key (w10_latest_event_per_user):
+    per-user latest event as an UPDATE-mode aggregation.
+
+    ``MAX(struct(ts, event_id, payload...))`` compares (ts, event_id)
+    first — exactly the batch ``ORDER BY ts DESC, event_id DESC``
+    total order — and the payload columns ride along inside the
+    winning struct, so each micro-batch emits only the users whose
+    latest event CHANGED.  State is one struct per user (bounded by
+    keyspace, not stream length); route the update stream into a
+    keyed upsert sink (:func:`run_streaming_latest_per_user`) for the
+    materialized current-state table."""
+    e = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        e.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_b"))
+        .select(
+            "user_id",
+            F.col("_b.event_id").alias("event_id"),
+            F.col("_b.ts").alias("ts"),
+            F.col("_b.event_type").alias("event_type"),
+            F.col("_b.value").alias("value"),
+        )
+    )
+
+
+def run_streaming_latest_per_user(
+    spark,
+    source_dir: str,
+    schema,
+    out_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Drain a parquet directory file-by-file, upserting every
+    micro-batch's changed per-user rows into a persisted current-state
+    table via :func:`io.merge_upsert` keyed on user_id — the
+    aggregation/sink composition a CDC-style "latest state" pipeline
+    uses.  Replay-safe: re-delivered rows re-derive the same winner
+    and the upsert is idempotent.  Returns the final table."""
+    from mbai_gdb_spark.io import merge_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+    def upsert_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        merge_upsert(batch_df, out_path, ["user_id"], spark)
+
+    q = (
+        streaming_latest_per_user(stream)
+        .writeStream.foreachBatch(upsert_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

@@ -165,3 +165,34 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     safe = {key(r) for r in want_rows if r.purchase_ts <= horizon}
     assert safe <= got
     assert len(got) > 0
+
+
+def test_streaming_latest_per_user_matches_batch_w10(spark, tmp_path):
+    """Streaming update-mode latest-per-user, upserted batch-by-batch
+    into the merge sink, converges to EXACTLY the batch W10 result."""
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.windows import top1_per_key
+    from mbai_gdb_spark.streaming.windows import run_streaming_latest_per_user
+
+    events = read_table(spark, SF_DIR, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    src = str(tmp_path / "ev")
+    events.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+
+    got = run_streaming_latest_per_user(
+        spark,
+        src,
+        spark.read.parquet(src).schema,
+        str(tmp_path / "state"),
+        str(tmp_path / "ckpt"),
+    )
+    want = top1_per_key(
+        events.withColumn("ts", F.col("ts").cast("timestamp")),
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    ).select("user_id", "event_id", "ts", "event_type", "value")
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
