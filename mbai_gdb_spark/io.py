@@ -610,10 +610,14 @@ def _changelog_winners(
 
     Producers are expected to emit at most one op per (key, seq); when
     two NON-delete ops nevertheless share a sequence, a stable hash of
-    the remaining value columns breaks the tie, so the winner is a
-    pure function of the log's CONTENTS — never of partition layout or
-    arrival order — and the order-independence guarantee survives
-    even malformed duplicate sequences."""
+    the remaining HASHABLE value columns breaks the tie, so the winner
+    is a pure function of the log's CONTENTS — never of partition
+    layout or arrival order — and the order-independence guarantee
+    survives even malformed duplicate sequences.  Caveat: map-typed
+    columns cannot feed the hash (xxhash64 rejects MAP), so a payload
+    consisting ONLY of map columns keeps the pre-hash behavior — the
+    duplicate-sequence winner is then arbitrary; emit unique
+    sequences (or any hashable column) to retain full determinism."""
     from pyspark.sql import Window as W
 
     op_rank = F.when(F.col(op_col) == delete_op, 0).otherwise(1)

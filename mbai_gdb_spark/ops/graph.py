@@ -419,6 +419,12 @@ def _kcore_peel(
     """Peel ``alive`` (vid, deg) to the k-core fixpoint against the
     immutable ``adj`` frame; returns the surviving degree table, whose
     ``deg`` equals each vertex's degree WITHIN the core."""
+    # Invariant across rounds — resolve once, not per iteration (the
+    # alive plan tree grows between checkpoints).
+    numeric_id = isinstance(
+        alive.schema["vid"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
     for i in range(max_iter):
         newly = alive.filter(F.col("deg") < k).select("vid")
         n_new = newly.count()  # bounded scalar: convergence check
@@ -431,10 +437,6 @@ def _kcore_peel(
         # (UUID strings: 36+ bytes + JVM string overhead) would make a
         # forced 1M-row broadcast tens of MB per round — leave those
         # to the optimizer's own threshold.
-        numeric_id = isinstance(
-            alive.schema["vid"].dataType,
-            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-        )
         nd = F.broadcast(newly) if (numeric_id and n_new <= 1_000_000) else newly
         dec = (
             adj.join(nd.withColumnRenamed("vid", "nbr"), "nbr")

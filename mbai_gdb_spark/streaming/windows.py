@@ -80,8 +80,15 @@ def run_streaming_latest_per_user(
     table via :func:`io.merge_upsert` keyed on user_id — the
     aggregation/sink composition a CDC-style "latest state" pipeline
     uses.  Replay-safe: re-delivered rows re-derive the same winner
-    and the upsert is idempotent.  Returns the final table."""
-    from mbai_gdb_spark.io import merge_upsert
+    and the upsert is idempotent.  Returns the final table.
+
+    The sink is pinned to ``backend='parquet'`` so the read-back below
+    is always valid: auto-selecting Delta in a Delta-enabled session
+    would leave superseded file versions that a plain parquet read
+    resurrects as duplicate rows.  A Delta deployment should pass its
+    own foreachBatch sink (MERGE INTO) and read the table back through
+    the Delta reader instead."""
+    from mbai_gdb_spark.io import _path_has_data, merge_upsert
 
     stream = (
         spark.readStream.schema(schema)
@@ -90,7 +97,7 @@ def run_streaming_latest_per_user(
     )
 
     def upsert_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        merge_upsert(batch_df, out_path, ["user_id"], spark)
+        merge_upsert(batch_df, out_path, ["user_id"], spark, backend="parquet")
 
     q = (
         streaming_latest_per_user(stream)
@@ -101,4 +108,10 @@ def run_streaming_latest_per_user(
         .start()
     )
     q.awaitTermination()
+    if not _path_has_data(out_path):
+        # Zero input rows: no batch ever wrote, so the dataset dir may
+        # not exist — return an empty frame of the output schema
+        # instead of letting the read throw PATH_NOT_FOUND.
+        empty_src = spark.createDataFrame([], schema)
+        return spark.createDataFrame([], streaming_latest_per_user(empty_src).schema)
     return spark.read.parquet(out_path)

@@ -196,3 +196,18 @@ def test_streaming_latest_per_user_matches_batch_w10(spark, tmp_path):
     g = sorted(map(tuple, got.collect()))
     w = sorted(map(tuple, want.collect()))
     assert g == w and len(g) > 0
+
+
+def test_streaming_latest_per_user_empty_source(spark, tmp_path):
+    """Zero input rows: an empty frame of the output schema, not
+    PATH_NOT_FOUND."""
+    from mbai_gdb_spark.streaming.windows import run_streaming_latest_per_user
+
+    src = str(tmp_path / "ev")
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    spark.createDataFrame([], schema).write.parquet(src)  # dir exists, 0 rows
+    got = run_streaming_latest_per_user(
+        spark, src, schema, str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    assert got.count() == 0
+    assert got.columns == ["user_id", "event_id", "ts", "event_type", "value"]

@@ -61,8 +61,14 @@ def _salvage(tail: str, path: str) -> dict[str, dict[str, float]]:
         warm_txt, cold_txt = tail[:pos_qc], tail[pos_qc:]
     else:
         warm_txt, cold_txt = "", tail
-    warm = {k: float(v) for k, v in _PAIR.findall(warm_txt)}
-    cold = {k: float(v) for k, v in _PAIR.findall(cold_txt)}
+    # Non-query keys that can leak into a salvage window when the tail
+    # boundary lands inside scale_guard (its own key already lost) or
+    # before top-level scalars — never timings, always dropped.
+    junk = re.compile(
+        r"^(games_per_sec_|wall_ratio_|sf$|data_ratio$|max_wall_ratio$|value$)"
+    )
+    warm = {k: float(v) for k, v in _PAIR.findall(warm_txt) if not junk.match(k)}
+    cold = {k: float(v) for k, v in _PAIR.findall(cold_txt) if not junk.match(k)}
     print(
         f"note: {path} is a truncated driver capture - salvaged "
         f"{len(warm)} warm + {len(cold)} cold entries (head lost)",
@@ -103,6 +109,10 @@ def main() -> int:
         print("error: no comparable section present in both files", file=sys.stderr)
         return 2
     shared = sorted(set(old) & set(new))
+    if not shared:
+        print("error: the files share no query names in the compared "
+              "section - nothing to diff", file=sys.stderr)
+        return 2
     flagged = []
     for q in shared:
         r = new[q] / old[q] if old[q] else float("inf")

@@ -121,7 +121,12 @@ def deep_tail(spark, n_cliques: int, tail: int, size: int = 30, d: int = 4):
                 )
             ).alias("dst"),
         )
-        .filter(F.col("src") < F.col("dst"))
+        # last band vertex: sequence(start > stop) runs DESCENDING and
+        # would add a phantom edge to offset+tail — bound dst explicitly
+        .filter(
+            (F.col("src") < F.col("dst"))
+            & (F.col("dst") <= offset + tail - 1)
+        )
     )
     return clique_field(spark, n_cliques).unionByName(band)
 
