@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet, then compares row count, column names/order
 (sorted), and an order-insensitive value hash.  Usage:
 
-    python tools/check_parity.py [sf_dir] [query_name ...]
+    python tools/check_parity.py [--virgin] [--head] [sf_dir] [query_name ...]
+
+``--virgin`` uses a PLAIN untuned SparkSession exactly like the
+evaluation driver does (queries must self-tune — timezone, parquet
+nanosAsLong — via mbai_gdb_spark.session.tune); the default tuned
+session is faster for bulk sweeps.  ``--head`` restricts to the first
+50 registry entries — the driver's certification window.
 """
 
 from __future__ import annotations
@@ -46,13 +52,23 @@ def _value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    virgin = "--virgin" in args
+    head_only = "--head" in args
+    args = [a for a in args if a not in ("--virgin", "--head")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     import __spark_entry__ as entry_mod
-    from mbai_gdb_spark.session import get_spark
 
-    spark = get_spark("parity-check")
+    if virgin:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from mbai_gdb_spark.session import get_spark
+
+        spark = get_spark("parity-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -60,6 +76,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs = entry_mod.queries()
+    if head_only:
+        qs = dict(list(qs.items())[:50])
     oracles = entry_mod.oracle_sql()
     failures = []
     for name, fn in sorted(qs.items()):
