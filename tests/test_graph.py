@@ -221,3 +221,47 @@ def test_kcore_reliable_checkpoint_matches_local(spark, tmp_path):
     import glob
 
     assert glob.glob(str(tmp_path / "ckpt" / "*" / "rdd-*"))
+
+
+def _py_kcore(edge_set: set[tuple[int, int]], k: int) -> dict[int, int]:
+    """Reference peel in pure Python: repeatedly drop vertices with
+    degree < k; return {vertex: within-core degree}."""
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_set:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    changed = True
+    while changed:
+        changed = False
+        for v in [x for x, nb in adj.items() if len(nb) < k]:
+            for n in adj.pop(v):
+                adj[n].discard(v)
+            changed = True
+    return {v: len(nb) for v, nb in adj.items()}
+
+
+def test_kcore_property_vs_pure_python(spark):
+    """Delta-peel kcore == reference Python peel on seeded random
+    graphs across several densities and k values (the round-7 rewrite's
+    highest-assurance check: the k-core is unique, so any divergence is
+    a bug, not an ordering artifact)."""
+    from mbai_gdb_spark.ops.graph import kcore
+
+    for seed in (7, 41, 1303):
+        for n, m in ((12, 20), (25, 70), (40, 200)):
+            x = seed
+            edges = set()
+            while len(edges) < m:
+                x = (x * 48271 + 11) % 2_147_483_647
+                u = x % n
+                x = (x * 48271 + 11) % 2_147_483_647
+                v = x % n
+                if u != v:
+                    edges.add((min(u, v), max(u, v)))
+            df = spark.createDataFrame(sorted(edges), "src long, dst long")
+            for k in (2, 3, 4):
+                want = _py_kcore(edges, k)
+                got = {
+                    r.vertex: r.core_degree for r in kcore(df, k).collect()
+                }
+                assert got == want, (seed, n, m, k)
