@@ -1,0 +1,113 @@
+"""Unit tests for tools/bench_compare.py's section-labeled salvage —
+the logic that twice regressed in round-7 review: truncated driver
+tails must never mislabel cold/sf1/scale-guard numbers as warm query
+timings."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+_spec = importlib.util.spec_from_file_location(
+    "bench_compare",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "tools", "bench_compare.py"),
+)
+bc = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bc)
+
+
+def _full_line(warm, cold, sf1=True):
+    out = {
+        "metric": "headline_queries_total",
+        "value": sum(warm.values()),
+        "unit": "sec",
+        "queries": warm,
+        "queries_cold": cold,
+        "scale_guard": {
+            "games_per_sec_20": 5.4,
+            "wall_ratio_200_over_20": 1.32,
+            "superlinear": False,
+        },
+        "sf": 0.1,
+    }
+    if sf1:
+        out["sf1"] = {
+            "sf1_dir": "/x/sf1",
+            "data_ratio": 10.0,
+            "queries_cold": {"q_a": 9.5},
+            "queries": {"q_a": 8.8},
+            "wall_ratio_warm_over_sf0.1_warm": {"q_a": 4.0},
+            "max_wall_ratio": 4.0,
+        }
+    return json.dumps(out)
+
+
+WARM = {"q_a": 2.2, "q_b": 0.5}
+COLD = {"q_a": 3.1, "q_b": 0.9}
+
+
+def test_salvage_tail_starting_mid_warm():
+    line = _full_line(WARM, COLD)
+    tail = line[line.find('"q_b": 0.5') :]  # mid-warm: q_a's warm pair lost
+    got = bc._salvage(tail, "x.json")
+    assert got["queries"] == {"q_b": 0.5}
+    assert got["queries_cold"] == COLD  # complete, and NOT polluted by sf1
+
+
+def test_salvage_tail_starting_mid_cold():
+    line = _full_line(WARM, COLD)
+    # Past the top-level queries_cold KEY: inside the cold map value.
+    tail = line[line.find('"q_b": 0.9') :]
+    got = bc._salvage(tail, "x.json")
+    assert got["queries"] == {}
+    assert got["queries_cold"] == {"q_b": 0.9}  # no sf1/scale-guard leakage
+
+
+def test_salvage_tail_inside_scale_guard_yields_no_fake_queries():
+    line = _full_line(WARM, COLD)
+    tail = line[line.find('"games_per_sec_20"') :]
+    got = bc._salvage(tail, "x.json")
+    # scale-guard numbers are junk-filtered; only sf1 markers remain,
+    # and sf1 content is cut before parsing.
+    assert got["queries"] == {} and got["queries_cold"] == {}
+
+
+def test_salvage_tail_entirely_inside_sf1_refuses():
+    line = _full_line(WARM, COLD)
+    tail = line[line.find('"sf1_dir"') :]
+    got = bc._salvage(tail, "x.json")
+    assert got["queries"] == {} and got["queries_cold"] == {}
+
+
+def test_load_full_file_and_truncated_wrapper(tmp_path):
+    full = tmp_path / "full.json"
+    full.write_text(_full_line(WARM, COLD))
+    doc = bc._load(str(full))
+    assert doc["queries"] == WARM and doc["queries_cold"] == COLD
+
+    line = _full_line(WARM, COLD)
+    wrapper = tmp_path / "trunc.json"
+    wrapper.write_text(json.dumps({"parsed": None, "tail": line[-200:]}))
+    doc = bc._load(str(wrapper))
+    # Whatever survived, nothing warm can be mislabeled: the 200-char
+    # tail holds only sf1 content, which must salvage to nothing.
+    assert doc["queries"] == {} and doc["queries_cold"] == {}
+
+
+def test_main_exit_codes(tmp_path, capsys, monkeypatch):
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text(_full_line({"q_a": 1.0}, {"q_a": 1.5}, sf1=False))
+    b.write_text(_full_line({"q_a": 2.0}, {"q_a": 1.6}, sf1=False))
+    monkeypatch.setattr(sys, "argv", ["bench_compare", str(a), str(b), "1.3"])
+    assert bc.main() == 1  # 2.0/1.0 > 1.3 -> regression flagged
+    monkeypatch.setattr(sys, "argv", ["bench_compare", str(a), str(b), "3.0"])
+    assert bc.main() == 0
+    # Disjoint query names: diagnostic exit 2, not ZeroDivisionError.
+    c = tmp_path / "c.json"
+    c.write_text(_full_line({"q_z": 1.0}, {"q_z": 1.5}, sf1=False))
+    monkeypatch.setattr(sys, "argv", ["bench_compare", str(a), str(c)])
+    assert bc.main() == 2
