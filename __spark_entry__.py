@@ -35,78 +35,81 @@ def entry(spark: SparkSession) -> DataFrame:
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
-# Queries ADDED in round 7 (j13_bloom_smj_revenue, ...) are r8
-# rotation candidates; they are check_parity-certified locally until
-# their driver slot comes up.
+# The one round-7 addition (j13_bloom_smj_revenue) takes the first
+# non-anchor slot of the round-8 head below, closing the ledger at
+# 149/149 driver-certified.
 #
-# Round-7 head (exactly 50): the flagship anchor; the 4 round-6-late
-# additions that have never had a driver row; then every remaining
-# query whose latest driver row is r01/r02 (q18_large_orders is the
-# lone r01; 44 are r02-latest). ROTATION COMPLETE: after the r7
-# driver run, all 148 pre-r7 registry queries hold a green driver
-# CORRECTNESS row from r04 or later (distribution after r7: 50xr07,
-# 50xr06, 48xr05). Future rounds only need to certify queries added
-# or changed since (r7 additions listed above); the full registry is
-# still re-verified locally every round by tools/check_parity.py.
-_HEAD_R7 = [
+# Round-8 head (exactly 50): the flagship anchor; the single
+# never-driver-certified query (`j13_bloom_smj_revenue`, added r7 —
+# the sole rotation candidate per tools/rotation_status.py); then 48
+# freshness refreshes drawn from the 49 queries whose latest driver
+# row is r05 (the oldest tier; `q12_late_shipment_priority` stays at
+# its green r05 row — 49 candidates, 48 slots). ROTATION COMPLETE
+# since r7: every pre-r8 registry query holds a green driver
+# CORRECTNESS row (post-r7 distribution: 50xr07, 49xr06, 49xr05,
+# 1 NEVER = j13_bloom_smj_revenue, certified here). Future rounds
+# only need to certify queries added or changed since; the full
+# registry is still re-verified locally every round by
+# tools/check_parity.py.
+_HEAD_R8 = [
     # standing anchor
     "flagship_session_attribution",
-    # round-6-late additions, never driver-checked (4)
-    "export_safetensors_manifest",
-    "cdc_apply_changelog",
-    "text_unicode_profile",
-    "dedup_exact_normalized",
-    # backfills whose latest driver row is r01/r02 (45)
-    "a5_nation_customer_rollup",
-    "a7_distinct_segments",
-    "j1_region_revenue",
-    "j5_local_supplier_revenue",
-    "j6_customer_order_counts",
-    "j8_customers_without_orders",
-    "j9_customers_with_urgent_orders",
-    "w10_latest_event_per_user",
-    "o3_top10_customers_by_revenue",
-    "j7_asof_click_to_view",
-    "j3_purchases_in_sessions",
-    "u1_union_trading_nations",
-    "f_string_part_features",
-    "f_datetime_orders",
-    "f_json_event_props",
-    "j10_motif_customer_supplier_nation",
-    "graph_bfs_trade_hops",
-    "f_array_ops",
-    "a10_rollup_revenue",
-    "a11_quantity_percentiles",
-    "tpch_scalar_suite",
-    "q18_large_orders",
-    "nba_score_chain",
-    "nba_action_next_chain",
-    "nba_rebound_attribution",
-    "nba_season_next_game",
-    "nba_player_dimension",
-    "nba_export_edge_index",
-    "nba_possessions",
-    "nba_team_graph",
-    "text_profile",
-    "text_fingerprint",
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "sim_lsh_neighbors",
-    "mm_binary_metadata",
-    "dedup_embedding_cosine",
-    "text_bpe_token_count",
-    "text_repetition",
-    "sketch_kmv_distinct",
-    "sample_stratified_documents",
-    "decontam_eval_overlap",
-    "pack_sequences",
-    "text_top_ngrams",
+    # round-7 addition, never driver-checked (1) — closes the ledger
+    "j13_bloom_smj_revenue",
+    # freshness refreshes: latest driver row r05 (48 of 49)
+    "a1_pricing_summary",
+    "a4_conditional_event_sums",
+    "j3_lineitem_ship_window",
+    "w1_next_event_chain",
+    "w5_sessionize_events",
+    "w8_running_total_reset",
+    "w7_priority_ordered_chain",
+    "a2_order_span_per_customer",
+    "j12_concurrent_sessions",
+    "w13_ranking_family",
+    "funnel_view_click_purchase",
+    "io_merge_idempotent",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "w14_cohort_weekly_retention",
+    "w15_gap_fill",
+    "w16_rolling_7d",
+    "a12_cube_revenue",
+    "a13_pivot_order_matrix",
+    "u2_set_ops_customers",
+    "a14_corr_qty_price",
+    "w17_scd2_user_value",
+    "graph_kcore_profile",
+    "a15_mode_order_priority",
+    "a16_revenue_share",
+    "nba_lineup_plus_minus",
+    "nba_player_stints",
+    "dedup_minhash_lsh",
+    "sim_matmul_top5",
+    "emb_random_projection",
+    "sim_ivf_top5",
+    "dedup_minhash_clusters",
+    "sketch_decimal_quantiles",
+    "shuffle_shards",
+    "decontam_bloom",
+    "curate_corpus",
+    "mm_decode_image",
+    "mm_decode_audio",
+    "sketch_cms_token_freq",
+    "search_tfidf_topk",
+    "sketch_heavy_hitters",
+    "text_mlm_mask",
+    "emb_pq_codes",
+    "sim_pq_adc_top5",
+    "text_quality_tiers",
+    "text_bpe_merges",
+    "sample_negatives",
+    "dedup_typo_pairs",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: QUERIES[k] for k in _HEAD_R7 if k in QUERIES}
+    head = {k: QUERIES[k] for k in _HEAD_R8 if k in QUERIES}
     tail = {k: v for k, v in QUERIES.items() if k not in head}
     return {**head, **tail}
 
