@@ -257,9 +257,19 @@ def _merge_upsert_delta(
     multi-writer clusters and object stores are safe — the one
     local[32]→cluster delta the parquet backend's own docstring
     names.  Schema evolution maps to Delta's autoMerge (scoped to this
-    merge, restored after); the strict default lets Delta raise on
-    any batch/table schema mismatch, matching the parquet backend's
-    fail-loudly stance."""
+    merge, restored after).
+
+    Both backends honour the SAME matched-row contract: a matched row
+    is REPLACED by the batch row, so under evolution a batch MISSING
+    columns the table has leaves those columns NULL on its rows.
+    Delta's ``whenMatchedUpdateAll`` would instead leave target-only
+    columns UNCHANGED for matched keys, so the update uses an explicit
+    column map (source columns from the batch, target-only columns set
+    to a typed NULL).  The strict default fails loudly on ANY
+    batch/table column-set mismatch — Delta raises on extra batch
+    columns by itself, but silently part-updates on narrow batches, so
+    narrowness is checked here to match the parquet backend's
+    ``unionByName(allowMissingColumns=False)`` stance."""
     from delta.tables import DeltaTable
 
     batch = df.dropDuplicates(key_cols)
@@ -287,6 +297,18 @@ def _merge_upsert_delta(
             if not DeltaTable.isDeltaTable(spark, path):
                 raise  # genuine failure, not a lost create race
             # fall through to the MERGE path against the winner's table
+    target = DeltaTable.forPath(spark, path)
+    target_fields = {f.name: f for f in target.toDF().schema.fields}
+    src_cols = batch.columns
+    missing = [c for c in target_fields if c not in src_cols]
+    if missing and not allow_schema_evolution:
+        # Delta's MERGE would silently leave these columns untouched on
+        # matched rows; the parquet backend's strict unionByName raises.
+        raise ValueError(
+            f"batch is missing table columns {missing}; pass "
+            "allow_schema_evolution=True to merge (missing columns "
+            "become NULL on the batch's rows) or widen the batch"
+        )
     conf_key = "spark.databricks.delta.schema.autoMerge.enabled"
     prev = None
     try:
@@ -297,11 +319,17 @@ def _merge_upsert_delta(
         if allow_schema_evolution:
             spark.conf.set(conf_key, "true")
         cond = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in key_cols)
+        # Matched rows are whole-row REPLACED (the parquet backend's
+        # contract): batch columns from the source, target-only columns
+        # to a typed NULL.  whenMatchedUpdateAll would leave target-only
+        # columns unchanged — a per-backend divergence.
+        set_map: dict[str, "Column"] = {c: F.col(f"s.`{c}`") for c in src_cols}
+        for c in missing:
+            set_map[c] = F.lit(None).cast(target_fields[c].dataType)
         (
-            DeltaTable.forPath(spark, path)
-            .alias("t")
+            target.alias("t")
             .merge(batch.alias("s"), cond)
-            .whenMatchedUpdateAll()
+            .whenMatchedUpdate(set=set_map)
             .whenNotMatchedInsertAll()
             .execute()
         )

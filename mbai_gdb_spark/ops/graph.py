@@ -449,6 +449,19 @@ def _kcore_peel(
         )
         if (i + 1) % checkpoint_every == 0:
             alive = alive.transform(_ckpt)  # small vertex table
+    else:
+        # Loop exhausted max_iter without hitting the n_new == 0 exit.
+        # Peel depth is linear in the graph (unlike CC's O(log d)
+        # doubling), so a deep-cascade graph CAN outlast the budget —
+        # and a silent return here would hand callers vertices with
+        # deg < k and inflated core degrees.  One extra bounded scalar
+        # on this path only, honoring the convergence contract.
+        if alive.filter(F.col("deg") < k).limit(1).count() > 0:
+            raise RuntimeError(
+                f"k-core peel (k={k}) did not converge within "
+                f"max_iter={max_iter} rounds; raise max_iter (peel "
+                "depth is linear in cascade length)"
+            )
     return alive
 
 

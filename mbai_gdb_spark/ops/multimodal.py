@@ -422,6 +422,11 @@ def _gif_decode(b: bytes):
 # module, which runs in every worker's re-import too.
 _CUSTOM_DECODERS: list = []
 
+# The PIL entries currently installed by install_native_codecs — kept
+# so a re-install replaces its own prior registrations (idempotent)
+# without ever touching user-registered decoders for the same formats.
+_NATIVE_CODEC_ENTRIES: list = []
+
 
 def register_decoder(fmt: str, fn) -> None:
     """Install a custom decode kernel ahead of the pure-Python chain.
@@ -496,7 +501,12 @@ def install_native_codecs() -> bool:
     and this swap — or a libjpeg-turbo/nvJPEG kernel via
     :func:`register_decoder` — is the scale path.  Every wrapper
     sniffs magic bytes first and declines (returns None) on a format
-    mismatch or PIL failure, so the pure chain remains the fallback."""
+    mismatch or PIL failure, so the pure chain remains the fallback.
+
+    Idempotent: repeated calls (or an explicit call on top of the
+    env-hook install) re-register in place instead of stacking
+    duplicate entries — every duplicate would otherwise ship inside
+    each plan-time captured chain closure."""
     import importlib.util
 
     if importlib.util.find_spec("PIL") is None:
@@ -521,13 +531,22 @@ def install_native_codecs() -> bool:
 
         return _decode
 
+    # Remove exactly OUR previous entries (never a user's own decoder
+    # for the same format) before re-registering — repeat installs stay
+    # a no-op for chain length.
+    _CUSTOM_DECODERS[:] = [
+        e for e in _CUSTOM_DECODERS if e not in _NATIVE_CODEC_ENTRIES
+    ]
+    _NATIVE_CODEC_ENTRIES.clear()
     for fmt, magic in (
         ("png", (b"\x89PNG\r\n\x1a\n",)),
         ("jpeg", (b"\xff\xd8\xff",)),
         ("gif", (b"GIF87a", b"GIF89a")),
         ("bmp", (b"BM",)),
     ):
-        register_decoder(fmt, _make(fmt, magic))
+        entry = (fmt, _make(fmt, magic))
+        _NATIVE_CODEC_ENTRIES.append(entry)
+        _CUSTOM_DECODERS.insert(0, entry)
     return True
 
 

@@ -399,6 +399,29 @@ def test_merge_upsert_schema_evolution(spark, tmp_path, merge_backend):
         for r in _read_merged(spark, path, merge_backend).collect()
     }
     assert got[3] == ("c", None) and got[2] == ("b", 9.5)
+    # Narrow-batch UPDATE of a matched key: the contract is whole-row
+    # replace, so the target-only column goes NULL on the updated row —
+    # identically on BOTH backends (Delta's whenMatchedUpdateAll would
+    # instead have kept score=9.5; the adapter uses an explicit column
+    # map precisely to avoid that divergence).
+    merge_upsert(
+        spark.createDataFrame([(2, "B3")], "k long, v string"),
+        path, ["k"], spark,
+        allow_schema_evolution=True, backend=merge_backend,
+    )
+    got = {
+        r.k: (r.v, r.score)
+        for r in _read_merged(spark, path, merge_backend).collect()
+    }
+    assert got == {1: ("a", None), 2: ("B3", None), 3: ("c", None)}
+    # And WITHOUT evolution a narrow batch fails loudly on both
+    # backends (parquet via strict unionByName, delta via the explicit
+    # missing-column check) instead of part-updating.
+    with pytest.raises(Exception):
+        merge_upsert(
+            spark.createDataFrame([(2, "nope")], "k long, v string"),
+            path, ["k"], spark, backend=merge_backend,
+        )
 
 
 def test_vacuum_dataset_live_lock_blocks_everything(spark, tmp_path):
