@@ -195,10 +195,129 @@ def _persist_full_battery(out: dict) -> None:
         print(f"bench: full-battery persist skipped: {exc}", file=sys.stderr)
 
 
+def _isolated_single(name: str, sf_dir: str) -> None:
+    """Run ONE named entry in THIS fresh process (new JVM: no battery
+    residue, no shared codegen cache) and print {"name", "cold",
+    "warm"}.  Supports every QUERIES entry plus the synthetic
+    ``nba_game_pipeline_<n>`` tiers.  Invoked by --isolate via a
+    subprocess per run; the same JVM warm-up the battery does (one
+    throwaway query) is paid first so "cold" means cold QUERY, not
+    cold JVM."""
+    import mbai_gdb_spark.queries_north  # noqa: F401
+    from mbai_gdb_spark.queries import QUERIES
+    from mbai_gdb_spark.session import get_spark
+
+    spark = get_spark("bench-isolated")
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["a1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    m = re.fullmatch(r"nba_game_pipeline_(\d+)", name)
+    if m:
+        n = int(m.group(1))
+        cold = _bench_nba_pipeline(spark, n)
+        warm = _bench_nba_pipeline(spark, n)
+    else:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        warm = time.perf_counter() - t0
+    print(json.dumps({"name": name, "cold": round(cold, 3), "warm": round(warm, 3)}))
+
+
+def _run_isolated(names: list[str], runs: int, sf_dir: str) -> dict:
+    """Fan each name out to ``runs`` fresh subprocesses (one cold+warm
+    pair per process) and collect {"cold": [...], "warm": [...]} lists —
+    the isolated counterpart the verdicts asked for so battery
+    interference and genuine regressions can be told apart without
+    manual A/Bs."""
+    import subprocess
+
+    out: dict[str, dict] = {}
+    for name in names:
+        colds: list[float] = []
+        warms: list[float] = []
+        for _ in range(runs):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolated-single", name],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            )
+            line = next(
+                (
+                    ln
+                    for ln in reversed(proc.stdout.strip().splitlines())
+                    if ln.startswith("{")
+                ),
+                None,
+            )
+            if line is None:
+                print(
+                    f"bench: isolated run of {name} produced no JSON "
+                    f"(rc={proc.returncode}): {proc.stderr[-500:]}",
+                    file=sys.stderr,
+                )
+                continue
+            rec = json.loads(line)
+            colds.append(rec["cold"])
+            warms.append(rec["warm"])
+        out[name] = {"cold": colds, "warm": warms}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    # Optional flags (the driver's plain `python bench.py` sees none):
+    #   --isolated-single NAME   internal: one fresh-JVM cold+warm run
+    #   --isolate a,b[,...]      after the battery, re-run these names
+    #                            isolated (fresh subprocess each) and
+    #                            record both numbers under "isolated"
+    #   --isolate-only a,b       skip the battery; isolated runs only
+    #   --isolate-runs N         subprocesses per name (default 3)
+    argv = sys.argv[1:]
+    isolate_names: list[str] = []
+    isolate_only = False
+    isolate_runs = 3
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--isolated-single":
+            _isolated_single(argv[i + 1], sf_dir)
+            return
+        if a in ("--isolate", "--isolate-only"):
+            isolate_names = [s for s in argv[i + 1].split(",") if s]
+            isolate_only = a == "--isolate-only"
+            i += 2
+            continue
+        if a == "--isolate-runs":
+            isolate_runs = int(argv[i + 1])
+            i += 2
+            continue
+        raise SystemExit(f"bench.py: unknown argument {a!r}")
+
+    if isolate_only:
+        isolated = _run_isolated(isolate_names, isolate_runs, sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "isolated_queries",
+                    "value": 0.0,
+                    "unit": "sec",
+                    "queries": {},
+                    "isolated": isolated,
+                    "sf": sf,
+                }
+            )
+        )
+        return
 
     import mbai_gdb_spark.queries_north  # noqa: F401  (registers north-star queries)
     from mbai_gdb_spark.queries import QUERIES
@@ -350,6 +469,11 @@ def main() -> None:
     }
     if sf1_section is not None:
         out["sf1"] = sf1_section
+    if isolate_names:
+        # After the battery: the same names re-measured in fresh
+        # subprocesses, so future verdicts can separate battery
+        # interference from a real regression with one run.
+        out["isolated"] = _run_isolated(isolate_names, isolate_runs, sf_dir)
     print(json.dumps(out))
     _persist_full_battery(out)
     if superlinear:
