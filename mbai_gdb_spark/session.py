@@ -88,4 +88,34 @@ def get_spark(
         )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
+    builder = _maybe_enable_delta(builder)
     return builder.getOrCreate()
+
+
+def _maybe_enable_delta(builder):
+    """Wire the Delta Lake SQL extension + catalog into the builder when
+    delta-spark is importable (set ``$SPARK_GRAFT_DELTA=off`` to skip).
+    This is what lets the parameterized Delta test legs un-skip with
+    nothing more than ``pip install delta-spark``: session extensions
+    are STATIC confs, so they must land here, before the session
+    exists.  No-op in environments without the library (this sandbox),
+    and never fails session construction — Delta is an optional
+    backend, not a dependency."""
+    if os.environ.get("SPARK_GRAFT_DELTA", "auto") == "off":
+        return builder
+    import importlib.util
+
+    if importlib.util.find_spec("delta") is None:
+        return builder
+    try:
+        from delta import configure_spark_with_delta_pip
+
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        return configure_spark_with_delta_pip(builder)
+    except Exception:
+        return builder
