@@ -31,13 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 149 oracle-bearing queries, so the 50-slot window ROTATES each
+# 150 oracle-bearing queries, so the 50-slot window ROTATES each
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
 # The one round-7 addition (j13_bloom_smj_revenue) takes the first
-# non-anchor slot of the round-8 head below, closing the ledger at
-# 149/149 driver-certified.
+# non-anchor slot of the round-8 head below, closing the pre-r8 ledger
+# at 149/149 driver-certified; the round-8 addition (search_bm25_topk)
+# is the r9 rotation candidate, check_parity-certified locally until
+# its driver slot comes up.
 #
 # Round-8 head (exactly 50): the flagship anchor; the single
 # never-driver-certified query (`j13_bloom_smj_revenue`, added r7 —

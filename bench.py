@@ -105,6 +105,8 @@ HEADLINE = [
     "dedup_exact_normalized",
     # Round-7 additions: Bloom prune in its sort-merge regime
     "j13_bloom_smj_revenue",
+    # Round-8 additions: integer-exact Okapi BM25 ranked retrieval
+    "search_bm25_topk",
 ]
 
 

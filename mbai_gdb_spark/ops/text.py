@@ -400,6 +400,92 @@ def search_topk_invdf(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 10,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval (k1=1.2, b=0.75) over the same
+    inverted index as :func:`search_topk_invdf` — (query_id, rank,
+    doc_id, score) — in EXACT integer arithmetic so an external engine
+    reproduces every score bit-for-bit.
+
+    The float formulation ``idf(t) * tf*(k1+1) / (tf + k1*(1-b +
+    b*dl/avgdl))`` becomes, after multiplying through by 10 (k1, b and
+    their products are then integral):
+
+    - ``idf_i   = ((2N - 2df + 1) * idf_scale) div (2df + 1)``
+      (Robertson's ``ln((N-df+.5)/(df+.5))`` argument as a scaled
+      rational — same monotone ordering, no libm in the ranking);
+    - ``norm_d  = (9 * dl * N) div T``  — the per-document length term
+      ``10*k1*b*dl/avgdl`` with ``avgdl = T/N``, quantized once per
+      document (floor; deterministic in any engine);
+    - ``score  += (idf_i * 22 * tf) div (10*tf + 3 + norm_d)`` per
+      matched term (``22 = 10*(k1+1)``, ``3 = 10*k1*(1-b)``).
+
+    Plan shape at scale — identical to the tf-idf search: postings are
+    one explode + hash-groupBy (built once, reusable), the query term
+    set broadcasts so only queried postings are touched, document
+    lengths join the (tiny) hit set on doc_id, and top-k is a
+    per-query row_number window.  N and T are two bounded driver
+    scalars folded into the plan as literals."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    postings = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.count()  # bounded scalar
+    total_toks = doc_len.agg(F.sum("dl")).first()[0] or 1  # bounded scalar
+    qterms = (
+        queries_df.select(
+            F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    hits = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(df_t, "term")
+        .join(doc_len, id_col)
+        .withColumn(
+            "idf_i",
+            F.expr(
+                f"(CAST({2 * n_docs} AS BIGINT) - 2*df + 1) * {idf_scale}"
+                " div (2*df + 1)"
+            ),
+        )
+        .withColumn(
+            "norm_d",
+            F.expr(f"9 * dl * CAST({n_docs} AS BIGINT) div {total_toks}"),
+        )
+        .withColumn(
+            "contrib",
+            F.expr("idf_i * 22 * tf div (10*tf + 3 + norm_d)"),
+        )
+    )
+    scores = hits.groupBy(query_id_col, id_col).agg(
+        F.sum("contrib").alias("score")
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, "rank", id_col, F.col("score").cast("long").alias("score")
+        )
+    )
+
+
 def mlm_mask(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -176,3 +176,97 @@ def test_bpe_merge_fold_semantics(spark):
     assert out[0] == ["aa", "a"]      # leftmost-first, non-overlapping
     assert out[1] == ["b", "a", "b", "a"]
     assert out[2] == ["x"]
+
+
+# ---------------------------------------------------------------------------
+# BM25 (round 8): integer-exact Okapi ranking, ops.text.bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def _bm25_ref(doc_rows, query_rows, k=10, scale=10**6):
+    """Pure-Python reference of the documented integer formula."""
+    toks = {d: t.split() for d, t in doc_rows}
+    n = len(doc_rows)
+    dl = {d: len(ts) for d, ts in toks.items()}
+    total = sum(dl.values()) or 1
+    postings: dict[str, dict[int, int]] = {}
+    for d, ts in toks.items():
+        for t in ts:
+            postings.setdefault(t, {}).setdefault(d, 0)
+            postings[t][d] += 1
+    out = {}
+    for qid, qtext in query_rows:
+        scores: dict[int, int] = {}
+        for t in set(qtext.split()):
+            docs_t = postings.get(t, {})
+            df = len(docs_t)
+            if not df:
+                continue
+            idf = ((2 * n - 2 * df + 1) * scale) // (2 * df + 1)
+            for d, tf in docs_t.items():
+                norm = (9 * dl[d] * n) // total
+                scores[d] = scores.get(d, 0) + (idf * 22 * tf) // (
+                    10 * tf + 3 + norm
+                )
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(i + 1, d, s) for i, (d, s) in enumerate(ranked)]
+    return out
+
+
+def _run_bm25(spark, doc_rows, query_rows, k=10):
+    from mbai_gdb_spark.ops.text import bm25_topk
+
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    qs = spark.createDataFrame(query_rows, "query_id string, qtext string")
+    return bm25_topk(docs, qs, k=k)
+
+
+def test_bm25_matches_integer_reference(spark):
+    doc_rows = [
+        (1, "the zebra sleeps"),
+        (2, "the the the the cat naps on the mat all day long today"),
+        (3, "zebra zebra zebra zebra zebra zebra"),
+        (4, "a quiet dog"),
+    ]
+    query_rows = [("q1", "the zebra"), ("q2", "dog"), ("q3", "unicorn dog")]
+    got: dict[str, list] = {}
+    for r in _run_bm25(spark, doc_rows, query_rows).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for qid in got:
+        got[qid].sort()
+    expected = _bm25_ref(doc_rows, query_rows)
+    assert got == {q: v for q, v in expected.items() if v}
+    # q3: 'unicorn' matches nothing; 'dog' still scores doc 4.
+    assert [d for _, d, _ in got["q3"]] == [4]
+
+
+def test_bm25_length_normalization_prefers_shorter_doc(spark):
+    # Same tf for the query term; the shorter document must outrank the
+    # longer one — the behavior tf-idf (search_topk_invdf) cannot give.
+    from mbai_gdb_spark.ops.text import search_topk_invdf
+
+    doc_rows = [
+        (1, "needle haystack"),
+        (2, "needle " + " ".join(f"w{i}" for i in range(40))),
+    ]
+    query_rows = [("q", "needle")]
+    rows = sorted(_run_bm25(spark, doc_rows, query_rows).collect(), key=lambda r: r.rank)
+    assert [r.doc_id for r in rows] == [1, 2]
+    assert rows[0].score > rows[1].score
+    # tf-idf scores the two docs identically (tf=1, same idf).
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    qs = spark.createDataFrame(query_rows, "query_id string, qtext string")
+    ti = {r.doc_id: r.score for r in search_topk_invdf(docs, qs).collect()}
+    assert ti[1] == ti[2]
+
+
+def test_bm25_tf_saturates(spark):
+    # k1 saturation: 8x the term count must yield far less than 8x the
+    # score (monotone but concave in tf).
+    doc_rows = [
+        (1, "term filler filler filler filler filler filler filler"),
+        (2, " ".join(["term"] * 8)),
+    ]
+    rows = {r.doc_id: r.score for r in _run_bm25(spark, doc_rows, [("q", "term")]).collect()}
+    assert rows[2] > rows[1]              # more occurrences still wins
+    assert rows[2] < 4 * rows[1]          # but saturates well below linear
