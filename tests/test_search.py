@@ -270,3 +270,26 @@ def test_bm25_tf_saturates(spark):
     rows = {r.doc_id: r.score for r in _run_bm25(spark, doc_rows, [("q", "term")]).collect()}
     assert rows[2] > rows[1]              # more occurrences still wins
     assert rows[2] < 4 * rows[1]          # but saturates well below linear
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+_doc_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+_corpus = st.lists(_doc_text, min_size=1, max_size=8).map(
+    lambda texts: [(i, t) for i, t in enumerate(texts)]
+)
+_query = st.lists(_word, min_size=1, max_size=3).map(" ".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus, _query)
+def test_bm25_property_matches_reference(spark, doc_rows, qtext):
+    got: dict[str, list] = {}
+    for r in _run_bm25(spark, doc_rows, [("q", qtext)]).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score))
+    for v in got.values():
+        v.sort()
+    expected = {k: v for k, v in _bm25_ref(doc_rows, [("q", qtext)]).items() if v}
+    assert got == expected
