@@ -35,30 +35,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
-# The one round-7 addition (j13_bloom_smj_revenue) takes the first
-# non-anchor slot of the round-8 head below, closing the pre-r8 ledger
-# at 149/149 driver-certified; the round-8 addition (search_bm25_topk)
-# is the r9 rotation candidate, check_parity-certified locally until
-# its driver slot comes up.
+# The round-7 addition (j13_bloom_smj_revenue) and the round-8
+# addition (search_bm25_topk) take the first non-anchor slots of the
+# round-8 head below — after the r8 driver run EVERY registry query
+# holds a driver CORRECTNESS row.
 #
-# Round-8 head (exactly 50): the flagship anchor; the single
-# never-driver-certified query (`j13_bloom_smj_revenue`, added r7 —
-# the sole rotation candidate per tools/rotation_status.py); then 48
-# freshness refreshes drawn from the 49 queries whose latest driver
-# row is r05 (the oldest tier; `q12_late_shipment_priority` stays at
-# its green r05 row — 49 candidates, 48 slots). ROTATION COMPLETE
+# Round-8 head (exactly 50): the flagship anchor; the two
+# never-driver-certified queries (`j13_bloom_smj_revenue` added r7,
+# `search_bm25_topk` added r8 — the rotation candidates per
+# tools/rotation_status.py); then 47 freshness refreshes drawn from
+# the 49 queries whose latest driver row is r05 (the oldest tier;
+# `q12_late_shipment_priority` and `dedup_typo_pairs` stay at their
+# green r05 rows — 49 candidates, 47 slots). ROTATION COMPLETE
 # since r7: every pre-r8 registry query holds a green driver
-# CORRECTNESS row (post-r7 distribution: 50xr07, 49xr06, 49xr05,
-# 1 NEVER = j13_bloom_smj_revenue, certified here). Future rounds
-# only need to certify queries added or changed since; the full
-# registry is still re-verified locally every round by
+# CORRECTNESS row (post-r7 distribution: 50xr07, 49xr06, 49xr05).
+# Future rounds only need to certify queries added or changed since;
+# the full registry is still re-verified locally every round by
 # tools/check_parity.py.
 _HEAD_R8 = [
     # standing anchor
     "flagship_session_attribution",
-    # round-7 addition, never driver-checked (1) — closes the ledger
+    # never driver-checked: the r7 and r8 additions
     "j13_bloom_smj_revenue",
-    # freshness refreshes: latest driver row r05 (48 of 49)
+    "search_bm25_topk",
+    # freshness refreshes: latest driver row r05 (47 of 49)
     "a1_pricing_summary",
     "a4_conditional_event_sums",
     "j3_lineitem_ship_window",
@@ -106,7 +106,6 @@ _HEAD_R8 = [
     "text_quality_tiers",
     "text_bpe_merges",
     "sample_negatives",
-    "dedup_typo_pairs",
 ]
 
 
