@@ -105,8 +105,10 @@ HEADLINE = [
     "dedup_exact_normalized",
     # Round-7 additions: Bloom prune in its sort-merge regime
     "j13_bloom_smj_revenue",
-    # Round-8 additions: integer-exact Okapi BM25 ranked retrieval
+    # Round-8 additions: integer-exact Okapi BM25 ranked retrieval and
+    # the RRF hybrid (BM25 ⊕ embedding-cosine) built on it
     "search_bm25_topk",
+    "search_hybrid_rrf",
 ]
 
 

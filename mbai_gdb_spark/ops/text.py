@@ -486,6 +486,65 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    rank_lists: "list[DataFrame]",
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    k_rrf: int = 60,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval rank lists — (query_id,
+    rank, doc_id, rrf_score) — the standard hybrid-retrieval combiner
+    (Cormack/Clarke/Buettcher RRF: score = sum over lists of
+    1/(k_rrf + rank)).
+
+    Each contribution is computed as ``scale div (k_rrf + rank)`` — an
+    exact BIGINT, so fused scores (and therefore ranks) are
+    reproducible bit-for-bit in any engine; only the input RANKS
+    matter, never the underlying float scores, which is precisely why
+    RRF is the robust way to fuse a lexical list with an embedding
+    list whose score scales are incomparable.
+
+    Plan shape: a unionAll of the (already tiny: k-bounded per query)
+    rank lists, one hash aggregation on (query, doc), and the same
+    WindowGroupLimit-pruned top-k window every other ranked query
+    uses.  Cost is bounded by queries x lists x list length — never by
+    corpus size."""
+    from functools import reduce
+
+    from pyspark.sql import Window as W
+
+    parts = [
+        rl.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.expr(
+                f"CAST({scale} AS BIGINT) div ({k_rrf} + {rank_col})"
+            ).alias("__c__"),
+        )
+        for rl in rank_lists
+    ]
+    allc = reduce(lambda a, b: a.unionByName(b), parts)
+    scores = allc.groupBy(query_id_col, id_col).agg(
+        F.sum("__c__").alias("rrf_score")
+    )
+    w = W.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "rank",
+            id_col,
+            F.col("rrf_score").cast("long").alias("rrf_score"),
+        )
+    )
+
+
 def mlm_mask(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -1819,6 +1819,122 @@ def search_bm25_topk(spark, sf_dir):
 
 
 @query(
+    "search_hybrid_rrf",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    postings AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM tok2 GROUP BY term, doc_id
+    ),
+    dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    tt AS (SELECT COUNT(*) AS t FROM tok2),
+    qt AS (
+        SELECT DISTINCT doc_id AS query_id, term
+        FROM tok2 WHERE doc_id IN (1, 2, 3)
+    ),
+    bm_hits AS (
+        SELECT qt.query_id, p.doc_id, p.tf,
+               ((2*n.n - 2*dft.df + 1) * 1000000 // (2*dft.df + 1)) AS idf_i,
+               (9 * dlen.dl * n.n // tt.t) AS norm_d
+        FROM postings p JOIN qt USING (term) JOIN dft USING (term)
+             JOIN dlen USING (doc_id), n, tt
+    ),
+    bm_scores AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(idf_i * 22 * tf // (10*tf + 3 + norm_d)) AS BIGINT)
+                   AS score
+        FROM bm_hits GROUP BY query_id, doc_id
+    ),
+    bm_ranked AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM bm_scores
+    ),
+    bm_list AS (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rn ASC)
+                   AS rank
+        FROM bm_ranked WHERE rn <= 21 AND doc_id != query_id
+    ),
+    v AS (SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings),
+    qv AS (SELECT vec_id AS query_id, ve AS qvec FROM v
+           WHERE vec_id IN (1, 2, 3)),
+    cos_scored AS (
+        SELECT qv.query_id, c.vec_id AS doc_id,
+               {_SQL_DOT.format(products="list_transform(generate_series(1, len(qvec)), i -> qvec[i] * c.ve[i])")}
+               / ({_SQL_NORM.format(v="qvec")} * {_SQL_NORM.format(v="c.ve")}) AS s
+        FROM qv, v c
+        WHERE c.vec_id != qv.query_id
+    ),
+    cos_list AS (
+        SELECT query_id, doc_id, rank FROM (
+            SELECT query_id, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, doc_id ASC
+                   ) AS rank
+            FROM cos_scored
+        ) WHERE rank <= 20
+    ),
+    contribs AS (
+        SELECT query_id, doc_id, 1000000 // (60 + rank) AS c
+        FROM bm_list WHERE rank <= 20
+        UNION ALL
+        SELECT query_id, doc_id, 1000000 // (60 + rank) AS c FROM cos_list
+    ),
+    fused AS (
+        SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_score
+        FROM contribs GROUP BY query_id, doc_id
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, doc_id, rrf_score FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+        ) AS rn
+        FROM fused
+    ) WHERE rn <= 10
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid more-like-this retrieval: for query documents 1-3, fuse
+    the BM25 lexical top-20 (self excluded, then renumbered) with the
+    embedding-cosine top-20 (self excluded) via reciprocal-rank fusion
+    — the standard RAG-stack combiner for lists whose score scales are
+    incomparable.  Both input rankings and the fused scores are
+    engine-exact (integer BM25; rank-only use of the cosine list;
+    integer RRF contributions), so the whole three-stage pipeline
+    hash-matches the oracle.  See ops.text.rrf_fuse."""
+    from pyspark.sql import Window as W
+
+    from mbai_gdb_spark.ops.similarity import cosine_topk
+    from mbai_gdb_spark.ops.text import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    qdocs = docs.filter(F.col("doc_id").isin(1, 2, 3)).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
+    )
+    bm = bm25_topk(docs, qdocs, k=21).filter(
+        F.col("doc_id") != F.col("query_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("rank").asc())
+    bm_list = (
+        bm.withColumn("__r__", F.row_number().over(w))
+        .filter(F.col("__r__") <= 20)
+        .select("query_id", "doc_id", F.col("__r__").alias("rank"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    cos_list = (
+        cosine_topk(emb, emb.filter(F.col("vec_id").isin(1, 2, 3)), k=20)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([bm_list, cos_list], k=10)
+
+
+@query(
     "sketch_heavy_hitters",
     f"""
     WITH toks AS (

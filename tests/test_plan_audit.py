@@ -18,6 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # broadcast side scored against every corpus row.
 BNLJ_OK = {
     "sim_cosine_top5",  # brute-force baseline: query batch broadcast
+    "search_hybrid_rrf",  # its cosine leg is the same broadcast query batch
     "sim_ivf_top5",  # stride centroids broadcast for assignment/probes
     "dedup_semantic",  # same stride-centroid broadcast assignment (SemDeDup)
     "sim_ivfpq_top5",  # stride centroids broadcast for assignment/probes

@@ -293,3 +293,51 @@ def test_bm25_property_matches_reference(spark, doc_rows, qtext):
         v.sort()
     expected = {k: v for k, v in _bm25_ref(doc_rows, [("q", qtext)]).items() if v}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion (round 8): ops.text.rrf_fuse
+# ---------------------------------------------------------------------------
+
+
+def _rrf(rank, k_rrf=60, scale=10**6):
+    return scale // (k_rrf + rank)
+
+
+def test_rrf_fuse_exact_scores_and_order(spark):
+    from mbai_gdb_spark.ops.text import rrf_fuse
+
+    ddl = "query_id long, doc_id long, rank int"
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], ddl
+    )
+    emb = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], ddl
+    )
+    got = {
+        r.doc_id: (r.rank, r.rrf_score)
+        for r in rrf_fuse([lex, emb]).collect()
+    }
+    exp_scores = {
+        10: _rrf(1) + _rrf(3),  # 16393 + 15873 = 32266
+        11: _rrf(2) + _rrf(1),  # 16129 + 16393 = 32522
+        12: _rrf(3),            # 15873
+        13: _rrf(2),            # 16129
+    }
+    order = sorted(exp_scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    expected = {d: (i + 1, s) for i, (d, s) in enumerate(order)}
+    assert got == expected
+    # doc 11 (present high in both lists) must beat doc 10.
+    assert got[11][0] == 1 and got[10][0] == 2
+
+
+def test_rrf_fuse_tie_breaks_by_doc_id_and_k_bounds(spark):
+    from mbai_gdb_spark.ops.text import rrf_fuse
+
+    ddl = "query_id long, doc_id long, rank int"
+    # Two docs with identical single-list ranks in separate queries;
+    # within query 1, docs 5 and 9 tie exactly -> doc 5 first.
+    lex = spark.createDataFrame([(1, 9, 1), (1, 5, 1), (2, 7, 1)], ddl)
+    rows = rrf_fuse([lex], k=1).collect()
+    got = {r.query_id: (r.doc_id, r.rank) for r in rows}
+    assert got == {1: (5, 1), 2: (7, 1)}
