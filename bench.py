@@ -252,22 +252,27 @@ def _run_isolated(names: list[str], runs: int, sf_dir: str) -> dict:
                 text=True,
                 env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
             )
-            line = next(
-                (
-                    ln
-                    for ln in reversed(proc.stdout.strip().splitlines())
-                    if ln.startswith("{")
-                ),
-                None,
-            )
-            if line is None:
+            rec = None
+            for ln in reversed(proc.stdout.strip().splitlines()):
+                # Parse defensively: a stray '{'-prefixed log line (or a
+                # truncated print from a dying subprocess) must cost one
+                # sample, never the whole battery's output.
+                if not ln.startswith("{"):
+                    continue
+                try:
+                    cand = json.loads(ln)
+                except ValueError:
+                    continue
+                if isinstance(cand, dict) and "cold" in cand and "warm" in cand:
+                    rec = cand
+                    break
+            if rec is None:
                 print(
-                    f"bench: isolated run of {name} produced no JSON "
+                    f"bench: isolated run of {name} produced no usable JSON "
                     f"(rc={proc.returncode}): {proc.stderr[-500:]}",
                     file=sys.stderr,
                 )
                 continue
-            rec = json.loads(line)
             colds.append(rec["cold"])
             warms.append(rec["warm"])
         out[name] = {"cold": colds, "warm": warms}
@@ -306,6 +311,21 @@ def main() -> None:
             i += 2
             continue
         raise SystemExit(f"bench.py: unknown argument {a!r}")
+
+    if isolate_names:
+        # Validate names BEFORE any (long) battery work: a typo should
+        # fail in milliseconds, not after 20 minutes of sweep.
+        import mbai_gdb_spark.queries_north  # noqa: F401
+
+        from mbai_gdb_spark.queries import QUERIES as _Q
+
+        unknown = [
+            n
+            for n in isolate_names
+            if n not in _Q and not re.fullmatch(r"nba_game_pipeline_\d+", n)
+        ]
+        if unknown:
+            raise SystemExit(f"bench.py --isolate: unknown entries {unknown}")
 
     if isolate_only:
         isolated = _run_isolated(isolate_names, isolate_runs, sf_dir)

@@ -263,13 +263,18 @@ def _merge_upsert_delta(
     is REPLACED by the batch row, so under evolution a batch MISSING
     columns the table has leaves those columns NULL on its rows.
     Delta's ``whenMatchedUpdateAll`` would instead leave target-only
-    columns UNCHANGED for matched keys, so the update uses an explicit
-    column map (source columns from the batch, target-only columns set
-    to a typed NULL).  The strict default fails loudly on ANY
-    batch/table column-set mismatch — Delta raises on extra batch
-    columns by itself, but silently part-updates on narrow batches, so
-    narrowness is checked here to match the parquet backend's
-    ``unionByName(allowMissingColumns=False)`` stance."""
+    columns UNCHANGED for matched keys — so under evolution the batch
+    is first WIDENED with a typed NULL for every missing target column
+    and only then merged with updateAll/insertAll.  (Widening the
+    source, rather than an explicit ``whenMatchedUpdate`` column map,
+    keeps schema evolution for batch-only NEW columns on the
+    updateAll/insertAll path — the only shape every Delta version
+    evolves — and is exactly what the parquet backend's
+    ``unionByName(allowMissingColumns=True)`` does.)  The strict
+    default fails loudly on ANY batch/table column-set mismatch —
+    Delta raises on extra batch columns by itself, but silently
+    part-updates on narrow batches, so narrowness is checked here to
+    match the parquet backend's strict-``unionByName`` stance."""
     from delta.tables import DeltaTable
 
     batch = df.dropDuplicates(key_cols)
@@ -301,14 +306,23 @@ def _merge_upsert_delta(
     target_fields = {f.name: f for f in target.toDF().schema.fields}
     src_cols = batch.columns
     missing = [c for c in target_fields if c not in src_cols]
-    if missing and not allow_schema_evolution:
-        # Delta's MERGE would silently leave these columns untouched on
-        # matched rows; the parquet backend's strict unionByName raises.
-        raise ValueError(
-            f"batch is missing table columns {missing}; pass "
-            "allow_schema_evolution=True to merge (missing columns "
-            "become NULL on the batch's rows) or widen the batch"
-        )
+    if missing:
+        if not allow_schema_evolution:
+            # Delta's MERGE would silently leave these columns untouched
+            # on matched rows; the parquet backend's strict unionByName
+            # raises.
+            raise ValueError(
+                f"batch is missing table columns {missing}; pass "
+                "allow_schema_evolution=True to merge (missing columns "
+                "become NULL on the batch's rows) or widen the batch"
+            )
+        # Whole-row-replace contract: widen the batch with typed NULLs
+        # so updateAll NULLs the target-only columns on matched rows
+        # (and inserts carry them explicitly).
+        for c in missing:
+            batch = batch.withColumn(
+                c, F.lit(None).cast(target_fields[c].dataType)
+            )
     conf_key = "spark.databricks.delta.schema.autoMerge.enabled"
     prev = None
     try:
@@ -319,17 +333,10 @@ def _merge_upsert_delta(
         if allow_schema_evolution:
             spark.conf.set(conf_key, "true")
         cond = " AND ".join(f"t.`{c}` <=> s.`{c}`" for c in key_cols)
-        # Matched rows are whole-row REPLACED (the parquet backend's
-        # contract): batch columns from the source, target-only columns
-        # to a typed NULL.  whenMatchedUpdateAll would leave target-only
-        # columns unchanged — a per-backend divergence.
-        set_map: dict[str, "Column"] = {c: F.col(f"s.`{c}`") for c in src_cols}
-        for c in missing:
-            set_map[c] = F.lit(None).cast(target_fields[c].dataType)
         (
             target.alias("t")
             .merge(batch.alias("s"), cond)
-            .whenMatchedUpdate(set=set_map)
+            .whenMatchedUpdateAll()
             .whenNotMatchedInsertAll()
             .execute()
         )

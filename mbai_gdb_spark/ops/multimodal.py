@@ -544,9 +544,9 @@ def install_native_codecs() -> bool:
         ("gif", (b"GIF87a", b"GIF89a")),
         ("bmp", (b"BM",)),
     ):
-        entry = (fmt, _make(fmt, magic))
-        _NATIVE_CODEC_ENTRIES.append(entry)
-        _CUSTOM_DECODERS.insert(0, entry)
+        fn = _make(fmt, magic)
+        register_decoder(fmt, fn)  # the one registration path
+        _NATIVE_CODEC_ENTRIES.append((fmt, fn))
     return True
 
 

@@ -442,8 +442,15 @@ def bm25_topk(
     postings = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
     doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.count()  # bounded scalar
-    total_toks = doc_len.agg(F.sum("dl")).first()[0] or 1  # bounded scalar
+    # Both bounded scalars (N docs, T non-empty tokens) in ONE corpus
+    # pass — size(filter(tokens)) per row, no explode, no second job.
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
+        ).alias("t"),
+    ).first()
+    n_docs, total_toks = stats["n"], stats["t"] or 1
     qterms = (
         queries_df.select(
             F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")

@@ -75,47 +75,62 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     nshuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", cpus))
 
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(nshuffle))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-    )
-    if os.environ.get("SPARK_GRAFT_WAREHOUSE"):
-        builder = builder.config(
-            "spark.sql.warehouse.dir", os.environ["SPARK_GRAFT_WAREHOUSE"]
+    def _build(with_delta: bool):
+        # Builder.config MUTATES the shared builder object, so each
+        # attempt constructs its own from scratch — the no-Delta
+        # fallback must not inherit the extension confs.
+        b = (
+            SparkSession.builder.appName(app_name)
+            .master(master)
+            .config("spark.sql.shuffle.partitions", str(nshuffle))
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
+            .config("spark.ui.enabled", "false")
         )
-    for k, v in _RUNTIME_CONF.items():
-        builder = builder.config(k, v)
-    builder = _maybe_enable_delta(builder)
-    return builder.getOrCreate()
+        if os.environ.get("SPARK_GRAFT_WAREHOUSE"):
+            b = b.config(
+                "spark.sql.warehouse.dir", os.environ["SPARK_GRAFT_WAREHOUSE"]
+            )
+        for k, v in _RUNTIME_CONF.items():
+            b = b.config(k, v)
+        if with_delta:
+            from delta import configure_spark_with_delta_pip
+
+            b = b.config(
+                "spark.sql.extensions",
+                "io.delta.sql.DeltaSparkSessionExtension",
+            ).config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+            )
+            b = configure_spark_with_delta_pip(b)
+        return b
+
+    if _delta_available():
+        try:
+            return _build(with_delta=True).getOrCreate()
+        except Exception:
+            # Extension/jar wiring can only fail INSIDE getOrCreate
+            # (e.g. Ivy resolving delta jars on an air-gapped machine
+            # with delta-spark pip-installed).  Delta is an optional
+            # backend, not a dependency — fall back to a plain session
+            # rather than break every entry point until someone
+            # discovers SPARK_GRAFT_DELTA=off.
+            pass
+    return _build(with_delta=False).getOrCreate()
 
 
-def _maybe_enable_delta(builder):
-    """Wire the Delta Lake SQL extension + catalog into the builder when
-    delta-spark is importable (set ``$SPARK_GRAFT_DELTA=off`` to skip).
-    This is what lets the parameterized Delta test legs un-skip with
-    nothing more than ``pip install delta-spark``: session extensions
-    are STATIC confs, so they must land here, before the session
-    exists.  No-op in environments without the library (this sandbox),
-    and never fails session construction — Delta is an optional
-    backend, not a dependency."""
+def _delta_available() -> bool:
+    """Whether to wire the Delta Lake SQL extension + catalog into new
+    sessions: delta-spark importable and ``$SPARK_GRAFT_DELTA`` not
+    'off'.  This is what lets the parameterized Delta test legs un-skip
+    with nothing more than ``pip install delta-spark`` — session
+    extensions are STATIC confs, so they must land at build time,
+    before the session exists."""
     if os.environ.get("SPARK_GRAFT_DELTA", "auto") == "off":
-        return builder
+        return False
     import importlib.util
 
-    if importlib.util.find_spec("delta") is None:
-        return builder
-    try:
-        from delta import configure_spark_with_delta_pip
-
-        builder = builder.config(
-            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
-        ).config(
-            "spark.sql.catalog.spark_catalog",
-            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
-        )
-        return configure_spark_with_delta_pip(builder)
-    except Exception:
-        return builder
+    return importlib.util.find_spec("delta") is not None

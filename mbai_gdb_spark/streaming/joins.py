@@ -15,13 +15,15 @@ by user exactly like the batch hash join; the time range is a residual.
 from __future__ import annotations
 
 from collections.abc import Iterator
-
-import pandas as pd
+from typing import TYPE_CHECKING
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+if TYPE_CHECKING:  # pandas is only needed by the rebound twin's kernel
+    import pandas as pd
 
 
 def purchase_click_attribution(
@@ -209,7 +211,9 @@ def _make_rebound_update(tolerance_us: int):
       (inner as-of).
     """
 
-    def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    def _update(key, pdfs: "Iterator[pd.DataFrame]", state: GroupState):
+        import pandas as pd
+
         if state.exists:
             s_ids, s_ts, r_ids, r_ts = state.get
             shots = dict(zip(s_ids, s_ts))
