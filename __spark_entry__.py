@@ -31,23 +31,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 151 oracle-bearing queries, so the 50-slot window ROTATES each
+# 152 oracle-bearing queries, so the 50-slot window ROTATES each
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
 # The round-7 addition (j13_bloom_smj_revenue) and the round-8
-# additions (search_bm25_topk, search_hybrid_rrf) take the first
-# non-anchor slots of the round-8 head below — after the r8 driver
-# run EVERY registry query holds a driver CORRECTNESS row.
+# additions (search_bm25_topk, search_hybrid_rrf,
+# search_bm25_persisted) take the first non-anchor slots of the
+# round-8 head below — after the r8 driver run EVERY registry query
+# holds a driver CORRECTNESS row.
 #
-# Round-8 head (exactly 50): the flagship anchor; the three
+# Round-8 head (exactly 50): the flagship anchor; the four
 # never-driver-certified queries (`j13_bloom_smj_revenue` added r7,
-# `search_bm25_topk` + `search_hybrid_rrf` added r8 — the rotation
-# candidates per tools/rotation_status.py); then 46 freshness
-# refreshes drawn from the 49 queries whose latest driver row is r05
-# (the oldest tier; `q12_late_shipment_priority`, `dedup_typo_pairs`
-# and `sample_negatives` stay at their green r05 rows — 49
-# candidates, 46 slots). ROTATION COMPLETE
+# `search_bm25_topk` + `search_hybrid_rrf` + `search_bm25_persisted`
+# added r8 — the rotation candidates per tools/rotation_status.py);
+# then 45 freshness refreshes drawn from the 49 queries whose latest
+# driver row is r05 (the oldest tier; `q12_late_shipment_priority`,
+# `dedup_typo_pairs`, `sample_negatives` and `text_bpe_merges` stay
+# at their green r05 rows — 49 candidates, 45 slots). ROTATION
+# COMPLETE
 # since r7: every pre-r8 registry query holds a green driver
 # CORRECTNESS row (post-r7 distribution: 50xr07, 49xr06, 49xr05).
 # Future rounds only need to certify queries added or changed since;
@@ -60,7 +62,8 @@ _HEAD_R8 = [
     "j13_bloom_smj_revenue",
     "search_bm25_topk",
     "search_hybrid_rrf",
-    # freshness refreshes: latest driver row r05 (46 of 49)
+    "search_bm25_persisted",
+    # freshness refreshes: latest driver row r05 (45 of 49)
     "a1_pricing_summary",
     "a4_conditional_event_sums",
     "j3_lineitem_ship_window",
@@ -106,7 +109,6 @@ _HEAD_R8 = [
     "emb_pq_codes",
     "sim_pq_adc_top5",
     "text_quality_tiers",
-    "text_bpe_merges",
 ]
 
 

@@ -105,10 +105,12 @@ HEADLINE = [
     "dedup_exact_normalized",
     # Round-7 additions: Bloom prune in its sort-merge regime
     "j13_bloom_smj_revenue",
-    # Round-8 additions: integer-exact Okapi BM25 ranked retrieval and
-    # the RRF hybrid (BM25 ⊕ embedding-cosine) built on it
+    # Round-8 additions: integer-exact Okapi BM25 ranked retrieval, the
+    # RRF hybrid (BM25 ⊕ embedding-cosine) built on it, and the
+    # persisted term-bucket inverted index (build + pruned probe)
     "search_bm25_topk",
     "search_hybrid_rrf",
+    "search_bm25_persisted",
 ]
 
 

@@ -462,7 +462,30 @@ def bm25_topk(
         postings.join(F.broadcast(qterms), "term")
         .join(df_t, "term")
         .join(doc_len, id_col)
-        .withColumn(
+    )
+    return _bm25_score_rank(hits, n_docs, total_toks, idf_scale, query_id_col, id_col, k)
+
+
+
+
+def _bm25_score_rank(
+    hits: DataFrame,
+    n_docs: int,
+    total_toks: int,
+    idf_scale: int,
+    query_id_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """The shared BM25 scoring tail: hits carrying (tf, df, dl) columns
+    per (query, doc, term) → exact-integer contributions → per-(query,
+    doc) sum → deterministic top-k.  Used by both the in-memory
+    :func:`bm25_topk` and the persisted-index probe, so the two paths
+    cannot drift."""
+    from pyspark.sql import Window as W
+
+    scored = (
+        hits.withColumn(
             "idf_i",
             F.expr(
                 f"(CAST({2 * n_docs} AS BIGINT) - 2*df + 1) * {idf_scale}"
@@ -478,7 +501,7 @@ def bm25_topk(
             F.expr("idf_i * 22 * tf div (10*tf + 3 + norm_d)"),
         )
     )
-    scores = hits.groupBy(query_id_col, id_col).agg(
+    scores = scored.groupBy(query_id_col, id_col).agg(
         F.sum("contrib").alias("score")
     )
     w = W.partitionBy(query_id_col).orderBy(
@@ -490,6 +513,99 @@ def bm25_topk(
         .select(
             query_id_col, "rank", id_col, F.col("score").cast("long").alias("score")
         )
+    )
+
+
+def _term_bucket(term_col, n_buckets: int):
+    """Deterministic term → bucket id: pmod of the char-polynomial
+    rolling hash (the repo's engine-portable token id)."""
+    from mbai_gdb_spark.ops.dedup import char_poly_id
+
+    return F.pmod(char_poly_id(term_col), F.lit(n_buckets)).cast("int")
+
+
+def bm25_index_persist(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Write the BM25 inverted index as a parquet layout PARTITIONED BY
+    term-hash bucket — the text-search counterpart of the persisted IVF
+    layout (ops.similarity.ivf_persist): a probe reads ONLY the bucket
+    directories its query terms hash to (partition pruning), so query
+    cost is |queried buckets|/n_buckets of the index regardless of
+    corpus size.
+
+    Postings are DENORMALIZED at build time — each row carries (term,
+    doc_id, tf, df, dl, bucket) — and the two corpus scalars (N docs,
+    T tokens) land in a ``_meta`` side-car (underscore-hidden from the
+    posting scan), so a probe performs zero corpus-wide work: no df
+    join, no length join, no count().  Index build is one explode +
+    three hash aggregations over the corpus; rebuilds overwrite
+    atomically per partition dir (parquet overwrite semantics)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    postings = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
+        ).alias("t"),
+    ).first()
+    n_docs, total_toks = stats["n"], stats["t"] or 1
+    rows = (
+        postings.join(df_t, "term")
+        .join(doc_len, id_col)
+        .withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+    )
+    from mbai_gdb_spark.io import write_partitioned
+
+    write_partitioned(rows, path, ["bucket"])
+    spark = docs.sparkSession
+    meta = spark.createDataFrame(
+        [(int(n_docs), int(total_toks), int(n_buckets))],
+        "n_docs long, total_toks long, n_buckets int",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def bm25_probe_persisted(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    id_col: str = "doc_id",
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """BM25 top-k against a persisted :func:`bm25_index_persist` layout
+    — bit-identical to :func:`bm25_topk` over the same corpus (shared
+    scoring tail), but touching only the bucket directories the query
+    terms hash to.  The bucket id list is a bounded driver scalar
+    (≤ distinct query terms) folded into the scan as a partition
+    filter, so unprobed buckets are NEVER read — physically proven by
+    the delete-unprobed-dirs test, the same standard the persisted IVF
+    index meets."""
+    meta = spark.read.parquet(path + "/_meta").first()
+    qterms = (
+        queries_df.select(
+            F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .withColumn("bucket", _term_bucket(F.col("term"), meta["n_buckets"]))
+    )
+    buckets = sorted({r["bucket"] for r in qterms.select("bucket").distinct().collect()})
+    lists = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    hits = lists.join(F.broadcast(qterms.drop("bucket")), "term")
+    return _bm25_score_rank(
+        hits, meta["n_docs"], meta["total_toks"], idf_scale, query_id_col, id_col, k
     )
 
 

@@ -1935,6 +1935,77 @@ def search_hybrid_rrf(spark, sf_dir):
 
 
 @query(
+    "search_bm25_persisted",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    postings AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM tok2 GROUP BY term, doc_id
+    ),
+    dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok2 GROUP BY doc_id),
+    dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    tt AS (SELECT COUNT(*) AS t FROM tok2),
+    q(query_id, qtext) AS (VALUES {_SQL_SEARCH_VALUES}),
+    qt AS (
+        SELECT DISTINCT query_id,
+               unnest(regexp_split_to_array(trim(qtext), '\\s+')) AS term
+        FROM q
+    ),
+    hits AS (
+        SELECT qt.query_id, p.doc_id, p.tf,
+               ((2*n.n - 2*dft.df + 1) * 1000000 // (2*dft.df + 1)) AS idf_i,
+               (9 * dlen.dl * n.n // tt.t) AS norm_d
+        FROM postings p JOIN qt USING (term) JOIN dft USING (term)
+             JOIN dlen USING (doc_id), n, tt
+    ),
+    scores AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(idf_i * 22 * tf // (10*tf + 3 + norm_d)) AS BIGINT)
+                   AS score
+        FROM hits GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM scores
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def search_bm25_persisted(spark, sf_dir):
+    """The SAME BM25 ranking as `search_bm25_topk`, served from a
+    persisted term-bucket-partitioned inverted index
+    (ops.text.bm25_index_persist / bm25_probe_persisted): postings are
+    denormalized with df/dl at build time and the probe reads ONLY the
+    bucket directories the query terms hash to — partition-pruned
+    exactly like the persisted IVF vector index, which is why the two
+    share a test standard (delete-unprobed-dirs proof,
+    tests/test_search.py).  The oracle is identical to the in-memory
+    query's: the index is an access path, not a semantic change."""
+    import os
+    import tempfile
+
+    from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(
+        tempfile.gettempdir(), f"mbai_bm25_idx_{sf_tag}_{os.getpid()}"
+    )
+    bm25_index_persist(docs, path, n_buckets=64)
+    queries_df = spark.createDataFrame(
+        _SEARCH_QUERIES, "query_id string, qtext string"
+    )
+    return bm25_probe_persisted(spark, path, queries_df, k=10)
+
+
+@query(
     "sketch_heavy_hitters",
     f"""
     WITH toks AS (

@@ -341,3 +341,74 @@ def test_rrf_fuse_tie_breaks_by_doc_id_and_k_bounds(spark):
     rows = rrf_fuse([lex], k=1).collect()
     got = {r.query_id: (r.doc_id, r.rank) for r in rows}
     assert got == {1: (5, 1), 2: (7, 1)}
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 inverted index (round 8): partition-pruned probes
+# ---------------------------------------------------------------------------
+
+
+def _persist_fixture(spark, tmp_path):
+    from mbai_gdb_spark.ops.text import bm25_index_persist
+
+    doc_rows = [
+        (1, "the zebra sleeps by the river"),
+        (2, "the the the cat naps on the mat"),
+        (3, "zebra zebra zebra stripes"),
+        (4, "a quiet dog watches the zebra"),
+        (5, "rain on tin roofs all night"),
+    ]
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    path = str(tmp_path / "bm25_idx")
+    bm25_index_persist(docs, path, n_buckets=16)
+    return docs, path
+
+
+def test_persisted_probe_matches_in_memory_bm25(spark, tmp_path):
+    from mbai_gdb_spark.ops.text import bm25_probe_persisted, bm25_topk
+
+    docs, path = _persist_fixture(spark, tmp_path)
+    qs = spark.createDataFrame(
+        [("q1", "the zebra"), ("q2", "rain dog")], "query_id string, qtext string"
+    )
+    want = sorted(map(tuple, bm25_topk(docs, qs, k=10).collect()))
+    got = sorted(map(tuple, bm25_probe_persisted(spark, path, qs, k=10).collect()))
+    assert got == want and len(got) > 0  # bit-identical scores AND ranks
+
+
+def test_persisted_probe_prunes_unprobed_buckets(spark, tmp_path):
+    import shutil
+    from pathlib import Path
+
+    from mbai_gdb_spark.ops.text import bm25_probe_persisted
+
+    _, path = _persist_fixture(spark, tmp_path)
+    qs = spark.createDataFrame([("q", "zebra")], "query_id string, qtext string")
+
+    got_df = bm25_probe_persisted(spark, path, qs, k=10)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    before = sorted(map(tuple, got_df.collect()))
+    assert before, "zebra must match documents"
+
+    # Physical proof: deleting every UNPROBED bucket directory changes
+    # nothing — those directories are never read.
+    from mbai_gdb_spark.ops.text import _term_bucket
+    from pyspark.sql import functions as F
+
+    probed = {
+        r.b
+        for r in spark.createDataFrame([("zebra",)], "term string")
+        .select(_term_bucket(F.col("term"), 16).alias("b"))
+        .collect()
+    }
+    removed = 0
+    for d in Path(path).glob("bucket=*"):
+        if int(d.name.split("=")[1]) not in probed:
+            shutil.rmtree(d)
+            removed += 1
+    assert removed > 0, "fixture must create unprobed buckets"
+    after = sorted(
+        map(tuple, bm25_probe_persisted(spark, path, qs, k=10).collect())
+    )
+    assert after == before
