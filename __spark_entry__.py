@@ -31,89 +31,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 152 oracle-bearing queries, so the 50-slot window ROTATES each
+# 153 oracle-bearing queries, so the 50-slot window ROTATES each
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
-# The round-7 addition (j13_bloom_smj_revenue) and the round-8
-# additions (search_bm25_topk, search_hybrid_rrf,
-# search_bm25_persisted) take the first non-anchor slots of the
-# round-8 head below — after the r8 driver run EVERY registry query
-# holds a driver CORRECTNESS row.
+# ROTATION COMPLETE since r7; after r8 EVERY registry query held a
+# driver row (distribution post-r8: 50xr08, 49xr07, 49xr06, 4xr05).
+# From here, heads lead with new/changed queries and then refresh the
+# OLDEST certification tier.
 #
-# Round-8 head (exactly 50): the flagship anchor; the four
-# never-driver-certified queries (`j13_bloom_smj_revenue` added r7,
-# `search_bm25_topk` + `search_hybrid_rrf` + `search_bm25_persisted`
-# added r8 — the rotation candidates per tools/rotation_status.py);
-# then 45 freshness refreshes drawn from the 49 queries whose latest
-# driver row is r05 (the oldest tier; `q12_late_shipment_priority`,
-# `dedup_typo_pairs`, `sample_negatives` and `text_bpe_merges` stay
-# at their green r05 rows — 49 candidates, 45 slots). ROTATION
-# COMPLETE
-# since r7: every pre-r8 registry query holds a green driver
-# CORRECTNESS row (post-r7 distribution: 50xr07, 49xr06, 49xr05).
-# Future rounds only need to certify queries added or changed since;
-# the full registry is still re-verified locally every round by
-# tools/check_parity.py.
-_HEAD_R8 = [
+# Round-9 head (exactly 50): the flagship anchor; the one new r9 query
+# (`search_bm25_appended`, the incremental-index twin — never driver-
+# certified); the four queries whose latest driver row is r05, the
+# oldest tier (`text_bpe_merges`, `sample_negatives`,
+# `dedup_typo_pairs`, `q12_late_shipment_priority` — exactly the
+# candidates tools/rotation_status.py names); then 44 freshness
+# refreshes drawn alphabetically from the 49 queries at the r06 tier
+# (the 5 left at their green r06 rows for the r10 head:
+# `text_clf_score`, `text_dup_spans`, `w12_hourly_time_buckets`,
+# `w18_ohlc_bars`, `w19_time_weighted_value`).
+_HEAD_R9 = [
     # standing anchor
     "flagship_session_attribution",
-    # never driver-checked: the r7 and r8 additions
-    "j13_bloom_smj_revenue",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "search_bm25_persisted",
-    # freshness refreshes: latest driver row r05 (45 of 49)
-    "a1_pricing_summary",
-    "a4_conditional_event_sums",
-    "j3_lineitem_ship_window",
-    "w1_next_event_chain",
-    "w5_sessionize_events",
-    "w8_running_total_reset",
-    "w7_priority_ordered_chain",
-    "a2_order_span_per_customer",
-    "j12_concurrent_sessions",
-    "w13_ranking_family",
-    "funnel_view_click_purchase",
-    "io_merge_idempotent",
-    "graph_pagerank_trade",
-    "graph_triangle_count",
-    "w14_cohort_weekly_retention",
-    "w15_gap_fill",
-    "w16_rolling_7d",
-    "a12_cube_revenue",
-    "a13_pivot_order_matrix",
-    "u2_set_ops_customers",
-    "a14_corr_qty_price",
-    "w17_scd2_user_value",
-    "graph_kcore_profile",
-    "a15_mode_order_priority",
-    "a16_revenue_share",
-    "nba_lineup_plus_minus",
-    "nba_player_stints",
-    "dedup_minhash_lsh",
-    "sim_matmul_top5",
-    "emb_random_projection",
-    "sim_ivf_top5",
-    "dedup_minhash_clusters",
-    "sketch_decimal_quantiles",
-    "shuffle_shards",
-    "decontam_bloom",
-    "curate_corpus",
-    "mm_decode_image",
-    "mm_decode_audio",
-    "sketch_cms_token_freq",
-    "search_tfidf_topk",
-    "sketch_heavy_hitters",
-    "text_mlm_mask",
-    "emb_pq_codes",
-    "sim_pq_adc_top5",
-    "text_quality_tiers",
+    # never driver-checked: the r9 addition
+    "search_bm25_appended",
+    # the oldest certification tier (r05)
+    "text_bpe_merges",
+    "sample_negatives",
+    "dedup_typo_pairs",
+    "q12_late_shipment_priority",
+    # freshness refreshes: latest driver row r06 (44 of 49)
+    "a12_pivot_event_counts",
+    "a13_order_count_distribution",
+    "a17_month_over_month",
+    "dedup_lsh_hot_clusters",
+    "dedup_semantic",
+    "dq_orders_constraints",
+    "emb_centroid_classify",
+    "emb_class_centroids",
+    "emb_quantize_int8",
+    "io_incremental_rollup",
+    "io_table_stats",
+    "io_zorder_profile",
+    "j13_bloom_pruned_revenue",
+    "mix_source_weights",
+    "mm_decode_gif",
+    "mm_decode_jpeg",
+    "mm_decode_jpeg_progressive",
+    "mm_gif_frame_sample",
+    "mm_resize_roundtrip",
+    "nba_cross_period_next",
+    "nba_period_chain",
+    "nba_score_next_chain",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_below_avg_quantity",
+    "q19_bracketed_revenue",
+    "q20_excess_suppliers",
+    "q21_sole_problem_supplier",
+    "q22_dormant_capital",
+    "q2_min_cost_supplier",
+    "q3_unshipped_revenue",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_weighted_docs",
+    "sim_cosine_top5",
+    "sim_ivfpq_residual_top5",
+    "sim_ivfpq_top5",
+    "sketch_hll_distinct",
+    "text_bigram_surprise",
+    "text_bpe_encode",
+    "text_chunk_windows",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: QUERIES[k] for k in _HEAD_R8 if k in QUERIES}
+    head = {k: QUERIES[k] for k in _HEAD_R9 if k in QUERIES}
     tail = {k: v for k, v in QUERIES.items() if k not in head}
     return {**head, **tail}
 

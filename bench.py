@@ -209,13 +209,24 @@ def _isolated_single(name: str, sf_dir: str) -> None:
     subprocess per run; the same JVM warm-up the battery does (one
     throwaway query) is paid first so "cold" means cold QUERY, not
     cold JVM."""
+    # Register the FULL registry — queries_nba / queries_tpch entries
+    # (nba_possessions, q8_market_share, ...) are isolatable too, not
+    # just the north-star module.
+    import mbai_gdb_spark.queries_nba  # noqa: F401
     import mbai_gdb_spark.queries_north  # noqa: F401
+    import mbai_gdb_spark.queries_tpch  # noqa: F401
     from mbai_gdb_spark.queries import QUERIES
     from mbai_gdb_spark.session import get_spark
 
     spark = get_spark("bench-isolated")
     spark.sparkContext.setLogLevel("ERROR")
-    QUERIES["a1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+    # Warm the JVM with a query OTHER than the one under measurement —
+    # warming with the target itself would make its reported "cold"
+    # time a warm second run.
+    warmup = "a1_pricing_summary"
+    if name == warmup:
+        warmup = "a7_distinct_segments"
+    QUERIES[warmup](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
@@ -316,9 +327,11 @@ def main() -> None:
 
     if isolate_names:
         # Validate names BEFORE any (long) battery work: a typo should
-        # fail in milliseconds, not after 20 minutes of sweep.
+        # fail in milliseconds, not after 20 minutes of sweep.  All
+        # three registry modules — the subprocess imports the same set.
+        import mbai_gdb_spark.queries_nba  # noqa: F401
         import mbai_gdb_spark.queries_north  # noqa: F401
-
+        import mbai_gdb_spark.queries_tpch  # noqa: F401
         from mbai_gdb_spark.queries import QUERIES as _Q
 
         unknown = [

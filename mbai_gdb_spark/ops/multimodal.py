@@ -503,10 +503,15 @@ def install_native_codecs() -> bool:
     sniffs magic bytes first and declines (returns None) on a format
     mismatch or PIL failure, so the pure chain remains the fallback.
 
-    Idempotent: repeated calls (or an explicit call on top of the
-    env-hook install) re-register in place instead of stacking
-    duplicate entries — every duplicate would otherwise ship inside
-    each plan-time captured chain closure."""
+    Idempotent AND precedence-preserving: repeated calls (or an
+    explicit call on top of the env-hook install) swap the fresh
+    wrapper into the exact chain position the prior PIL entry occupied
+    — duplicates never stack, and a user decoder registered AFTER the
+    first install (e.g. a libjpeg-turbo/nvJPEG kernel, the documented
+    scale path) keeps outranking the PIL wrapper on re-install instead
+    of being silently shadowed by an insert-at-front.  Only a format
+    whose tracked entry is gone (first install, or removed via
+    unregister_decoder) registers fresh at the front of the chain."""
     import importlib.util
 
     if importlib.util.find_spec("PIL") is None:
@@ -531,12 +536,16 @@ def install_native_codecs() -> bool:
 
         return _decode
 
-    # Remove exactly OUR previous entries (never a user's own decoder
-    # for the same format) before re-registering — repeat installs stay
-    # a no-op for chain length.
-    _CUSTOM_DECODERS[:] = [
-        e for e in _CUSTOM_DECODERS if e not in _NATIVE_CODEC_ENTRIES
-    ]
+    # Re-install replaces each tracked prior entry IN PLACE (tuple
+    # identity lookup — entries hold fresh closures, so identity is the
+    # only safe key), preserving the relative order against any user
+    # decoders registered since the first install.  A format with no
+    # surviving tracked entry (first install, or the user
+    # unregister_decoder()'d it away) registers fresh at the front —
+    # ordinary most-recent-wins semantics.
+    prior = {
+        e[0]: e for e in _NATIVE_CODEC_ENTRIES if e in _CUSTOM_DECODERS
+    }
     _NATIVE_CODEC_ENTRIES.clear()
     for fmt, magic in (
         ("png", (b"\x89PNG\r\n\x1a\n",)),
@@ -545,7 +554,11 @@ def install_native_codecs() -> bool:
         ("bmp", (b"BM",)),
     ):
         fn = _make(fmt, magic)
-        register_decoder(fmt, fn)  # the one registration path
+        old = prior.get(fmt)
+        if old is not None:
+            _CUSTOM_DECODERS[_CUSTOM_DECODERS.index(old)] = (fmt, fn)
+        else:
+            register_decoder(fmt, fn)  # the one registration path
         _NATIVE_CODEC_ENTRIES.append((fmt, fn))
     return True
 

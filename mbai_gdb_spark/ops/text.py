@@ -420,8 +420,19 @@ def bm25_topk(
     their products are then integral):
 
     - ``idf_i   = ((2N - 2df + 1) * idf_scale) div (2df + 1)``
-      (Robertson's ``ln((N-df+.5)/(df+.5))`` argument as a scaled
-      rational — same monotone ordering, no libm in the ranking);
+      (Robertson's ``ln((N-df+.5)/(df+.5))`` ARGUMENT as a scaled
+      rational — no libm in the ranking).  Per-term this preserves
+      the log-idf ordering exactly (x > y ⟺ ln x > ln y), but the
+      SUM across a multi-term query weights rare terms linearly in
+      the ratio where true Okapi BM25 weights them logarithmically —
+      so multi-term AGGREGATE rankings can diverge from standard
+      BM25 despite the Okapi label: rare terms dominate harder here.
+      This is a deliberate trade (bit-exact cross-engine
+      reproducibility over fidelity to float BM25); the oracle SQL
+      implements the identical rational, so parity is unaffected.  A
+      fixed-point integer log (e.g. scaled bit-length + polynomial
+      correction) would restore log weighting at the cost of a far
+      hairier cross-engine contract;
     - ``norm_d  = (9 * dl * N) div T``  — the per-document length term
       ``10*k1*b*dl/avgdl`` with ``avgdl = T/N``, quantized once per
       document (floor; deterministic in any engine);
@@ -572,6 +583,117 @@ def bm25_index_persist(
         "n_docs long, total_toks long, n_buckets int",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def bm25_index_append(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incrementally merge NEW documents into a persisted
+    :func:`bm25_index_persist` layout — the text-search counterpart of
+    the incremental LSH twin (ops.dedup.lsh_append): corpus growth no
+    longer forces a full index rebuild.
+
+    Exactness contract: after the append, a :func:`bm25_probe_persisted`
+    returns results BIT-IDENTICAL to a from-scratch build over the
+    union corpus (property-tested append ≡ rebuild).  That works
+    because the layout keys every posting for a term into ONE bucket
+    (term-hash partitioning), so the denormalized ``df`` can be
+    recomputed EXACTLY from the union of old + new postings within
+    just the touched buckets; ``dl`` is per-document and rides in with
+    the new rows; the two corpus scalars are plain sums in ``_meta``.
+
+    Appended ``doc_id``s must be NEW (append, not upsert).  The guard
+    is complete for re-added documents: every term of a duplicated doc
+    is in the delta, so all of its existing postings live in touched
+    buckets, where the overlap check runs.  (A doc re-added with a
+    completely disjoint token set evades the guard — that is an
+    update, use a rebuild.)
+
+    Plan shape at scale: one explode + three hash aggregations over
+    the DELTA only; the union-and-recount reads only touched buckets
+    (|buckets of delta terms| / n_buckets of the index); untouched
+    bucket directories are NOT rewritten — their files stay
+    byte-identical (tested).  New rows land in a staging dir first and
+    replace touched bucket dirs by rename, so a concurrent probe of an
+    untouched bucket never sees a torn partition and the self-
+    read-then-overwrite hazard (Spark lazily reading the files the
+    write is about to delete) cannot arise.  A distributed deployment
+    would use the same per-directory rename on its object store, or
+    version whole index generations behind a manifest pointer."""
+    import os
+    import shutil
+
+    spark = docs.sparkSession
+    meta = spark.read.parquet(path + "/_meta").first()
+    n_buckets = int(meta["n_buckets"])
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    delta_post = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    delta_dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
+        ).alias("t"),
+    ).first()
+    d_docs, d_toks = int(stats["n"] or 0), int(stats["t"] or 0)
+    if d_docs == 0:
+        return  # empty delta: nothing to merge, meta unchanged
+
+    delta_rows = (
+        delta_post.join(delta_dl, id_col)
+        .withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+        .select("term", id_col, "tf", "dl", "bucket")
+    )
+    # Bounded driver scalar (≤ n_buckets, itself small) — the same
+    # folded-into-the-scan shape the probe uses.
+    touched = sorted(
+        {r["bucket"] for r in delta_rows.select("bucket").distinct().collect()}
+    )
+    if touched:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col("bucket").isin(touched))
+            .select("term", id_col, "tf", "dl", "bucket")
+        )
+        dup = existing.join(delta_dl.select(id_col), id_col, "leftsemi").limit(1)
+        if dup.count() > 0:
+            raise ValueError(
+                "bm25_index_append: delta contains doc_ids already in the "
+                "index — append is insert-only; rebuild for updates"
+            )
+        unioned = existing.unionByName(delta_rows)
+        new_df = unioned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        rows = unioned.join(new_df, "term").select(
+            "term", id_col, "tf", "df", "dl", "bucket"
+        )
+        staging = path + ".append_staging"
+        from mbai_gdb_spark.io import write_partitioned
+
+        write_partitioned(rows, staging, ["bucket"])
+        for b in touched:
+            src = os.path.join(staging, f"bucket={b}")
+            dst = os.path.join(path, f"bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
+    # _meta last: its (rewritten) presence marks a complete merge, the
+    # same completeness convention the builder uses.
+    new_meta = spark.createDataFrame(
+        [
+            (
+                int(meta["n_docs"]) + d_docs,
+                int(meta["total_toks"]) + d_toks,
+                n_buckets,
+            )
+        ],
+        "n_docs long, total_toks long, n_buckets int",
+    )
+    new_meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
 
 def bm25_probe_persisted(

@@ -1934,6 +1934,106 @@ def search_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([bm_list, cos_list], k=10)
 
 
+# --- persisted-index lifecycle (shared by the two persisted BM25 queries) ---
+#
+# Index trees live under $SPARK_GRAFT_INDEX_DIR (default: the system
+# tempdir) and are keyed by (sf tag, DATASET FINGERPRINT, pid):
+#   - the fingerprint (size+mtime of every parquet part of the
+#     documents table) makes serving a stale index impossible — if the
+#     driver regenerates testdata at the same path, the key changes
+#     and the next call rebuilds;
+#   - the pid keeps concurrent processes from racing on one build while
+#     still amortizing probes within a session (bench warm pass, parity
+#     re-runs measure the PROBE, the cost the index exists to expose);
+#   - residue is bounded: each build first sweeps sibling trees owned
+#     by dead pids, and an atexit hook removes this process's own.
+
+_BM25_IDX_PREFIX = "mbai_bm25_idx_"
+_BM25_BUILT_PATHS: set = set()
+
+
+def _bm25_index_root() -> str:
+    import os
+    import tempfile
+
+    return os.environ.get("SPARK_GRAFT_INDEX_DIR") or tempfile.gettempdir()
+
+
+def _dataset_fingerprint(path: str) -> str:
+    """Cheap content fingerprint from filesystem metadata — the
+    (name, size, mtime_ns) of every file under the dataset path.  Any
+    regeneration of the parquet (even same-size) bumps mtime_ns, so a
+    fingerprint collision with genuinely different data is not a
+    realistic event; the cost is a metadata walk, never a data read."""
+    import hashlib
+    import os
+
+    parts = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append((f, st.st_size, st.st_mtime_ns))
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    return hashlib.sha1(repr(sorted(parts)).encode()).hexdigest()[:12]
+
+
+def _sweep_stale_bm25_indexes(root: str) -> None:
+    """Remove sibling index trees whose owning pid is dead — the
+    unbounded-tmp-growth fix.  Live pids' trees (and our own) are left
+    alone; on platforms where liveness can't be probed we keep the
+    tree (leaking one dir beats deleting an index under a reader)."""
+    import os
+    import re
+    import shutil
+
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    for nm in names:
+        m = re.fullmatch(re.escape(_BM25_IDX_PREFIX) + r".*_(\d+)", nm)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid():
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(os.path.join(root, nm), ignore_errors=True)
+        except OSError:
+            continue  # alive or unknowable: leave it
+
+
+def _cleanup_built_bm25_indexes() -> None:
+    import shutil
+
+    for p in _BM25_BUILT_PATHS:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+import atexit as _atexit  # noqa: E402  (one hook per process; no-op when nothing was built)
+
+_atexit.register(_cleanup_built_bm25_indexes)
+
+
+def _bm25_index_path(sf_dir: str, suffix: str = "") -> str:
+    """The keyed path for this (dataset, process) — see the lifecycle
+    note above.  ``suffix`` distinguishes index VARIANTS over the same
+    dataset (e.g. the append-built twin)."""
+    import os
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _dataset_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    return os.path.join(
+        _bm25_index_root(),
+        f"{_BM25_IDX_PREFIX}{sf_tag}{suffix}_{fp}_{os.getpid()}",
+    )
+
+
 @query(
     "search_bm25_persisted",
     f"""
@@ -1989,22 +2089,79 @@ def search_bm25_persisted(spark, sf_dir):
     tests/test_search.py).  The oracle is identical to the in-memory
     query's: the index is an access path, not a semantic change."""
     import os
-    import tempfile
 
     from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(
-        tempfile.gettempdir(), f"mbai_bm25_idx_{sf_tag}_{os.getpid()}"
-    )
-    # Build once per (sf, process): the pid-keyed path cannot be stale
-    # across datasets, and a repeat invocation (bench warm pass, parity
-    # re-run) should measure the PROBE — the amortized serving cost the
-    # index exists for — not a rebuild.  The _meta side-car is written
-    # last, so its presence marks a complete index.
+    # Build once per (dataset fingerprint, process) — a repeat
+    # invocation (bench warm pass, parity re-run) measures the PROBE,
+    # the amortized serving cost the index exists for, never a rebuild;
+    # a regenerated dataset changes the fingerprint and forces one.
+    # The _meta side-car is written last, so its presence marks a
+    # complete index.  Lifecycle (root override, dead-pid sweep, atexit
+    # cleanup): see the note above _bm25_index_path.
+    path = _bm25_index_path(sf_dir)
     if not os.path.isdir(os.path.join(path, "_meta")):
+        _sweep_stale_bm25_indexes(_bm25_index_root())
         bm25_index_persist(docs, path, n_buckets=64)
+        _BM25_BUILT_PATHS.add(path)
+    queries_df = spark.createDataFrame(
+        _SEARCH_QUERIES, "query_id string, qtext string"
+    )
+    return bm25_probe_persisted(spark, path, queries_df, k=10)
+
+
+def _bm25_appended_oracle() -> str:
+    """The appended index must serve results IDENTICAL to a full-corpus
+    build, so its oracle IS search_bm25_persisted's — registered by
+    reference so the two can never drift."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    return ORACLES["search_bm25_persisted"]
+
+
+@query("search_bm25_appended", _bm25_appended_oracle())
+def search_bm25_appended(spark, sf_dir):
+    """The SAME BM25 ranking as `search_bm25_persisted`, but the index
+    is grown INCREMENTALLY (ops.text.bm25_index_append): built from
+    the even-doc_id half of the corpus, then the odd half merged in —
+    only the buckets the delta's terms hash to are rewritten, df/dl
+    recomputed exactly within them, corpus scalars summed in `_meta`.
+    The oracle is the full-corpus BM25 SQL, so the driver row certifies
+    append ≡ rebuild end-to-end: the incremental path is an index-
+    maintenance strategy, not a semantic change.  At 100 TB this is
+    the difference between re-scanning the corpus on every ingest tick
+    and touching |delta-term buckets| directories."""
+    import os
+
+    from mbai_gdb_spark.ops.text import (
+        bm25_index_append,
+        bm25_index_persist,
+        bm25_probe_persisted,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _bm25_index_path(sf_dir, suffix="_app")
+    # `_meta` exists after the HALF-build here, so completion is marked
+    # by our own sentinel (underscore-hidden from the posting scan) —
+    # a failure between build and append leaves no sentinel and the
+    # retry rebuilds from scratch rather than serving a half-corpus
+    # index.
+    done = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        shutil.rmtree(path, ignore_errors=True)
+        bm25_index_persist(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), path, n_buckets=64
+        )
+        bm25_index_append(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1), path
+        )
+        with open(done, "w"):
+            pass
+        _BM25_BUILT_PATHS.add(path)
     queries_df = spark.createDataFrame(
         _SEARCH_QUERIES, "query_id string, qtext string"
     )

@@ -348,19 +348,21 @@ def test_rrf_fuse_tie_breaks_by_doc_id_and_k_bounds(spark):
 # ---------------------------------------------------------------------------
 
 
-def _persist_fixture(spark, tmp_path):
+_PERSIST_DOC_ROWS = [
+    (1, "the zebra sleeps by the river"),
+    (2, "the the the cat naps on the mat"),
+    (3, "zebra zebra zebra stripes"),
+    (4, "a quiet dog watches the zebra"),
+    (5, "rain on tin roofs all night"),
+]
+
+
+def _persist_fixture(spark, tmp_path, n_buckets=16):
     from mbai_gdb_spark.ops.text import bm25_index_persist
 
-    doc_rows = [
-        (1, "the zebra sleeps by the river"),
-        (2, "the the the cat naps on the mat"),
-        (3, "zebra zebra zebra stripes"),
-        (4, "a quiet dog watches the zebra"),
-        (5, "rain on tin roofs all night"),
-    ]
-    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    docs = spark.createDataFrame(_PERSIST_DOC_ROWS, "doc_id long, text string")
     path = str(tmp_path / "bm25_idx")
-    bm25_index_persist(docs, path, n_buckets=16)
+    bm25_index_persist(docs, path, n_buckets=n_buckets)
     return docs, path
 
 
@@ -376,13 +378,22 @@ def test_persisted_probe_matches_in_memory_bm25(spark, tmp_path):
     assert got == want and len(got) > 0  # bit-identical scores AND ranks
 
 
-def test_persisted_probe_prunes_unprobed_buckets(spark, tmp_path):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("n_buckets", [16, 256])
+def test_persisted_probe_prunes_unprobed_buckets(spark, tmp_path, n_buckets):
+    """Physical pruning proof at BOTH the small bucket count the
+    registry query uses and a larger one (256) — guarding against a
+    future regression where a grown bucket count stops the
+    PartitionFilters literal list from staying bounded by the distinct
+    query terms and degrades to a full scan."""
     import shutil
     from pathlib import Path
 
     from mbai_gdb_spark.ops.text import bm25_probe_persisted
 
-    _, path = _persist_fixture(spark, tmp_path)
+    _, path = _persist_fixture(spark, tmp_path, n_buckets=n_buckets)
     qs = spark.createDataFrame([("q", "zebra")], "query_id string, qtext string")
 
     got_df = bm25_probe_persisted(spark, path, qs, k=10)
@@ -392,16 +403,19 @@ def test_persisted_probe_prunes_unprobed_buckets(spark, tmp_path):
     assert before, "zebra must match documents"
 
     # Physical proof: deleting every UNPROBED bucket directory changes
-    # nothing — those directories are never read.
+    # nothing — those directories are never read.  The probed set is
+    # bounded by the distinct query terms (here: 1), independent of
+    # n_buckets.
     from mbai_gdb_spark.ops.text import _term_bucket
     from pyspark.sql import functions as F
 
     probed = {
         r.b
         for r in spark.createDataFrame([("zebra",)], "term string")
-        .select(_term_bucket(F.col("term"), 16).alias("b"))
+        .select(_term_bucket(F.col("term"), n_buckets).alias("b"))
         .collect()
     }
+    assert len(probed) == 1
     removed = 0
     for d in Path(path).glob("bucket=*"):
         if int(d.name.split("=")[1]) not in probed:
@@ -412,3 +426,185 @@ def test_persisted_probe_prunes_unprobed_buckets(spark, tmp_path):
         map(tuple, bm25_probe_persisted(spark, path, qs, k=10).collect())
     )
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (round 9): bm25_index_append
+# ---------------------------------------------------------------------------
+
+_APPEND_DELTA_ROWS = [
+    (6, "zebra crossing painted overnight"),
+    (7, "dogs and cats share the rain"),
+    (8, "quiet night by the river"),
+]
+
+_APPEND_QUERIES = [
+    ("q1", "the zebra"),
+    ("q2", "rain dog"),
+    ("q3", "quiet night river"),
+]
+
+
+def test_bm25_append_equals_rebuild(spark, tmp_path):
+    """The exactness contract: probe results over build(half)+append(
+    rest) are BIT-IDENTICAL to a from-scratch build over the union —
+    scores included — and so are the index ROWS themselves."""
+    from mbai_gdb_spark.ops.text import (
+        bm25_index_append,
+        bm25_index_persist,
+        bm25_probe_persisted,
+    )
+
+    base = spark.createDataFrame(_PERSIST_DOC_ROWS, "doc_id long, text string")
+    delta = spark.createDataFrame(_APPEND_DELTA_ROWS, "doc_id long, text string")
+    inc_path = str(tmp_path / "inc_idx")
+    full_path = str(tmp_path / "full_idx")
+    bm25_index_persist(base, inc_path, n_buckets=16)
+    bm25_index_append(delta, inc_path)
+    bm25_index_persist(base.unionByName(delta), full_path, n_buckets=16)
+
+    qs = spark.createDataFrame(_APPEND_QUERIES, "query_id string, qtext string")
+    inc = sorted(map(tuple, bm25_probe_persisted(spark, inc_path, qs, k=10).collect()))
+    full = sorted(
+        map(tuple, bm25_probe_persisted(spark, full_path, qs, k=10).collect())
+    )
+    assert inc == full and len(inc) > 0
+
+    cols = ["term", "doc_id", "tf", "df", "dl", "bucket"]
+    inc_rows = sorted(map(tuple, spark.read.parquet(inc_path).select(cols).collect()))
+    full_rows = sorted(
+        map(tuple, spark.read.parquet(full_path).select(cols).collect())
+    )
+    assert inc_rows == full_rows
+
+    m_inc = spark.read.parquet(inc_path + "/_meta").first()
+    m_full = spark.read.parquet(full_path + "/_meta").first()
+    assert (m_inc["n_docs"], m_inc["total_toks"]) == (
+        m_full["n_docs"],
+        m_full["total_toks"],
+    )
+
+
+_split_corpus = st.tuples(
+    st.lists(_doc_text, min_size=2, max_size=8),
+    st.integers(min_value=1, max_value=7),
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_split_corpus, _query)
+def test_bm25_append_property_equals_rebuild(spark, corpus_split, qtext):
+    """Random corpora, random split point: probing build(prefix) +
+    append(suffix) is bit-identical to probing a from-scratch build of
+    the whole corpus."""
+    import shutil
+    import tempfile
+
+    from mbai_gdb_spark.ops.text import (
+        bm25_index_append,
+        bm25_index_persist,
+        bm25_probe_persisted,
+    )
+
+    texts, cut = corpus_split
+    cut = min(cut, len(texts) - 1)
+    rows = [(i, t) for i, t in enumerate(texts)]
+    base = spark.createDataFrame(rows[:cut], "doc_id long, text string")
+    delta = spark.createDataFrame(rows[cut:], "doc_id long, text string")
+    qs = spark.createDataFrame([("q", qtext)], "query_id string, qtext string")
+    work = tempfile.mkdtemp(prefix="bm25_append_prop_")
+    try:
+        inc, full = work + "/inc", work + "/full"
+        bm25_index_persist(base, inc, n_buckets=8)
+        bm25_index_append(delta, inc)
+        bm25_index_persist(base.unionByName(delta), full, n_buckets=8)
+        got = sorted(map(tuple, bm25_probe_persisted(spark, inc, qs).collect()))
+        want = sorted(map(tuple, bm25_probe_persisted(spark, full, qs).collect()))
+        assert got == want
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def test_bm25_append_leaves_untouched_buckets_alone(spark, tmp_path):
+    """Buckets none of the delta's terms hash to are NOT rewritten —
+    their parquet files stay byte-identical (same paths, sizes,
+    mtimes).  This is the incremental cost model: |touched buckets|,
+    never the index."""
+    import os
+    from pathlib import Path
+
+    from mbai_gdb_spark.ops.text import _term_bucket, bm25_index_append, tokens
+
+    docs, path = _persist_fixture(spark, tmp_path, n_buckets=16)
+    delta = spark.createDataFrame(
+        [(9, "zebra zebra again")], "doc_id long, text string"
+    )
+    touched = {
+        r.b
+        for r in delta.select(
+            F.explode(tokens("text")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .select(_term_bucket(F.col("term"), 16).alias("b"))
+        .distinct()
+        .collect()
+    }
+
+    def snapshot(skip):
+        out = {}
+        for d in Path(path).glob("bucket=*"):
+            if int(d.name.split("=")[1]) in skip:
+                continue
+            for f in d.rglob("*"):
+                if f.is_file():
+                    st = os.stat(f)
+                    out[str(f)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot(touched)
+    assert before, "fixture must have untouched buckets"
+    bm25_index_append(delta, path)
+    assert snapshot(touched) == before
+
+
+def test_bm25_append_rejects_duplicate_doc_ids(spark, tmp_path):
+    from mbai_gdb_spark.ops.text import bm25_index_append
+
+    _, path = _persist_fixture(spark, tmp_path)
+    dup = spark.createDataFrame(
+        [(3, "zebra returns with new stripes")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="already in the index"):
+        bm25_index_append(dup, path)
+
+
+def test_bm25_append_empty_delta_is_noop(spark, tmp_path):
+    from mbai_gdb_spark.ops.text import bm25_index_append, bm25_probe_persisted
+
+    _, path = _persist_fixture(spark, tmp_path)
+    qs = spark.createDataFrame([("q", "zebra")], "query_id string, qtext string")
+    before = sorted(map(tuple, bm25_probe_persisted(spark, path, qs).collect()))
+    m_before = spark.read.parquet(path + "/_meta").first()
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    bm25_index_append(empty, path)
+    after = sorted(map(tuple, bm25_probe_persisted(spark, path, qs).collect()))
+    m_after = spark.read.parquet(path + "/_meta").first()
+    assert after == before
+    assert (m_after["n_docs"], m_after["total_toks"]) == (
+        m_before["n_docs"],
+        m_before["total_toks"],
+    )
+
+
+def test_bm25_append_empty_text_docs_update_meta_only(spark, tmp_path):
+    """Docs whose texts tokenize to nothing still count toward N (the
+    rebuild would count them), but touch zero buckets."""
+    from mbai_gdb_spark.ops.text import bm25_index_append
+
+    _, path = _persist_fixture(spark, tmp_path)
+    m_before = spark.read.parquet(path + "/_meta").first()
+    blank = spark.createDataFrame([(21, ""), (22, "   ")], "doc_id long, text string")
+    bm25_index_append(blank, path)
+    m_after = spark.read.parquet(path + "/_meta").first()
+    assert m_after["n_docs"] == m_before["n_docs"] + 2
+    assert m_after["total_toks"] == m_before["total_toks"]

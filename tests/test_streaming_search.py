@@ -1,0 +1,127 @@
+"""Streaming BM25 index maintenance (foreachBatch → bm25_index_append)
+must produce an index whose probes — and rows — are bit-identical to a
+one-shot batch build over the drained corpus, across micro-batch
+boundaries; replayed batches must be skipped, and a replay after a
+lost marker must fail loudly instead of double-counting."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark.io import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = [
+    ("q1", "the data model"),
+    ("q2", "stream of events"),
+    ("q3", "quality"),
+]
+
+
+def _docs(spark):
+    return read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def test_streaming_index_equals_batch_build(spark, tmp_path):
+    from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_bm25_index_available_now,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "feed")
+    # Hash-partitioned files: each micro-batch holds an arbitrary slice
+    # of the doc-id space, so df/dl/meta arithmetic must hold across
+    # every batch boundary, not just an ordered split.
+    docs.repartition(4).write.parquet(src)
+
+    inc_path = str(tmp_path / "inc_idx")
+    run_streaming_bm25_index_available_now(
+        spark, src, docs.schema, inc_path, n_buckets=16
+    )
+
+    full_path = str(tmp_path / "full_idx")
+    bm25_index_persist(docs, full_path, n_buckets=16)
+
+    qs = spark.createDataFrame(_QUERIES, "query_id string, qtext string")
+    got = sorted(
+        map(tuple, bm25_probe_persisted(spark, inc_path, qs, k=10).collect())
+    )
+    want = sorted(
+        map(tuple, bm25_probe_persisted(spark, full_path, qs, k=10).collect())
+    )
+    assert got == want and len(got) > 0
+
+    cols = ["term", "doc_id", "tf", "df", "dl", "bucket"]
+    inc_rows = sorted(
+        map(tuple, spark.read.parquet(inc_path).select(cols).collect())
+    )
+    full_rows = sorted(
+        map(tuple, spark.read.parquet(full_path).select(cols).collect())
+    )
+    assert inc_rows == full_rows
+
+
+def test_batch_applier_skips_replayed_batches(spark, tmp_path):
+    """Driving the applier directly: a replay of a recorded batch id is
+    a no-op (exactly-once bookkeeping), while a NEW batch id carrying
+    already-indexed docs trips the duplicate guard loudly."""
+    from mbai_gdb_spark.ops.text import bm25_probe_persisted
+    from mbai_gdb_spark.streaming.search import index_batch_applier
+
+    docs = _docs(spark)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "idx")
+    apply_batch = index_batch_applier(path, n_buckets=16)
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+
+    qs = spark.createDataFrame(_QUERIES, "query_id string, qtext string")
+    before = sorted(map(tuple, bm25_probe_persisted(spark, path, qs).collect()))
+    m_before = spark.read.parquet(path + "/_meta").first()
+
+    # Replays of both recorded batches: no-ops.
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    after = sorted(map(tuple, bm25_probe_persisted(spark, path, qs).collect()))
+    m_after = spark.read.parquet(path + "/_meta").first()
+    assert after == before
+    assert (m_after["n_docs"], m_after["total_toks"]) == (
+        m_before["n_docs"],
+        m_before["total_toks"],
+    )
+
+    # Same docs under a NEW batch id = the lost-marker crash window:
+    # the duplicate-doc_id guard must refuse rather than double-count.
+    with pytest.raises(ValueError, match="already in the index"):
+        apply_batch(b1, 2)
+
+
+def test_batch_applier_empty_batch_never_builds(spark, tmp_path):
+    """An empty FIRST batch must not create a degenerate empty index
+    (its total_toks floor would skew every later append); the next
+    non-empty batch builds instead."""
+    import os
+
+    from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
+    from mbai_gdb_spark.streaming.search import index_batch_applier
+
+    docs = _docs(spark)
+    empty = docs.filter(F.lit(False))
+    path = str(tmp_path / "idx")
+    apply_batch = index_batch_applier(path, n_buckets=16)
+    apply_batch(empty, 0)
+    assert not os.path.isdir(os.path.join(path, "_meta"))
+    apply_batch(docs, 1)
+
+    full_path = str(tmp_path / "full_idx")
+    bm25_index_persist(docs, full_path, n_buckets=16)
+    qs = spark.createDataFrame(_QUERIES, "query_id string, qtext string")
+    got = sorted(map(tuple, bm25_probe_persisted(spark, path, qs).collect()))
+    want = sorted(
+        map(tuple, bm25_probe_persisted(spark, full_path, qs).collect())
+    )
+    assert got == want and len(got) > 0
