@@ -111,6 +111,11 @@ HEADLINE = [
     "search_bm25_topk",
     "search_hybrid_rrf",
     "search_bm25_persisted",
+    # Round-9 additions: incremental index maintenance — BM25 postings
+    # merged bucket-locally, IVF-PQ codes inserted with frozen
+    # quantizers (cold = build+append+probe, warm = probe only)
+    "search_bm25_appended",
+    "sim_ivfpq_appended_top5",
 ]
 
 

@@ -1495,6 +1495,72 @@ def ivfpq_persist(
     cb.coalesce(1).write.mode("overwrite").parquet(path + "/_codebook")
 
 
+def ivfpq_append(
+    new_vectors: DataFrame,
+    path: str,
+    m_sub: int = 8,
+    sub_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> None:
+    """Append NEW vectors into a persisted :func:`ivfpq_persist` layout
+    with FROZEN side-cars — the vector-search counterpart of
+    ``ops.text.bm25_index_append``: corpus growth without a rebuild.
+
+    New vectors assign to the EXISTING centroids and residual-encode
+    with the EXISTING codebook (production IVF-PQ semantics: quantizers
+    are trained once and retrained offline when drift warrants a new
+    index generation).  Unlike BM25's df, PQ codes carry NO corpus-
+    global statistics, so the merge is a pure INSERT: new code rows
+    land as additional files inside their centroid_id partition
+    directories and no existing file is ever rewritten.  Consequences,
+    both tested: append is associative (one batch ≡ any split into
+    batches, bit-identical probes), and appended rows equal the frozen
+    encoding of the delta exactly.
+
+    Appended ids must be NEW.  The overlap guard reads only the
+    partitions the delta assigns to — complete for exact re-adds, since
+    frozen centroids assign a re-added vector to the same list.
+
+    Plan shape at scale: assignment and encoding are the same
+    broadcast-join map-only pipeline the builder uses, over the DELTA
+    only; the guard scans |assigned lists| partitions; the write
+    touches the same.  Cost is |delta|, never the index."""
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(path + "/_centroids").select(
+        F.col("centroid_id").alias(id_col), F.col(vec_col)
+    )
+    cb = spark.read.parquet(path + "/_codebook")
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    assignment = truncate(assign_fn(new_vectors, centroids, id_col, vec_col))
+    if assignment.isEmpty():
+        return  # empty delta: nothing to insert
+    touched = [
+        r["centroid_id"]
+        for r in assignment.select("centroid_id").distinct().collect()
+    ]
+    existing_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .select(id_col)
+    )
+    dup = existing_ids.join(
+        assignment.select(id_col), id_col, "leftsemi"
+    ).limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            "ivfpq_append: delta contains vec_ids already in the index — "
+            "append is insert-only; rebuild for updates"
+        )
+    res = ivf_residuals(new_vectors, centroids, assignment, id_col, vec_col)
+    enc = pq_encode_vectorized if vectorized else pq_encode
+    codes = enc(res, cb, id_col, "residual", m_sub, sub_dim).join(assignment, id_col)
+    codes.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def ivfpq_probe_persisted(
     spark,
     path: str,

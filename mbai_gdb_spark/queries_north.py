@@ -1934,7 +1934,7 @@ def search_hybrid_rrf(spark, sf_dir):
     return rrf_fuse([bm_list, cos_list], k=10)
 
 
-# --- persisted-index lifecycle (shared by the two persisted BM25 queries) ---
+# --- persisted-index lifecycle (shared by every index-building query) ---
 #
 # Index trees live under $SPARK_GRAFT_INDEX_DIR (default: the system
 # tempdir) and are keyed by (sf tag, DATASET FINGERPRINT, pid):
@@ -1949,6 +1949,8 @@ def search_hybrid_rrf(spark, sf_dir):
 #     by dead pids, and an atexit hook removes this process's own.
 
 _BM25_IDX_PREFIX = "mbai_bm25_idx_"
+_IVFPQ_IDX_PREFIX = "mbai_ivfpq_idx_"
+_IDX_SWEEP_RE = r"mbai_\w+_idx_.*_(\d+)"
 _BM25_BUILT_PATHS: set = set()
 
 
@@ -1994,7 +1996,7 @@ def _sweep_stale_bm25_indexes(root: str) -> None:
     except OSError:
         return
     for nm in names:
-        m = re.fullmatch(re.escape(_BM25_IDX_PREFIX) + r".*_(\d+)", nm)
+        m = re.fullmatch(_IDX_SWEEP_RE, nm)
         if not m:
             continue
         pid = int(m.group(1))
@@ -2020,18 +2022,27 @@ import atexit as _atexit  # noqa: E402  (one hook per process; no-op when nothin
 _atexit.register(_cleanup_built_bm25_indexes)
 
 
-def _bm25_index_path(sf_dir: str, suffix: str = "") -> str:
+def _keyed_index_path(sf_dir: str, prefix: str, dataset: str, suffix: str = "") -> str:
     """The keyed path for this (dataset, process) — see the lifecycle
     note above.  ``suffix`` distinguishes index VARIANTS over the same
-    dataset (e.g. the append-built twin)."""
+    dataset (e.g. the append-built twin); ``dataset`` names the parquet
+    the fingerprint derives from."""
     import os
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
-    fp = _dataset_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    fp = _dataset_fingerprint(os.path.join(sf_dir, f"{dataset}.parquet"))
     return os.path.join(
         _bm25_index_root(),
-        f"{_BM25_IDX_PREFIX}{sf_tag}{suffix}_{fp}_{os.getpid()}",
+        f"{prefix}{sf_tag}{suffix}_{fp}_{os.getpid()}",
     )
+
+
+def _bm25_index_path(sf_dir: str, suffix: str = "") -> str:
+    return _keyed_index_path(sf_dir, _BM25_IDX_PREFIX, "documents", suffix)
+
+
+def _ivfpq_index_path(sf_dir: str, suffix: str = "") -> str:
+    return _keyed_index_path(sf_dir, _IVFPQ_IDX_PREFIX, "embeddings", suffix)
 
 
 @query(
@@ -3629,6 +3640,72 @@ def sim_ivfpq_residual_top5(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_pq_residual_topk(emb, queries_df, k=5, n_probe=2)
+
+
+def _ivfpq_appended_oracle() -> str:
+    """sim_ivfpq_residual_top5's oracle with ONE predicate added: the
+    PQ codebook trains on the BASE (even-vec_id) half only — exactly
+    the frozen-quantizer semantics of ivfpq_append.  Centroids are
+    unchanged by construction (stride-50 ids are all even, so the base
+    half contains every centroid), and assignments/probes/ADC replay
+    identically over the full corpus."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    base = ORACLES["sim_ivfpq_residual_top5"]
+    needle = "WHERE vec_id % 7 = 0 AND vec_id < 112"
+    assert base.count(needle) == 1
+    return base.replace(needle, needle + " AND vec_id % 2 = 0")
+
+
+@query("sim_ivfpq_appended_top5", _ivfpq_appended_oracle())
+def sim_ivfpq_appended_top5(spark, sf_dir):
+    """Residual IVF-PQ search against an index grown INCREMENTALLY
+    (ops.similarity.ivfpq_append): built from the even-vec_id half,
+    then the odd half inserted with the side-car centroids/codebook
+    FROZEN — production IVF semantics, where quantizers train once and
+    corpus growth is a pure partition-local insert (PQ codes carry no
+    corpus-global statistics, unlike BM25's df).  The oracle replays
+    the same two-phase process: codebook from the base half's
+    residuals, everything else over the full corpus.  Probes are the
+    standard partition-pruned persisted path.  At 100 TB: ingest cost
+    is |delta| map-only work + |assigned lists| directory inserts,
+    never an index rebuild."""
+    import os
+
+    from mbai_gdb_spark.ops.similarity import (
+        ivfpq_append,
+        ivfpq_persist,
+        ivfpq_probe_persisted,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivfpq_index_path(sf_dir, suffix="_app")
+    done = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        shutil.rmtree(path, ignore_errors=True)
+        # vectorized=False: the HOF sequential-fold path on BOTH phases,
+        # so every float lands exactly where the DuckDB oracle's
+        # list_reduce puts it (the persisted-vs-inline test's choice).
+        ivfpq_persist(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            path,
+            centroid_stride=50,
+            code_stride=7,
+            vectorized=False,
+        )
+        ivfpq_append(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+            path,
+            vectorized=False,
+        )
+        with open(done, "w"):
+            pass
+        _BM25_BUILT_PATHS.add(path)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_probe_persisted(spark, path, queries_df, k=5, n_probe=2)
 
 
 @query(

@@ -152,3 +152,115 @@ def test_ivfpq_probe_prunes_partitions(spark, tmp_path):
     assert removed > 0
     after_df = ivfpq_probe_persisted(spark, path, queries, k=3, n_probe=2)
     assert sorted(map(tuple, after_df.collect())) == before
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (round 9): ivfpq_append
+# ---------------------------------------------------------------------------
+
+
+def _split_emb(spark):
+    emb = read_table(spark, SF_DIR, "embeddings")
+    return (
+        emb,
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+    )
+
+
+def test_ivfpq_append_rows_equal_frozen_encoding(spark, tmp_path):
+    """Appended code rows are exactly the frozen-quantizer encoding of
+    the delta: build(base)+append(delta) holds the same rows as
+    build(base) plus encoding the delta with base's side-cars —
+    asserted by comparing against a one-shot frozen build over the
+    union via a second append of the SAME delta split differently."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
+
+    _, base, delta = _split_emb(spark)
+    a = str(tmp_path / "one_batch")
+    b = str(tmp_path / "two_batches")
+    for p in (a, b):
+        ivfpq_persist(base, p, centroid_stride=50, code_stride=7, vectorized=False)
+
+    # Associativity: one append of the whole delta ≡ two appends of a
+    # disjoint split (bit-identical rows AND probes).
+    ivfpq_append(delta, a, vectorized=False)
+    d1 = delta.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 1)
+    d2 = delta.filter(F.pmod(F.col("vec_id"), F.lit(4)) == 3)
+    ivfpq_append(d1, b, vectorized=False)
+    ivfpq_append(d2, b, vectorized=False)
+
+    cols = ["vec_id", "sub_id", "code_id", "centroid_id"]
+    rows_a = sorted(map(tuple, spark.read.parquet(a).select(cols).collect()))
+    rows_b = sorted(map(tuple, spark.read.parquet(b).select(cols).collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+
+    from mbai_gdb_spark.ops.similarity import ivfpq_probe_persisted
+
+    emb, _, _ = _split_emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got_a = sorted(
+        map(tuple, ivfpq_probe_persisted(spark, a, queries, k=3, n_probe=2).collect())
+    )
+    got_b = sorted(
+        map(tuple, ivfpq_probe_persisted(spark, b, queries, k=3, n_probe=2).collect())
+    )
+    assert got_a == got_b and len(got_a) > 0
+    # Odd (appended) vectors are genuinely retrievable.
+    assert any(r[1] % 2 == 1 for r in got_a)
+
+
+def test_ivfpq_append_never_rewrites_existing_files(spark, tmp_path):
+    """Pure INSERT: every pre-append parquet file survives the append
+    byte-identical (same path, size, mtime) — PQ codes carry no
+    corpus-global statistics, so nothing needs rewriting."""
+    import os
+    from pathlib import Path
+
+    from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
+
+    _, base, delta = _split_emb(spark)
+    path = str(tmp_path / "idx")
+    ivfpq_persist(base, path, centroid_stride=50, code_stride=7, vectorized=False)
+
+    def snapshot():
+        out = {}
+        for d in Path(path).glob("centroid_id=*"):
+            for f in d.rglob("*"):
+                if f.is_file():
+                    st = os.stat(f)
+                    out[str(f)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = snapshot()
+    assert before
+    ivfpq_append(delta, path, vectorized=False)
+    after = snapshot()
+    assert set(before) <= set(after)          # old files all still there...
+    for k in before:
+        assert after[k] == before[k]          # ...and untouched
+    assert len(after) > len(before)           # new files landed
+
+
+def test_ivfpq_append_rejects_duplicate_ids(spark, tmp_path):
+    import pytest
+
+    from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
+
+    _, base, _ = _split_emb(spark)
+    path = str(tmp_path / "idx")
+    ivfpq_persist(base, path, centroid_stride=50, code_stride=7, vectorized=False)
+    readd = base.limit(1)
+    with pytest.raises(ValueError, match="already in the index"):
+        ivfpq_append(readd, path, vectorized=False)
+
+
+def test_ivfpq_append_empty_delta_is_noop(spark, tmp_path):
+    from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
+
+    emb, base, _ = _split_emb(spark)
+    path = str(tmp_path / "idx")
+    ivfpq_persist(base, path, centroid_stride=50, code_stride=7, vectorized=False)
+    n_before = spark.read.parquet(path).count()
+    ivfpq_append(emb.filter(F.lit(False)), path, vectorized=False)
+    assert spark.read.parquet(path).count() == n_before

@@ -23,6 +23,9 @@ BNLJ_OK = {
     "dedup_semantic",  # same stride-centroid broadcast assignment (SemDeDup)
     "sim_ivfpq_top5",  # stride centroids broadcast for assignment/probes
     "sim_ivfpq_residual_top5",  # same centroid broadcast, residual encoding
+    # (sim_ivfpq_appended_top5 needs no entry: its probe-list crossJoin
+    # sits behind the lineage truncation, so the audited plan is the
+    # pruned-scan ADC pipeline only)
     "emb_centroid_classify",  # k class centroids broadcast
     "q22_dormant_capital",  # 1-row scalar subquery broadcast
     "q11_important_parts",  # 1-row grand-total broadcast for the value cut
