@@ -62,7 +62,7 @@ _HEAD_R9 = [
     "sample_negatives",
     "dedup_typo_pairs",
     "q12_late_shipment_priority",
-    # freshness refreshes: latest driver row r06 (44 of 49)
+    # freshness refreshes: latest driver row r06 (43 of 49)
     "a12_pivot_event_counts",
     "a13_order_count_distribution",
     "a17_month_over_month",

@@ -1498,8 +1498,8 @@ def ivfpq_persist(
 def ivfpq_append(
     new_vectors: DataFrame,
     path: str,
-    m_sub: int = 8,
-    sub_dim: int = 8,
+    m_sub: int | None = None,
+    sub_dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vectorized: bool = True,
@@ -1523,6 +1523,13 @@ def ivfpq_append(
     partitions the delta assigns to — complete for exact re-adds, since
     frozen centroids assign a re-added vector to the same list.
 
+    PQ geometry (``m_sub``, ``sub_dim``) is DERIVED from the persisted
+    ``_codebook`` side-car by default — the side-car, not the caller,
+    is the source of truth, exactly as ``bm25_index_append`` reads
+    ``n_buckets`` from ``_meta``.  Passing them explicitly is allowed
+    but validated against the side-car: a mismatch raises instead of
+    silently inserting corrupt codes.
+
     Plan shape at scale: assignment and encoding are the same
     broadcast-join map-only pipeline the builder uses, over the DELTA
     only; the guard scans |assigned lists| partitions; the write
@@ -1534,6 +1541,31 @@ def ivfpq_append(
         F.col("centroid_id").alias(id_col), F.col(vec_col)
     )
     cb = spark.read.parquet(path + "/_codebook")
+    geo = cb.agg(
+        (F.max("sub_id") + 1).alias("m"),
+        F.min(F.size("cw")).alias("d_min"),
+        F.max(F.size("cw")).alias("d_max"),
+    ).first()
+    if geo["d_min"] != geo["d_max"]:
+        raise ValueError(
+            f"ivfpq_append: corrupt _codebook at {path}: codeword "
+            f"lengths vary ({geo['d_min']}..{geo['d_max']})"
+        )
+    cb_m, cb_d = int(geo["m"]), int(geo["d_min"])
+    if m_sub is None:
+        m_sub = cb_m
+    elif m_sub != cb_m:
+        raise ValueError(
+            f"ivfpq_append: m_sub={m_sub} does not match the persisted "
+            f"codebook's {cb_m} sub-quantizers"
+        )
+    if sub_dim is None:
+        sub_dim = cb_d
+    elif sub_dim != cb_d:
+        raise ValueError(
+            f"ivfpq_append: sub_dim={sub_dim} does not match the "
+            f"persisted codebook's codeword length {cb_d}"
+        )
     assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
     assignment = truncate(assign_fn(new_vectors, centroids, id_col, vec_col))
     if assignment.isEmpty():

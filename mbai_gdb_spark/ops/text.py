@@ -568,7 +568,12 @@ def bm25_index_persist(
             F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
         ).alias("t"),
     ).first()
-    n_docs, total_toks = stats["n"], stats["t"] or 1
+    # TRUE total, no floor: a token-less corpus stores total_toks=0 —
+    # safe (norm_d only evaluates on hit rows, and a token-less index
+    # has no postings to hit) and REQUIRED for append exactness (the
+    # running sum in _meta must start from the truth, or every later
+    # merge is off by the floor).
+    n_docs, total_toks = stats["n"], stats["t"] or 0
     rows = (
         postings.join(df_t, "term")
         .join(doc_len, id_col)
@@ -655,34 +660,60 @@ def bm25_index_append(
         {r["bucket"] for r in delta_rows.select("bucket").distinct().collect()}
     )
     if touched:
-        existing = (
-            spark.read.parquet(path)
-            .filter(F.col("bucket").isin(touched))
-            .select("term", id_col, "tf", "dl", "bucket")
-        )
-        dup = existing.join(delta_dl.select(id_col), id_col, "leftsemi").limit(1)
-        if dup.count() > 0:
-            raise ValueError(
-                "bm25_index_append: delta contains doc_ids already in the "
-                "index — append is insert-only; rebuild for updates"
+        # A just-built index over a token-less corpus holds _meta but
+        # zero bucket dirs — read.parquet would fail to infer a schema,
+        # and there is nothing to merge with or guard against.
+        has_data = any(n.startswith("bucket=") for n in os.listdir(path))
+        if has_data:
+            from mbai_gdb_spark.ops.lineage import truncate
+
+            # One materialization of the touched partitions (the guard
+            # AND the recount both read it; without the truncation the
+            # staging write would re-scan the same files).
+            existing = truncate(
+                spark.read.parquet(path)
+                .filter(F.col("bucket").isin(touched))
+                .select("term", id_col, "tf", "dl", "bucket")
             )
-        unioned = existing.unionByName(delta_rows)
+            dup = existing.join(
+                delta_dl.select(id_col), id_col, "leftsemi"
+            ).limit(1)
+            if dup.count() > 0:
+                raise ValueError(
+                    "bm25_index_append: delta contains doc_ids already in "
+                    "the index — append is insert-only; rebuild for updates"
+                )
+            unioned = existing.unionByName(delta_rows)
+        else:
+            unioned = delta_rows
         new_df = unioned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
         rows = unioned.join(new_df, "term").select(
             "term", id_col, "tf", "df", "dl", "bucket"
         )
-        staging = path + ".append_staging"
+        # Staging lives INSIDE the index dir, underscore-hidden from
+        # every parquet scan: a crashed append leaves residue only
+        # where the tree's own lifecycle (atexit / dead-pid sweep /
+        # rebuild rmtree) already cleans, never as an orphan sibling.
+        staging = os.path.join(path, "_append_staging")
         from mbai_gdb_spark.io import write_partitioned
 
         write_partitioned(rows, staging, ["bucket"])
+        # Crash-evidence protocol: remove _meta BEFORE the bucket swaps
+        # and rewrite it after.  The per-dir os.replace is atomic, but
+        # the loop across buckets is not — a crash mid-loop now leaves
+        # an index WITHOUT _meta, which every caller's completeness
+        # convention (meta presence marks a complete index) correctly
+        # reports as incomplete instead of serving mixed-generation
+        # postings under a stale meta.
+        shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
         for b in touched:
             src = os.path.join(staging, f"bucket={b}")
             dst = os.path.join(path, f"bucket={b}")
             shutil.rmtree(dst, ignore_errors=True)
             os.replace(src, dst)
         shutil.rmtree(staging, ignore_errors=True)
-    # _meta last: its (rewritten) presence marks a complete merge, the
-    # same completeness convention the builder uses.
+    # _meta written last: its presence marks a complete merge (see the
+    # crash-evidence note above).
     new_meta = spark.createDataFrame(
         [
             (
@@ -713,8 +744,26 @@ def bm25_probe_persisted(
     (≤ distinct query terms) folded into the scan as a partition
     filter, so unprobed buckets are NEVER read — physically proven by
     the delete-unprobed-dirs test, the same standard the persisted IVF
-    index meets."""
+    index meets.  An index over a token-less corpus (complete `_meta`,
+    zero bucket dirs) probes to the empty result, not a read error."""
+    import os
+
     meta = spark.read.parquet(path + "/_meta").first()
+    if not any(n.startswith("bucket=") for n in os.listdir(path)):
+        from pyspark.sql import types as T
+
+        qid_type = queries_df.schema[query_id_col].dataType
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_type),
+                    T.StructField("rank", T.IntegerType()),
+                    T.StructField(id_col, T.LongType()),
+                    T.StructField("score", T.LongType()),
+                ]
+            ),
+        )
     qterms = (
         queries_df.select(
             F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")

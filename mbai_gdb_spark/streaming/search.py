@@ -23,15 +23,25 @@ production search tiers work (micro-batched segment publishing).
 Exactly-once: foreachBatch may replay a batch after a failure, and
 ``bm25_index_append`` is NOT idempotent (tf/df would double-count), so
 each applied batch id is recorded in an ``_applied_batch`` side-car
-(written LAST) and replays of recorded batches are skipped.  A crash
-inside the narrow window between the final bucket-dir swap and the
-marker write leaves the batch merged but unrecorded; the replay then
-trips the append's duplicate-doc_id guard and fails LOUDLY rather than
-silently corrupting postings — recover by rebuilding the index (or
-restoring the previous generation).  A production deployment would
-close the window by versioning whole index generations behind an
-atomically-swapped manifest pointer, the same upgrade path the append
-docstring names.
+(written LAST) and replays of recorded batches are skipped.  The two
+crash windows both fail LOUDLY rather than silently corrupting
+postings: a crash inside the append leaves the index without ``_meta``
+(the append removes it before the bucket swaps and rewrites it after),
+so the replayed batch's merge — and any probe — refuses an incomplete
+index; a crash between the append completing and the marker write
+makes the replay trip the append's duplicate-doc_id guard.  Recover
+from either by rebuilding (or restoring the previous generation).  A
+production deployment would close both windows by versioning whole
+index generations behind an atomically-swapped manifest pointer, the
+same upgrade path the append docstring names.
+
+The batch-id ledger is scoped to ONE checkpoint lineage: Structured
+Streaming numbers batches per checkpointLocation, so replaying the
+marker against a different checkpoint would silently skip real data
+(new files renumbered into already-recorded ids).  The runner
+therefore records its checkpoint in a ``_ckpt_ref`` side-car on
+successful completion and REFUSES to drive the same index from a
+different checkpoint.
 """
 
 from __future__ import annotations
@@ -59,9 +69,10 @@ def index_batch_applier(index_path: str, n_buckets: int = 64):
                 last = int(f.read().strip() or -1)
         if batch_id <= last:
             return  # replay of an already-merged batch
-        # Empty batches merge trivially — but never BUILD from one: the
-        # builder's empty-corpus total_toks floor (1) would skew every
-        # later append's running sum by one.
+        # Row-empty batches merge trivially (no N/T contribution).  A
+        # non-empty batch whose docs all tokenize to nothing still
+        # BUILDS correctly: the builder stores the true total_toks (0)
+        # and the append tolerates a bucket-less index.
         if not batch_df.isEmpty():
             if not os.path.isdir(os.path.join(index_path, "_meta")):
                 bm25_index_persist(batch_df, index_path, n_buckets=n_buckets)
@@ -86,7 +97,24 @@ def run_streaming_bm25_index_available_now(
     """Drain a parquet document feed file-by-file into the persisted
     BM25 index; returns once the feed is exhausted.  Probe the result
     with :func:`mbai_gdb_spark.ops.text.bm25_probe_persisted` — the
-    identical serving path the batch build uses."""
+    identical serving path the batch build uses.
+
+    Raises if the index was previously driven from a DIFFERENT
+    checkpoint: batch ids are per-checkpoint, so the ledger would
+    misfire (see the module docstring).  Drive one index from one
+    checkpoint lineage; a lost checkpoint means a rebuild."""
+    ckpt = checkpoint or index_path + "__ckpt"
+    ref = os.path.join(index_path, "_ckpt_ref")
+    if os.path.exists(ref):
+        with open(ref) as f:
+            prior = f.read().strip()
+        if prior != os.path.abspath(ckpt):
+            raise ValueError(
+                f"streaming bm25 index at {index_path} was built from "
+                f"checkpoint {prior}; refusing to continue it from "
+                f"{os.path.abspath(ckpt)} — batch ids are per-checkpoint "
+                "(rebuild the index to switch checkpoints)"
+            )
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -95,7 +123,12 @@ def run_streaming_bm25_index_available_now(
     q = (
         stream.writeStream.foreachBatch(index_batch_applier(index_path, n_buckets))
         .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint or index_path + "__ckpt")
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
+    # Recorded on success only (the first batch's overwrite-build wipes
+    # the dir, so writing it before the run would not survive anyway).
+    os.makedirs(index_path, exist_ok=True)
+    with open(ref, "w") as f:
+        f.write(os.path.abspath(ckpt))
