@@ -199,6 +199,26 @@ def _persist_full_battery(out: dict) -> None:
         path = os.environ.get("SPARK_GRAFT_BENCH_FULL") or os.path.join(
             repo, f"BENCH_full_r{rnd:02d}.json"
         )
+        # Preserve the round's isolated record across overwrites: the
+        # builder runs `--isolate` mid-round, the driver's own plain
+        # run then rewrites this file — without the carry the isolated
+        # key (the drift-vs-regression evidence verdicts ask for)
+        # would be silently lost (this is what erased the r8 record).
+        if "isolated" not in out and os.path.exists(path):
+            try:
+                with open(path) as f:
+                    prev = json.load(f)
+                if isinstance(prev, dict) and "isolated" in prev:
+                    out = {
+                        **out,
+                        "isolated": prev["isolated"],
+                        "isolated_note": (
+                            "carried from this round's earlier --isolate "
+                            "battery (this run had no --isolate flag)"
+                        ),
+                    }
+            except (OSError, ValueError):
+                pass
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
             f.write("\n")

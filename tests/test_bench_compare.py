@@ -111,3 +111,36 @@ def test_main_exit_codes(tmp_path, capsys, monkeypatch):
     c.write_text(_full_line({"q_z": 1.0}, {"q_z": 1.5}, sf1=False))
     monkeypatch.setattr(sys, "argv", ["bench_compare", str(a), str(c)])
     assert bc.main() == 2
+
+
+def test_persist_full_battery_carries_isolated(tmp_path, monkeypatch):
+    """The builder's --isolate battery writes the round's `isolated`
+    record; the driver's later plain run overwrites the same
+    BENCH_full file — the persist must carry the record forward (this
+    is how the r8 isolated evidence was lost), while a NEWER --isolate
+    run replaces it outright."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_carry_ut", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    p = str(tmp_path / "full.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", p)
+
+    iso = {"a": {"cold": [1.0], "warm": [0.5]}}
+    bench._persist_full_battery({"metric": "x", "queries": {"a": 1.0}, "isolated": iso})
+    bench._persist_full_battery({"metric": "x", "queries": {"a": 1.1}})
+    out = json.load(open(p))
+    assert out["queries"] == {"a": 1.1}      # the plain run's numbers win
+    assert out["isolated"] == iso            # ...but the record survives
+    assert "isolated_note" in out
+
+    iso2 = {"b": {"cold": [], "warm": []}}
+    bench._persist_full_battery({"metric": "x", "queries": {}, "isolated": iso2})
+    out = json.load(open(p))
+    assert out["isolated"] == iso2 and "isolated_note" not in out
