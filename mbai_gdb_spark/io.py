@@ -227,6 +227,65 @@ def write_partitioned(
     out.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    max_files: int = 1,
+) -> list:
+    """Compact the small-files debt incremental ingest leaves behind:
+    every append (bm25_index_append, ivfpq_append, streaming
+    foreachBatch merges) adds part files to the partition directories
+    it touches, and at serving time each probe then opens
+    O(appends-since-build) files per probed directory.  This rewrites
+    ONLY the fragmented directories (> ``max_files`` parquet parts)
+    back to one file each and returns their partition values.
+
+    Safe by construction: compaction is content-PRESERVING per
+    directory, each directory swap is an atomic rename, and directories
+    are independent — so a crash mid-loop leaves a partially compacted
+    but fully CORRECT layout (nothing like the append's cross-bucket df
+    consistency is at stake, which is why this needs no side-car
+    protocol).  Staging lives inside the tree, underscore-hidden from
+    scans.  Schema-agnostic: works on any single-column-partitioned
+    layout (``bucket=`` BM25 postings, ``centroid_id=`` IVF-PQ codes).
+
+    At 100 TB this is the standard segment-merge maintenance tick a
+    serving tier schedules off-peak; cost is |fragmented dirs|, never
+    the layout."""
+    import shutil
+
+    prefix = f"{partition_col}="
+    frag: list = []
+    for nm in sorted(os.listdir(path)):
+        if not nm.startswith(prefix):
+            continue
+        d = os.path.join(path, nm)
+        n_parts = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        if n_parts > max_files:
+            raw = nm[len(prefix):]
+            frag.append(int(raw) if raw.lstrip("-").isdigit() else raw)
+    if not frag:
+        return []
+    rows = spark.read.parquet(path).filter(F.col(partition_col).isin(frag))
+    staging = os.path.join(path, "_compact_staging")
+    # repartition BY the partition column: each value's rows land in one
+    # task, so partitionBy emits exactly one file per directory.
+    (
+        rows.repartition(max(len(frag), 1), F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(staging)
+    )
+    for v in frag:
+        src = os.path.join(staging, f"{prefix}{v}")
+        dst = os.path.join(path, f"{prefix}{v}")
+        shutil.rmtree(dst, ignore_errors=True)
+        os.replace(src, dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    return frag
+
+
 def _delta_enabled(spark: SparkSession) -> bool:
     """True when THIS session can run Delta Lake: the package imports
     AND the Delta SQL extension is registered on the session (the

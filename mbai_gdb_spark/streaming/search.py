@@ -1,11 +1,13 @@
-"""Streaming BM25 index maintenance: foreachBatch → bm25_index_append.
+"""Streaming index maintenance: foreachBatch → incremental append.
 
-The streaming twin of the persisted BM25 inverted index
-(ops.text.bm25_index_persist / bm25_index_append): an unbounded
+The streaming twins of the two persisted index layouts: an unbounded
 document feed drains micro-batch by micro-batch into the term-bucket-
-partitioned layout, so the SERVING artifact — partition-pruned probes,
-engine-exact integer scores — is byte-for-byte the same one a batch
-build over the drained corpus produces (stream ≡ batch pinned in
+partitioned BM25 layout (ops.text.bm25_index_persist /
+bm25_index_append), and an unbounded vector feed into the residual
+IVF-PQ layout (ops.similarity.ivfpq_persist / ivfpq_append) — so the
+SERVING artifact (partition-pruned probes, engine-exact scores) is
+byte-for-byte the same one a batch build-then-append over the drained
+feed produces (stream ≡ batch pinned in
 tests/test_streaming_search.py, the program's standard).
 
 Why INDEX MAINTENANCE is the streaming answer for ranked retrieval,
@@ -18,48 +20,57 @@ per batch (no append-mode plan exists; update mode would re-emit
 whole result sets), while the index absorbs the same global shift by
 rewriting only the |delta-term| buckets and two `_meta` scalars.
 Freshness-vs-cost is then a TRIGGER knob, which is exactly how
-production search tiers work (micro-batched segment publishing).
+production search tiers work (micro-batched segment publishing).  The
+IVF-PQ feed is even simpler: PQ codes carry no corpus-global
+statistics, so each micro-batch is a pure partition-local insert under
+the bootstrap batch's frozen quantizers — the standard vector-database
+ingestion model (train once, insert forever, re-train offline).
 
 Exactly-once: foreachBatch may replay a batch after a failure, and
-``bm25_index_append`` is NOT idempotent (tf/df would double-count), so
-each applied batch id is recorded in an ``_applied_batch`` side-car
-(written LAST) and replays of recorded batches are skipped.  The two
-crash windows both fail LOUDLY rather than silently corrupting
-postings: a crash inside the append leaves the index without ``_meta``
-(the append removes it before the bucket swaps and rewrites it after),
-so the replayed batch's merge — and any probe — refuses an incomplete
-index; a crash between the append completing and the marker write
-makes the replay trip the append's duplicate-doc_id guard.  Recover
-from either by rebuilding (or restoring the previous generation).  A
-production deployment would close both windows by versioning whole
+the appends are NOT idempotent, so each applied batch id is recorded
+in an ``_applied_batch`` side-car (written LAST) and replays of
+recorded batches are skipped.  The crash windows fail LOUDLY rather
+than silently corrupting the index: a crash inside the BM25 append
+leaves the index without ``_meta`` (removed before the bucket swaps,
+rewritten after), so the replayed merge — and any probe — refuses an
+incomplete index; a crash between an append completing and the marker
+write makes the replay trip the duplicate-id guard (both layouts).
+Recover by rebuilding (or restoring the previous generation).  A
+production deployment would close the windows by versioning whole
 index generations behind an atomically-swapped manifest pointer, the
-same upgrade path the append docstring names.
+same upgrade path the append docstrings name.
 
 The batch-id ledger is scoped to ONE checkpoint lineage: Structured
 Streaming numbers batches per checkpointLocation, so replaying the
 marker against a different checkpoint would silently skip real data
-(new files renumbered into already-recorded ids).  The runner
-therefore records its checkpoint in a ``_ckpt_ref`` side-car on
-successful completion and REFUSES to drive the same index from a
+(new files renumbered into already-recorded ids).  The runners
+therefore record their checkpoint in a ``_ckpt_ref`` side-car on
+successful completion and REFUSE to drive the same index from a
 different checkpoint.
 """
 
 from __future__ import annotations
 
 import os
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
+from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
 from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
 
 _BATCH_MARKER = "_applied_batch"
 
 
-def index_batch_applier(index_path: str, n_buckets: int = 64):
-    """The foreachBatch callable: first non-empty batch BUILDS the
-    index, every later one APPENDS; recorded batch ids are skipped on
-    replay.  Exposed (rather than closed over inside the runner) so
-    tests can drive replay/crash scenarios directly."""
+def _ledgered_applier(
+    index_path: str,
+    is_built: Callable[[], bool],
+    build: Callable[[DataFrame], None],
+    append: Callable[[DataFrame], None],
+):
+    """The shared replay-safe foreachBatch shape: skip recorded batch
+    ids, BUILD on the first non-empty batch, APPEND on every later
+    one, record the id LAST."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(index_path, _BATCH_MARKER)
@@ -69,20 +80,100 @@ def index_batch_applier(index_path: str, n_buckets: int = 64):
                 last = int(f.read().strip() or -1)
         if batch_id <= last:
             return  # replay of an already-merged batch
-        # Row-empty batches merge trivially (no N/T contribution).  A
-        # non-empty batch whose docs all tokenize to nothing still
-        # BUILDS correctly: the builder stores the true total_toks (0)
-        # and the append tolerates a bucket-less index.
         if not batch_df.isEmpty():
-            if not os.path.isdir(os.path.join(index_path, "_meta")):
-                bm25_index_persist(batch_df, index_path, n_buckets=n_buckets)
+            if not is_built():
+                build(batch_df)
             else:
-                bm25_index_append(batch_df, index_path)
+                append(batch_df)
         os.makedirs(index_path, exist_ok=True)
         with open(marker, "w") as f:  # LAST: presence marks the merge
             f.write(str(batch_id))
 
     return apply_batch
+
+
+def index_batch_applier(index_path: str, n_buckets: int = 64):
+    """BM25 foreachBatch callable.  Row-empty batches merge trivially
+    (no N/T contribution); a non-empty batch whose docs all tokenize
+    to nothing still BUILDS correctly (the builder stores the true
+    total_toks and the append tolerates a bucket-less index).  Exposed
+    (rather than closed over inside the runner) so tests can drive
+    replay/crash scenarios directly."""
+    return _ledgered_applier(
+        index_path,
+        is_built=lambda: os.path.isdir(os.path.join(index_path, "_meta")),
+        build=lambda df: bm25_index_persist(df, index_path, n_buckets=n_buckets),
+        append=lambda df: bm25_index_append(df, index_path),
+    )
+
+
+def vector_index_batch_applier(
+    index_path: str,
+    centroid_stride: int = 50,
+    code_stride: int = 7,
+    vectorized: bool = True,
+):
+    """IVF-PQ foreachBatch callable: the FIRST non-empty batch is the
+    bootstrap corpus — its stride-sampled centroids and codebook become
+    the index's frozen quantizers — and every later batch inserts under
+    them (geometry derived from the ``_codebook`` side-car).  This is
+    the production vector-ingestion model; recall depends on the
+    bootstrap being representative, exactly as it depends on the
+    training sample in a batch-built index."""
+    return _ledgered_applier(
+        index_path,
+        is_built=lambda: os.path.isdir(os.path.join(index_path, "_codebook")),
+        build=lambda df: ivfpq_persist(
+            df,
+            index_path,
+            centroid_stride=centroid_stride,
+            code_stride=code_stride,
+            vectorized=vectorized,
+        ),
+        append=lambda df: ivfpq_append(df, index_path, vectorized=vectorized),
+    )
+
+
+def _run_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    index_path: str,
+    applier,
+    max_files_per_trigger: int,
+    checkpoint: str | None,
+) -> None:
+    """Shared runner: checkpoint-lineage guard, file-by-file drain,
+    ``_ckpt_ref`` recorded on success."""
+    ckpt = checkpoint or index_path + "__ckpt"
+    ref = os.path.join(index_path, "_ckpt_ref")
+    if os.path.exists(ref):
+        with open(ref) as f:
+            prior = f.read().strip()
+        if prior != os.path.abspath(ckpt):
+            raise ValueError(
+                f"streaming index at {index_path} was built from "
+                f"checkpoint {prior}; refusing to continue it from "
+                f"{os.path.abspath(ckpt)} — batch ids are per-checkpoint "
+                "(rebuild the index to switch checkpoints)"
+            )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(applier)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    # Recorded on success only (the first batch's overwrite-build wipes
+    # the dir, so writing it before the run would not survive anyway).
+    os.makedirs(index_path, exist_ok=True)
+    with open(ref, "w") as f:
+        f.write(os.path.abspath(ckpt))
 
 
 def run_streaming_bm25_index_available_now(
@@ -103,32 +194,44 @@ def run_streaming_bm25_index_available_now(
     checkpoint: batch ids are per-checkpoint, so the ledger would
     misfire (see the module docstring).  Drive one index from one
     checkpoint lineage; a lost checkpoint means a rebuild."""
-    ckpt = checkpoint or index_path + "__ckpt"
-    ref = os.path.join(index_path, "_ckpt_ref")
-    if os.path.exists(ref):
-        with open(ref) as f:
-            prior = f.read().strip()
-        if prior != os.path.abspath(ckpt):
-            raise ValueError(
-                f"streaming bm25 index at {index_path} was built from "
-                f"checkpoint {prior}; refusing to continue it from "
-                f"{os.path.abspath(ckpt)} — batch ids are per-checkpoint "
-                "(rebuild the index to switch checkpoints)"
-            )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(source_dir)
+    _run_available_now(
+        spark,
+        source_dir,
+        schema,
+        index_path,
+        index_batch_applier(index_path, n_buckets),
+        max_files_per_trigger,
+        checkpoint,
     )
-    q = (
-        stream.writeStream.foreachBatch(index_batch_applier(index_path, n_buckets))
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
+
+
+def run_streaming_ivfpq_index_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    index_path: str,
+    centroid_stride: int = 50,
+    code_stride: int = 7,
+    vectorized: bool = True,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+) -> None:
+    """Drain a parquet vector feed file-by-file into the persisted
+    residual IVF-PQ index; probe with
+    :func:`mbai_gdb_spark.ops.similarity.ivfpq_probe_persisted`.  The
+    first file is the bootstrap corpus (it fixes the frozen
+    quantizers); the result is bit-identical to
+    ``ivfpq_persist(first file) + ivfpq_append(rest)`` in one batch —
+    by the append's associativity, across ANY micro-batch split of the
+    rest.  Same checkpoint-lineage contract as the BM25 runner."""
+    _run_available_now(
+        spark,
+        source_dir,
+        schema,
+        index_path,
+        vector_index_batch_applier(
+            index_path, centroid_stride, code_stride, vectorized
+        ),
+        max_files_per_trigger,
+        checkpoint,
     )
-    q.awaitTermination()
-    # Recorded on success only (the first batch's overwrite-build wipes
-    # the dir, so writing it before the run would not survive anyway).
-    os.makedirs(index_path, exist_ok=True)
-    with open(ref, "w") as f:
-        f.write(os.path.abspath(ckpt))

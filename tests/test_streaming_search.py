@@ -125,3 +125,101 @@ def test_batch_applier_empty_batch_never_builds(spark, tmp_path):
         map(tuple, bm25_probe_persisted(spark, full_path, qs).collect())
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ streaming twin: bootstrap batch fixes the quantizers, every
+# later batch is a frozen-quantizer insert
+# ---------------------------------------------------------------------------
+
+
+def _staged_vector_feed(spark, tmp_path):
+    """A feed dir with TWO parquet files whose processing order is
+    pinned (FileStreamSource orders by modification time): the even
+    half first (the bootstrap), the odd half second."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    delta = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    src = tmp_path / "feed"
+    src.mkdir()
+    now = time.time()
+    for i, (df, nm) in enumerate([(base, "00_base"), (delta, "01_delta")]):
+        stage = str(tmp_path / f"stage_{nm}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"{nm}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(stage)
+    return emb, base, delta, str(src)
+
+
+def test_streaming_ivfpq_equals_bootstrap_plus_append(spark, tmp_path):
+    from mbai_gdb_spark.ops.similarity import (
+        ivfpq_append,
+        ivfpq_persist,
+        ivfpq_probe_persisted,
+    )
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_ivfpq_index_available_now,
+    )
+
+    emb, base, delta, src = _staged_vector_feed(spark, tmp_path)
+    inc_path = str(tmp_path / "inc_idx")
+    run_streaming_ivfpq_index_available_now(
+        spark, src, emb.schema, inc_path, centroid_stride=50, code_stride=7
+    )
+
+    want_path = str(tmp_path / "want_idx")
+    ivfpq_persist(base, want_path, centroid_stride=50, code_stride=7)
+    ivfpq_append(delta, want_path)
+
+    cols = ["vec_id", "sub_id", "code_id", "centroid_id"]
+    got = sorted(map(tuple, spark.read.parquet(inc_path).select(cols).collect()))
+    want = sorted(map(tuple, spark.read.parquet(want_path).select(cols).collect()))
+    assert got == want and len(got) > 0
+    # Every vector — bootstrap AND streamed — is indexed.
+    assert len({r[0] for r in got}) == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got_p = sorted(
+        map(
+            tuple,
+            ivfpq_probe_persisted(spark, inc_path, queries, k=3, n_probe=2).collect(),
+        )
+    )
+    want_p = sorted(
+        map(
+            tuple,
+            ivfpq_probe_persisted(spark, want_path, queries, k=3, n_probe=2).collect(),
+        )
+    )
+    assert got_p == want_p and len(got_p) > 0
+
+
+def test_vector_applier_replay_and_dup_guard(spark, tmp_path):
+    from mbai_gdb_spark.streaming.search import vector_index_batch_applier
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    b0 = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    b1 = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    path = str(tmp_path / "idx")
+    apply_batch = vector_index_batch_applier(path, centroid_stride=50, code_stride=7)
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    n = spark.read.parquet(path).count()
+
+    # Replays of recorded batches: no-ops.
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    assert spark.read.parquet(path).count() == n
+
+    # Lost-marker crash window: a NEW batch id with already-inserted
+    # vectors must refuse loudly.
+    with pytest.raises(ValueError, match="already in the index"):
+        apply_batch(b1, 2)
