@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 154 oracle-bearing queries, so the 50-slot window ROTATES each
+# 155 oracle-bearing queries, so the 50-slot window ROTATES each
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
@@ -40,16 +40,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # From here, heads lead with new/changed queries and then refresh the
 # OLDEST certification tier.
 #
-# Round-9 head (exactly 50): the flagship anchor; the two new r9
-# queries (`search_bm25_appended` and `sim_ivfpq_appended_top5`, the
-# incremental-index twins — never driver-certified); the four queries
+# Round-9 head (exactly 50): the flagship anchor; the three new r9
+# queries (`search_bm25_appended` + `sim_ivfpq_appended_top5`, the
+# incremental-index twins, and `search_phrase_bm25` — never
+# driver-certified); the four queries
 # whose latest driver row is r05, the oldest tier (`text_bpe_merges`,
 # `sample_negatives`, `dedup_typo_pairs`, `q12_late_shipment_priority`
-# — exactly the candidates tools/rotation_status.py names); then 43
+# — exactly the candidates tools/rotation_status.py names); then 42
 # freshness refreshes drawn alphabetically from the 49 queries at the
-# r06 tier (the 6 left at their green r06 rows for the r10 head:
-# `text_chunk_windows`, `text_clf_score`, `text_dup_spans`,
-# `w12_hourly_time_buckets`, `w18_ohlc_bars`,
+# r06 tier (the 7 left at their green r06 rows for the r10 head:
+# `text_bpe_encode`, `text_chunk_windows`, `text_clf_score`,
+# `text_dup_spans`, `w12_hourly_time_buckets`, `w18_ohlc_bars`,
 # `w19_time_weighted_value`).
 _HEAD_R9 = [
     # standing anchor
@@ -57,12 +58,13 @@ _HEAD_R9 = [
     # never driver-checked: the r9 additions
     "search_bm25_appended",
     "sim_ivfpq_appended_top5",
+    "search_phrase_bm25",
     # the oldest certification tier (r05)
     "text_bpe_merges",
     "sample_negatives",
     "dedup_typo_pairs",
     "q12_late_shipment_priority",
-    # freshness refreshes: latest driver row r06 (43 of 49)
+    # freshness refreshes: latest driver row r06 (42 of 49)
     "a12_pivot_event_counts",
     "a13_order_count_distribution",
     "a17_month_over_month",
@@ -105,7 +107,6 @@ _HEAD_R9 = [
     "sim_ivfpq_top5",
     "sketch_hll_distinct",
     "text_bigram_surprise",
-    "text_bpe_encode",
 ]
 
 

@@ -113,9 +113,11 @@ HEADLINE = [
     "search_bm25_persisted",
     # Round-9 additions: incremental index maintenance — BM25 postings
     # merged bucket-locally, IVF-PQ codes inserted with frozen
-    # quantizers (cold = build+append+probe, warm = probe only)
+    # quantizers (cold = build+append+probe, warm = probe only) — and
+    # exact-phrase BM25 (offset-trick positional matching)
     "search_bm25_appended",
     "sim_ivfpq_appended_top5",
+    "search_phrase_bm25",
 ]
 
 

@@ -527,6 +527,81 @@ def _bm25_score_rank(
     )
 
 
+def phrase_bm25_topk(
+    docs: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    k: int = 10,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact-PHRASE ranked retrieval: documents containing the query as
+    a CONSECUTIVE token run, ranked by the same exact-integer Okapi
+    BM25 (:func:`bm25_topk`) over the phrase's terms — (query_id, rank,
+    doc_id, score), engine-exact.
+
+    Phrase matching needs no positional UDF, only an offset trick over
+    positional postings: explode (doc, pos, term), join the broadcast
+    (query, qpos, term) phrase tokens, and group by the candidate START
+    ``s = pos - qpos`` — a (query, doc, s) group covering ALL m
+    distinct qpos values means the tokens at s..s+m-1 spell the phrase
+    exactly.  Repeated phrase terms ("batch batch batch") fall out for
+    free: each corpus position contributes one s per qpos it could
+    anchor, and only true runs cover every offset.
+
+    Plan shape at scale: the position explode is the same single pass
+    every postings build does; phrase-candidate work is confined to
+    postings of QUERIED terms (broadcast join), the start-aggregation
+    keys on (query, doc, s) within those, and the BM25 tail scores only
+    phrase-matched documents (broadcast semi-join).  All integer
+    arithmetic — positions, offsets, coverage counts, scores — so an
+    external engine reproduces every rank bit-for-bit."""
+    cleaned = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    tok_pos = docs.select(
+        F.col(id_col), F.posexplode(cleaned).alias("pos", "term")
+    )
+    qcleaned = F.filter(tokens(query_text_col), lambda x: x != F.lit(""))
+    qtoks = queries_df.select(
+        F.col(query_id_col), F.posexplode(qcleaned).alias("qpos", "term")
+    )
+    m_per_q = qtoks.groupBy(query_id_col).agg(
+        (F.max("qpos") + 1).alias("__m__")
+    )
+    starts = tok_pos.join(F.broadcast(qtoks), "term").select(
+        query_id_col, id_col, (F.col("pos") - F.col("qpos")).alias("s"), "qpos"
+    )
+    phrase_docs = (
+        starts.groupBy(query_id_col, id_col, "s")
+        .agg(F.count_distinct("qpos").alias("__c__"))
+        .join(F.broadcast(m_per_q), query_id_col)
+        .filter(F.col("__c__") == F.col("__m__"))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    # The standard BM25 pieces (same shapes as bm25_topk), scored only
+    # for phrase-matched documents.
+    postings = tok_pos.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    doc_len = tok_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(cleaned)).alias("t"),
+    ).first()
+    n_docs, total_toks = stats["n"], stats["t"] or 1
+    qterms = qtoks.select(query_id_col, "term").distinct()
+    hits = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(df_t, "term")
+        .join(doc_len, id_col)
+        .join(F.broadcast(phrase_docs), [query_id_col, id_col], "leftsemi")
+    )
+    return _bm25_score_rank(
+        hits, n_docs, total_toks, idf_scale, query_id_col, id_col, k
+    )
+
+
 def _term_bucket(term_col, n_buckets: int):
     """Deterministic term → bucket id: pmod of the char-polynomial
     rolling hash (the repo's engine-portable token id)."""
@@ -549,19 +624,27 @@ def bm25_index_persist(
     cost is |queried buckets|/n_buckets of the index regardless of
     corpus size.
 
-    Postings are DENORMALIZED at build time — each row carries (term,
-    doc_id, tf, df, dl, bucket) — and the two corpus scalars (N docs,
-    T tokens) land in a ``_meta`` side-car (underscore-hidden from the
-    posting scan), so a probe performs zero corpus-wide work: no df
-    join, no length join, no count().  Index build is one explode +
-    three hash aggregations over the corpus; rebuilds overwrite
-    atomically per partition dir (parquet overwrite semantics)."""
+    Each posting row carries (term, doc_id, tf, dl, bucket); the two
+    corpus scalars (N docs, T tokens) land in a ``_meta`` side-car
+    (underscore-hidden from the posting scan).  ``df`` is deliberately
+    NOT stored: the probe reads every posting of each queried term
+    anyway (that is what probing a term means), so df is an exact
+    count over rows it already holds — zero extra scan — while STORING
+    df is what would force every future :func:`bm25_index_append` to
+    rewrite whole buckets to keep it current (measured in
+    tools/index_maintenance_experiment.py: the rewrite-based append
+    cost tracked the index, not the delta, because broad-vocabulary
+    deltas touch every bucket).  Normalizing df out makes the append a
+    pure O(delta) insert.  A probe still performs zero corpus-wide
+    work: no df join against the corpus, no length join, no count().
+    Index build is one explode + two hash aggregations over the
+    corpus; rebuilds overwrite atomically per partition dir (parquet
+    overwrite semantics)."""
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     postings = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
     doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -574,10 +657,8 @@ def bm25_index_persist(
     # running sum in _meta must start from the truth, or every later
     # merge is off by the floor).
     n_docs, total_toks = stats["n"], stats["t"] or 0
-    rows = (
-        postings.join(df_t, "term")
-        .join(doc_len, id_col)
-        .withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
+    rows = postings.join(doc_len, id_col).withColumn(
+        "bucket", _term_bucket(F.col("term"), n_buckets)
     )
     from mbai_gdb_spark.io import write_partitioned
 
@@ -603,12 +684,17 @@ def bm25_index_append(
 
     Exactness contract: after the append, a :func:`bm25_probe_persisted`
     returns results BIT-IDENTICAL to a from-scratch build over the
-    union corpus (property-tested append ≡ rebuild).  That works
-    because the layout keys every posting for a term into ONE bucket
-    (term-hash partitioning), so the denormalized ``df`` can be
-    recomputed EXACTLY from the union of old + new postings within
-    just the touched buckets; ``dl`` is per-document and rides in with
-    the new rows; the two corpus scalars are plain sums in ``_meta``.
+    union corpus (property-tested append ≡ rebuild).  That holds
+    because the layout stores NO derived corpus statistics in the
+    posting rows: ``tf``/``dl`` are per-(doc, term) facts that ride in
+    with the delta, ``df`` is recomputed exactly by the probe from the
+    postings it reads anyway, and the two corpus scalars are plain
+    sums in ``_meta``.  The merge is therefore a PURE INSERT —
+    O(delta), like ``ops.similarity.ivfpq_append`` — with no bucket
+    rewrite at all.  (The first design denormalized df into the rows;
+    tools/index_maintenance_experiment.py showed that made append cost
+    track the INDEX, since broad-vocabulary deltas touch every bucket
+    and each touched bucket had to be rewritten to refresh df.)
 
     Appended ``doc_id``s must be NEW (append, not upsert).  The guard
     is complete for re-added documents: every term of a duplicated doc
@@ -617,17 +703,16 @@ def bm25_index_append(
     completely disjoint token set evades the guard — that is an
     update, use a rebuild.)
 
-    Plan shape at scale: one explode + three hash aggregations over
-    the DELTA only; the union-and-recount reads only touched buckets
-    (|buckets of delta terms| / n_buckets of the index); untouched
-    bucket directories are NOT rewritten — their files stay
-    byte-identical (tested).  New rows land in a staging dir first and
-    replace touched bucket dirs by rename, so a concurrent probe of an
-    untouched bucket never sees a torn partition and the self-
-    read-then-overwrite hazard (Spark lazily reading the files the
-    write is about to delete) cannot arise.  A distributed deployment
-    would use the same per-directory rename on its object store, or
-    version whole index generations behind a manifest pointer."""
+    Plan shape at scale: one explode + two hash aggregations over the
+    DELTA only; the duplicate guard scans only the buckets the delta's
+    terms hash to; the insert adds new files inside those partition
+    directories and NO existing file is ever rewritten (tested on
+    sizes+mtimes).  Crash-evidence: ``_meta`` is removed before the
+    insert and rewritten after, so a failure anywhere inside leaves an
+    index that completeness checks (meta presence) correctly refuse
+    instead of serving new postings under stale corpus scalars.  The
+    accumulated small-files debt is paid down by
+    ``io.compact_partitioned`` (the off-peak segment-merge tick)."""
     import os
     import shutil
 
@@ -662,20 +747,15 @@ def bm25_index_append(
     if touched:
         # A just-built index over a token-less corpus holds _meta but
         # zero bucket dirs — read.parquet would fail to infer a schema,
-        # and there is nothing to merge with or guard against.
+        # and there is nothing to guard against.
         has_data = any(n.startswith("bucket=") for n in os.listdir(path))
         if has_data:
-            from mbai_gdb_spark.ops.lineage import truncate
-
-            # One materialization of the touched partitions (the guard
-            # AND the recount both read it; without the truncation the
-            # staging write would re-scan the same files).
-            existing = truncate(
+            existing_ids = (
                 spark.read.parquet(path)
                 .filter(F.col("bucket").isin(touched))
-                .select("term", id_col, "tf", "dl", "bucket")
+                .select(id_col)
             )
-            dup = existing.join(
+            dup = existing_ids.join(
                 delta_dl.select(id_col), id_col, "leftsemi"
             ).limit(1)
             if dup.count() > 0:
@@ -683,35 +763,15 @@ def bm25_index_append(
                     "bm25_index_append: delta contains doc_ids already in "
                     "the index — append is insert-only; rebuild for updates"
                 )
-            unioned = existing.unionByName(delta_rows)
-        else:
-            unioned = delta_rows
-        new_df = unioned.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        rows = unioned.join(new_df, "term").select(
-            "term", id_col, "tf", "df", "dl", "bucket"
-        )
-        # Staging lives INSIDE the index dir, underscore-hidden from
-        # every parquet scan: a crashed append leaves residue only
-        # where the tree's own lifecycle (atexit / dead-pid sweep /
-        # rebuild rmtree) already cleans, never as an orphan sibling.
-        staging = os.path.join(path, "_append_staging")
-        from mbai_gdb_spark.io import write_partitioned
-
-        write_partitioned(rows, staging, ["bucket"])
-        # Crash-evidence protocol: remove _meta BEFORE the bucket swaps
-        # and rewrite it after.  The per-dir os.replace is atomic, but
-        # the loop across buckets is not — a crash mid-loop now leaves
-        # an index WITHOUT _meta, which every caller's completeness
-        # convention (meta presence marks a complete index) correctly
-        # reports as incomplete instead of serving mixed-generation
-        # postings under a stale meta.
+        # Crash-evidence protocol: remove _meta BEFORE the insert and
+        # rewrite it after — a failure anywhere inside leaves an index
+        # WITHOUT _meta, which every caller's completeness convention
+        # (meta presence marks a complete index) correctly reports as
+        # incomplete instead of serving partially inserted postings
+        # under stale corpus scalars.  The dup-guard read above is
+        # fully materialized (count) before any write starts.
         shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
-        for b in touched:
-            src = os.path.join(staging, f"bucket={b}")
-            dst = os.path.join(path, f"bucket={b}")
-            shutil.rmtree(dst, ignore_errors=True)
-            os.replace(src, dst)
-        shutil.rmtree(staging, ignore_errors=True)
+        delta_rows.write.mode("append").partitionBy("bucket").parquet(path)
     # _meta written last: its presence marks a complete merge (see the
     # crash-evidence note above).
     new_meta = spark.createDataFrame(
@@ -775,6 +835,17 @@ def bm25_probe_persisted(
     buckets = sorted({r["bucket"] for r in qterms.select("bucket").distinct().collect()})
     lists = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
     hits = lists.join(F.broadcast(qterms.drop("bucket")), "term")
+    # df computed EXACTLY from the hit set: probing a term reads every
+    # posting of that term (they all live in its bucket), so the row
+    # count per (query, term) IS its document frequency — one window
+    # over rows already in hand, zero extra scan.  Not storing df is
+    # what lets bm25_index_append stay a pure O(delta) insert; a
+    # legacy index that does carry a df column is simply overridden
+    # with the (identical) recount.
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(query_id_col, "term")
+    hits = hits.withColumn("df", F.count(F.lit(1)).over(w))
     return _bm25_score_rank(
         hits, meta["n_docs"], meta["total_toks"], idf_scale, query_id_col, id_col, k
     )

@@ -2092,9 +2092,10 @@ def _ivfpq_index_path(sf_dir: str, suffix: str = "") -> str:
 def search_bm25_persisted(spark, sf_dir):
     """The SAME BM25 ranking as `search_bm25_topk`, served from a
     persisted term-bucket-partitioned inverted index
-    (ops.text.bm25_index_persist / bm25_probe_persisted): postings are
-    denormalized with df/dl at build time and the probe reads ONLY the
-    bucket directories the query terms hash to — partition-pruned
+    (ops.text.bm25_index_persist / bm25_probe_persisted): postings
+    carry tf/dl, df is recomputed exactly from the postings the probe
+    reads anyway (so appends stay pure inserts), and the probe reads
+    ONLY the bucket directories the query terms hash to — partition-pruned
     exactly like the persisted IVF vector index, which is why the two
     share a test standard (delete-unprobed-dirs proof,
     tests/test_search.py).  The oracle is identical to the in-memory
@@ -2122,6 +2123,104 @@ def search_bm25_persisted(spark, sf_dir):
     return bm25_probe_persisted(spark, path, queries_df, k=10)
 
 
+_PHRASE_QUERIES = [
+    ("p1", "table scan"),
+    ("p2", "sort merge"),
+    ("p3", "batch batch batch"),
+]
+_SQL_PHRASE_VALUES = ", ".join(f"('{i}', '{t}')" for i, t in _PHRASE_QUERIES)
+
+
+@query(
+    "search_phrase_bm25",
+    f"""
+    WITH tok_arrays AS (
+        SELECT doc_id, list_filter({_SQL_TOKS}, x -> x <> '') AS t
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, i - 1 AS pos, t[i] AS term
+        FROM tok_arrays, UNNEST(generate_series(1, len(t))) AS u(i)
+    ),
+    q(query_id, qtext) AS (VALUES {_SQL_PHRASE_VALUES}),
+    qarr AS (
+        SELECT query_id,
+               list_filter(regexp_split_to_array(trim(qtext), '\\s+'),
+                           x -> x <> '') AS qt
+        FROM q
+    ),
+    qtoks AS (
+        SELECT query_id, i - 1 AS qpos, qt[i] AS term
+        FROM qarr, UNNEST(generate_series(1, len(qt))) AS u(i)
+    ),
+    m AS (SELECT query_id, COUNT(*) AS m FROM qtoks GROUP BY query_id),
+    starts AS (
+        SELECT qt.query_id, t.doc_id, t.pos - qt.qpos AS s, qt.qpos
+        FROM toks t JOIN qtoks qt USING (term)
+    ),
+    runs AS (
+        SELECT query_id, doc_id, s, COUNT(DISTINCT qpos) AS c
+        FROM starts GROUP BY query_id, doc_id, s
+    ),
+    phrase_docs AS (
+        SELECT DISTINCT r.query_id, r.doc_id
+        FROM runs r JOIN m USING (query_id) WHERE r.c = m.m
+    ),
+    postings AS (
+        SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY term, doc_id
+    ),
+    dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    dft AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    tt AS (SELECT COUNT(*) AS t FROM toks),
+    qdist AS (SELECT DISTINCT query_id, term FROM qtoks),
+    hits AS (
+        SELECT qd.query_id, p.doc_id, p.tf,
+               ((2*n.n - 2*dft.df + 1) * 1000000 // (2*dft.df + 1)) AS idf_i,
+               (9 * dlen.dl * n.n // tt.t) AS norm_d
+        FROM postings p
+             JOIN qdist qd USING (term)
+             JOIN dft USING (term)
+             JOIN dlen USING (doc_id)
+             JOIN phrase_docs pd
+               ON pd.query_id = qd.query_id AND pd.doc_id = p.doc_id,
+             n, tt
+    ),
+    scores AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(idf_i * 22 * tf // (10*tf + 3 + norm_d)) AS BIGINT)
+                   AS score
+        FROM hits GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM scores
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, doc_id, score
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def search_phrase_bm25(spark, sf_dir):
+    """Exact-phrase ranked retrieval: documents containing the query as
+    a CONSECUTIVE token run (ops.text.phrase_bm25_topk), ranked by the
+    engine's exact-integer Okapi BM25 over the phrase's terms.  Phrase
+    matching is pure relational algebra over positional postings — the
+    candidate start s = pos - qpos must be covered by ALL m phrase
+    offsets — so the whole three-stage pipeline (positions → runs →
+    BM25 tail) hash-matches the oracle; the repeated-term phrase (p3)
+    exercises the degenerate case the offset trick handles for free."""
+    from mbai_gdb_spark.ops.text import phrase_bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = spark.createDataFrame(
+        _PHRASE_QUERIES, "query_id string, qtext string"
+    )
+    return phrase_bm25_topk(docs, queries_df, k=10)
+
+
 def _bm25_appended_oracle() -> str:
     """The appended index must serve results IDENTICAL to a full-corpus
     build, so its oracle IS search_bm25_persisted's — registered by
@@ -2135,14 +2234,15 @@ def _bm25_appended_oracle() -> str:
 def search_bm25_appended(spark, sf_dir):
     """The SAME BM25 ranking as `search_bm25_persisted`, but the index
     is grown INCREMENTALLY (ops.text.bm25_index_append): built from
-    the even-doc_id half of the corpus, then the odd half merged in —
-    only the buckets the delta's terms hash to are rewritten, df/dl
-    recomputed exactly within them, corpus scalars summed in `_meta`.
-    The oracle is the full-corpus BM25 SQL, so the driver row certifies
-    append ≡ rebuild end-to-end: the incremental path is an index-
-    maintenance strategy, not a semantic change.  At 100 TB this is
-    the difference between re-scanning the corpus on every ingest tick
-    and touching |delta-term buckets| directories."""
+    the even-doc_id half of the corpus, then the odd half inserted —
+    a pure O(delta) insert (no bucket is rewritten: the layout stores
+    no df, the probe recounts it from the postings it reads anyway),
+    corpus scalars summed in `_meta`.  The oracle is the full-corpus
+    BM25 SQL, so the driver row certifies append ≡ rebuild end-to-end:
+    the incremental path is an index-maintenance strategy, not a
+    semantic change.  At 100 TB this is the difference between
+    re-scanning the corpus on every ingest tick and one delta-sized
+    insert (tools/index_maintenance_experiment.py measures it)."""
     import os
 
     from mbai_gdb_spark.ops.text import (

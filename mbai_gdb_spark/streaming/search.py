@@ -17,8 +17,9 @@ terms, N, and avgdl, which retroactively changes the score of every
 existing (query, doc) pair sharing a term.  A streaming top-k would
 therefore have to retract and re-emit unboundedly many past results
 per batch (no append-mode plan exists; update mode would re-emit
-whole result sets), while the index absorbs the same global shift by
-rewriting only the |delta-term| buckets and two `_meta` scalars.
+whole result sets), while the index absorbs the same global shift with ONE delta-sized
+insert and two `_meta` scalars (df is not stored at all — the probe
+recounts it from the postings it reads anyway).
 Freshness-vs-cost is then a TRIGGER knob, which is exactly how
 production search tiers work (micro-batched segment publishing).  The
 IVF-PQ feed is even simpler: PQ codes carry no corpus-global
@@ -31,7 +32,7 @@ the appends are NOT idempotent, so each applied batch id is recorded
 in an ``_applied_batch`` side-car (written LAST) and replays of
 recorded batches are skipped.  The crash windows fail LOUDLY rather
 than silently corrupting the index: a crash inside the BM25 append
-leaves the index without ``_meta`` (removed before the bucket swaps,
+leaves the index without ``_meta`` (removed before the delta insert,
 rewritten after), so the replayed merge — and any probe — refuses an
 incomplete index; a crash between an append completing and the marker
 write makes the replay trip the duplicate-id guard (both layouts).

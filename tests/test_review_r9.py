@@ -7,13 +7,14 @@ incremental-index code:
 2. bm25_index_persist stores the TRUE total_toks (no floor), so a
    token-less build appends exactly; bm25_index_append tolerates a
    bucket-less index; bm25_probe_persisted probes one to empty.
-3. The append staging dir lives INSIDE the index tree, underscore-
-   hidden — no orphan sibling residue, and probes ignore it.
+3. The append leaves no staging residue (the pure insert needs none)
+   and probes ignore hidden underscore-prefixed dirs.
 4. The streaming runner refuses to drive an index from a different
    checkpoint than the one its ledger was built under.
 5. A crash mid-append leaves the index without _meta (crash-evidence:
-   meta is removed before the bucket swaps and rewritten after), so
-   completeness checks fail loudly instead of serving mixed postings.
+   meta is removed before the delta insert and rewritten after), so
+   completeness checks fail loudly instead of serving partial postings
+   under stale corpus scalars.
 """
 
 from __future__ import annotations
@@ -125,7 +126,7 @@ def test_bm25_append_onto_bucketless_index_equals_rebuild(spark, tmp_path):
     bm25_index_append(real, inc)
     bm25_index_persist(blank.unionByName(real), full, n_buckets=8)
 
-    cols = ["term", "doc_id", "tf", "df", "dl", "bucket"]
+    cols = ["term", "doc_id", "tf", "dl", "bucket"]
     rows_i = sorted(map(tuple, spark.read.parquet(inc).select(cols).collect()))
     rows_f = sorted(map(tuple, spark.read.parquet(full).select(cols).collect()))
     assert rows_i == rows_f and len(rows_i) > 0
@@ -159,7 +160,10 @@ def test_bm25_probe_of_bucketless_index_is_empty(spark, tmp_path):
 # ---------------------------------------------------------------------------
 
 
-def test_append_staging_is_internal_and_cleaned(spark, tmp_path):
+def test_append_leaves_no_staging_and_tolerates_hidden_dirs(spark, tmp_path):
+    """The pure-insert append needs no staging at all; any leftover
+    underscore-prefixed dir (e.g. from an older layout, or a foreign
+    tool) is invisible to probes — hidden paths never reach the scan."""
     from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
 
     docs = spark.createDataFrame(
@@ -169,12 +173,9 @@ def test_append_staging_is_internal_and_cleaned(spark, tmp_path):
     path = str(tmp_path / "idx")
     bm25_index_persist(docs, path, n_buckets=8)
     bm25_index_append(delta, path)
-    # No staging residue after a successful append, inside OR beside.
     assert not os.path.exists(os.path.join(path, "_append_staging"))
     assert not any(".append_staging" in n for n in os.listdir(tmp_path))
 
-    # A crashed append's leftover staging (simulated) is invisible to
-    # probes: underscore-prefixed paths are hidden from parquet scans.
     junk = os.path.join(path, "_append_staging", "bucket=0")
     os.makedirs(junk)
     with open(os.path.join(junk, "garbage.txt"), "w") as f:
@@ -223,9 +224,10 @@ def test_streaming_runner_refuses_foreign_checkpoint(spark, tmp_path):
 
 
 def test_append_crash_window_leaves_no_meta(spark, tmp_path, monkeypatch):
-    """Force a crash between the bucket swaps and the meta rewrite (the
+    """Force a crash inside the delta insert (after _meta removal, the
     formerly silent window): the index must be left WITHOUT _meta, so
-    completeness conventions report it incomplete."""
+    completeness conventions report it incomplete instead of serving
+    partial postings under stale corpus scalars."""
     import mbai_gdb_spark.ops.text as text_mod
 
     docs = spark.createDataFrame(
@@ -236,18 +238,16 @@ def test_append_crash_window_leaves_no_meta(spark, tmp_path, monkeypatch):
     text_mod.bm25_index_persist(docs, path, n_buckets=8)
     assert os.path.isdir(os.path.join(path, "_meta"))
 
-    real_replace = os.replace
-    swaps = {"n": 0}
+    from pyspark.sql.readwriter import DataFrameWriter
 
-    def exploding_replace(src, dst):
-        real_replace(src, dst)
-        swaps["n"] += 1
-        raise RuntimeError("injected crash after first bucket swap")
+    orig_parquet = DataFrameWriter.parquet
 
-    # bm25_index_append imports os inside the function body, so patch
-    # the os module itself (same object from sys.modules).
-    monkeypatch.setattr(os, "replace", exploding_replace)
+    def exploding_parquet(self, p, *a, **k):
+        if p == path:  # the delta insert targets the index root
+            raise RuntimeError("injected crash during delta insert")
+        return orig_parquet(self, p, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", exploding_parquet)
     with pytest.raises(RuntimeError, match="injected crash"):
         text_mod.bm25_index_append(delta, path)
-    assert swaps["n"] >= 1
     assert not os.path.isdir(os.path.join(path, "_meta"))

@@ -470,7 +470,7 @@ def test_bm25_append_equals_rebuild(spark, tmp_path):
     )
     assert inc == full and len(inc) > 0
 
-    cols = ["term", "doc_id", "tf", "df", "dl", "bucket"]
+    cols = ["term", "doc_id", "tf", "dl", "bucket"]
     inc_rows = sorted(map(tuple, spark.read.parquet(inc_path).select(cols).collect()))
     full_rows = sorted(
         map(tuple, spark.read.parquet(full_path).select(cols).collect())
@@ -525,46 +525,39 @@ def test_bm25_append_property_equals_rebuild(spark, corpus_split, qtext):
         shutil.rmtree(work, ignore_errors=True)
 
 
-def test_bm25_append_leaves_untouched_buckets_alone(spark, tmp_path):
-    """Buckets none of the delta's terms hash to are NOT rewritten —
-    their parquet files stay byte-identical (same paths, sizes,
-    mtimes).  This is the incremental cost model: |touched buckets|,
-    never the index."""
+def test_bm25_append_never_rewrites_existing_files(spark, tmp_path):
+    """Pure INSERT: every pre-append parquet file survives the append
+    byte-identical (same path, size, mtime) — the layout stores no
+    derived corpus statistics in the rows (df is recomputed at probe
+    time), so nothing needs rewriting.  This is the incremental cost
+    model: O(delta), never the index."""
     import os
     from pathlib import Path
 
-    from mbai_gdb_spark.ops.text import _term_bucket, bm25_index_append, tokens
+    from mbai_gdb_spark.ops.text import bm25_index_append
 
     docs, path = _persist_fixture(spark, tmp_path, n_buckets=16)
     delta = spark.createDataFrame(
         [(9, "zebra zebra again")], "doc_id long, text string"
     )
-    touched = {
-        r.b
-        for r in delta.select(
-            F.explode(tokens("text")).alias("term")
-        )
-        .filter(F.col("term") != "")
-        .select(_term_bucket(F.col("term"), 16).alias("b"))
-        .distinct()
-        .collect()
-    }
 
-    def snapshot(skip):
+    def snapshot():
         out = {}
         for d in Path(path).glob("bucket=*"):
-            if int(d.name.split("=")[1]) in skip:
-                continue
             for f in d.rglob("*"):
                 if f.is_file():
                     st = os.stat(f)
                     out[str(f)] = (st.st_size, st.st_mtime_ns)
         return out
 
-    before = snapshot(touched)
-    assert before, "fixture must have untouched buckets"
+    before = snapshot()
+    assert before
     bm25_index_append(delta, path)
-    assert snapshot(touched) == before
+    after = snapshot()
+    assert set(before) <= set(after)          # old files all still there...
+    for k in before:
+        assert after[k] == before[k]          # ...and untouched
+    assert len(after) > len(before)           # new files landed
 
 
 def test_bm25_append_rejects_duplicate_doc_ids(spark, tmp_path):
@@ -608,3 +601,95 @@ def test_bm25_append_empty_text_docs_update_meta_only(spark, tmp_path):
     m_after = spark.read.parquet(path + "/_meta").first()
     assert m_after["n_docs"] == m_before["n_docs"] + 2
     assert m_after["total_toks"] == m_before["total_toks"]
+
+
+# ---------------------------------------------------------------------------
+# Exact-phrase BM25 retrieval (round 9): ops.text.phrase_bm25_topk
+# ---------------------------------------------------------------------------
+
+
+def _phrase(spark, doc_rows, query_rows, k=10):
+    from mbai_gdb_spark.ops.text import phrase_bm25_topk
+
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    qs = spark.createDataFrame(query_rows, "query_id string, qtext string")
+    return phrase_bm25_topk(docs, qs, k=k)
+
+
+def test_phrase_requires_consecutive_run(spark):
+    rows = _phrase(
+        spark,
+        [
+            (1, "sort merge join wins"),          # phrase present
+            (2, "merge sort join wins"),          # both terms, wrong order
+            (3, "sort the merge join"),           # both terms, gap
+            (4, "sort merge sort merge"),         # present twice
+        ],
+        [("q", "sort merge")],
+    ).collect()
+    got = {r.doc_id for r in rows}
+    assert got == {1, 4}
+
+
+def test_phrase_repeated_term_needs_true_run(spark):
+    rows = _phrase(
+        spark,
+        [
+            (1, "batch batch batch now"),         # true triple run
+            (2, "batch x batch y batch"),         # 3 occurrences, no run
+            (3, "a batch batch end"),             # only a double
+        ],
+        [("q", "batch batch batch")],
+    ).collect()
+    assert {r.doc_id for r in rows} == {1}
+
+
+def test_phrase_at_boundaries_and_single_token(spark):
+    rows = _phrase(
+        spark,
+        [
+            (1, "alpha beta tail"),                # at start
+            (2, "head alpha beta"),                # at end
+            (3, "alpha beta"),                     # whole doc
+            (4, "beta alpha"),                     # reversed
+        ],
+        [("q", "alpha beta"), ("s", "beta")],
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, set()).add(r.doc_id)
+    assert by_q["q"] == {1, 2, 3}
+    # A single-token "phrase" degrades to ordinary term search.
+    assert by_q["s"] == {1, 2, 3, 4}
+
+
+def test_phrase_scores_match_bm25_on_matched_docs(spark):
+    """Scores ARE the plain BM25 scores of the phrase's terms — a doc
+    matched by the phrase carries exactly the score bm25_topk assigns
+    it, so the two rankers agree wherever both return a doc."""
+    from mbai_gdb_spark.ops.text import bm25_topk
+
+    doc_rows = [
+        (1, "sort merge join wins today"),
+        (2, "merge sort join wins"),
+        (3, "sort merge sort merge"),
+        (4, "nothing relevant here"),
+    ]
+    qs = [("q", "sort merge")]
+    phrase_scores = {
+        r.doc_id: r.score for r in _phrase(spark, doc_rows, qs).collect()
+    }
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    qdf = spark.createDataFrame(qs, "query_id string, qtext string")
+    bm = {r.doc_id: r.score for r in bm25_topk(docs, qdf, k=10).collect()}
+    assert set(phrase_scores) == {1, 3}
+    for d, s in phrase_scores.items():
+        assert s == bm[d]
+
+
+def test_phrase_k_bound_and_deterministic_ties(spark):
+    doc_rows = [(i, "key order fixed") for i in range(1, 8)]
+    rows = _phrase(spark, doc_rows, [("q", "key order")], k=3).collect()
+    assert [(r.rank, r.doc_id) for r in sorted(rows)] == [
+        (1, 1), (2, 2), (3, 3)  # equal scores -> doc_id ascending
+    ]

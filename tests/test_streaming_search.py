@@ -54,7 +54,7 @@ def test_streaming_index_equals_batch_build(spark, tmp_path):
     )
     assert got == want and len(got) > 0
 
-    cols = ["term", "doc_id", "tf", "df", "dl", "bucket"]
+    cols = ["term", "doc_id", "tf", "dl", "bucket"]
     inc_rows = sorted(
         map(tuple, spark.read.parquet(inc_path).select(cols).collect())
     )
