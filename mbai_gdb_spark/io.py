@@ -242,13 +242,21 @@ def compact_partitioned(
     back to one file each and returns their partition values.
 
     Safe by construction: compaction is content-PRESERVING per
-    directory, each directory swap is an atomic rename, and directories
-    are independent — so a crash mid-loop leaves a partially compacted
-    but fully CORRECT layout (nothing like the append's cross-bucket df
-    consistency is at stake, which is why this needs no side-car
-    protocol).  Staging lives inside the tree, underscore-hidden from
-    scans.  Schema-agnostic: works on any single-column-partitioned
-    layout (``bucket=`` BM25 postings, ``centroid_id=`` IVF-PQ codes).
+    directory and directories are independent, so a crash between
+    directory swaps leaves a partially compacted but fully CORRECT
+    layout.  Each swap itself is non-destructive: the staged
+    replacement's existence is checked BEFORE the original is touched
+    (a staging miss aborts loudly with the data intact), the original
+    is moved aside to a hidden ``_compact_old_*`` name by an atomic
+    rename, the replacement renamed in, and only then the aside
+    removed — the worst crash window is one rename wide and the prior
+    bytes survive under the hidden name for manual recovery.  Staging
+    lives inside the tree, underscore-hidden from scans.
+    Schema-agnostic across int/plain-string partition values
+    (``bucket=`` BM25 postings, ``centroid_id=`` IVF-PQ codes); a
+    value whose directory name Spark escapes (``=``, ``%``, ``:``,
+    control chars in string keys) fails the staging-miss check and
+    aborts without damage rather than being silently mishandled.
 
     At 100 TB this is the standard segment-merge maintenance tick a
     serving tier schedules off-peak; cost is |fragmented dirs|, never
@@ -280,8 +288,22 @@ def compact_partitioned(
     for v in frag:
         src = os.path.join(staging, f"{prefix}{v}")
         dst = os.path.join(path, f"{prefix}{v}")
-        shutil.rmtree(dst, ignore_errors=True)
-        os.replace(src, dst)
+        if not os.path.isdir(src):
+            # Never touch the original without a staged replacement in
+            # hand — this is where URL-escaped partition names (or any
+            # staging anomaly) land, as a loud no-damage abort.
+            raise RuntimeError(
+                f"compact_partitioned: staged replacement missing for "
+                f"{dst} ({src} not written); aborting with the original "
+                "intact — partition values requiring URL-escaping are "
+                "not supported"
+            )
+        aside = os.path.join(path, f"_compact_old_{prefix}{v}")
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, aside)  # atomic: old bytes preserved, hidden
+        os.replace(src, dst)  # atomic: replacement in
+        shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     return frag
 

@@ -665,8 +665,8 @@ def bm25_index_persist(
     write_partitioned(rows, path, ["bucket"])
     spark = docs.sparkSession
     meta = spark.createDataFrame(
-        [(int(n_docs), int(total_toks), int(n_buckets))],
-        "n_docs long, total_toks long, n_buckets int",
+        [(int(n_docs), int(total_toks), int(n_buckets), None)],
+        "n_docs long, total_toks long, n_buckets int, last_tag string",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 
@@ -676,6 +676,7 @@ def bm25_index_append(
     path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tag: str | None = None,
 ) -> None:
     """Incrementally merge NEW documents into a persisted
     :func:`bm25_index_persist` layout — the text-search counterpart of
@@ -703,6 +704,13 @@ def bm25_index_append(
     completely disjoint token set evades the guard — that is an
     update, use a rebuild.)
 
+    ``tag`` (optional) makes the merge REPLAY-IDEMPOTENT for exactly-
+    once pipelines: the tag is stored inside ``_meta`` atomically with
+    the corpus scalars, and a call whose tag equals the stored one
+    returns without merging — covering even token-less deltas, where
+    the duplicate guard has no postings to collide on.  The streaming
+    applier passes its micro-batch id here.
+
     Plan shape at scale: one explode + two hash aggregations over the
     DELTA only; the duplicate guard scans only the buckets the delta's
     terms hash to; the insert adds new files inside those partition
@@ -718,6 +726,15 @@ def bm25_index_append(
 
     spark = docs.sparkSession
     meta = spark.read.parquet(path + "/_meta").first()
+    # Replay idempotence: a caller-supplied tag rides INSIDE _meta, so
+    # its check-and-update commits atomically with the corpus scalars
+    # (one side-car write).  This closes the one window the
+    # duplicate-doc_id guard cannot see — a replayed delta whose docs
+    # all tokenize to nothing would otherwise double-count n_docs with
+    # no postings to collide on.
+    last_tag = meta["last_tag"] if "last_tag" in meta.__fields__ else None
+    if tag is not None and last_tag == tag:
+        return  # this exact merge is already reflected in _meta
     n_buckets = int(meta["n_buckets"])
     toks = docs.select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
@@ -772,6 +789,10 @@ def bm25_index_append(
         # fully materialized (count) before any write starts.
         shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
         delta_rows.write.mode("append").partitionBy("bucket").parquet(path)
+    else:
+        # Meta-only merge (token-less delta): same crash-evidence — no
+        # window where old meta survives alongside any partial state.
+        shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
     # _meta written last: its presence marks a complete merge (see the
     # crash-evidence note above).
     new_meta = spark.createDataFrame(
@@ -780,9 +801,10 @@ def bm25_index_append(
                 int(meta["n_docs"]) + d_docs,
                 int(meta["total_toks"]) + d_toks,
                 n_buckets,
+                tag,
             )
         ],
-        "n_docs long, total_toks long, n_buckets int",
+        "n_docs long, total_toks long, n_buckets int, last_tag string",
     )
     new_meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
 

@@ -35,7 +35,11 @@ than silently corrupting the index: a crash inside the BM25 append
 leaves the index without ``_meta`` (removed before the delta insert,
 rewritten after), so the replayed merge — and any probe — refuses an
 incomplete index; a crash between an append completing and the marker
-write makes the replay trip the duplicate-id guard (both layouts).
+write makes the replay a no-op for BM25 (the micro-batch id is stored
+INSIDE ``_meta``, atomically with the corpus scalars — covering even
+token-less deltas, which have no postings for a duplicate guard to
+collide on) and trips the duplicate-vec_id guard for IVF-PQ (every
+vector batch writes code rows).
 Recover by rebuilding (or restoring the previous generation).  A
 production deployment would close the windows by versioning whole
 index generations behind an atomically-swapped manifest pointer, the
@@ -67,11 +71,11 @@ def _ledgered_applier(
     index_path: str,
     is_built: Callable[[], bool],
     build: Callable[[DataFrame], None],
-    append: Callable[[DataFrame], None],
+    append: Callable[[DataFrame, str], None],
 ):
     """The shared replay-safe foreachBatch shape: skip recorded batch
-    ids, BUILD on the first non-empty batch, APPEND on every later
-    one, record the id LAST."""
+    ids, BUILD on the first non-empty batch, APPEND on every later one
+    (handing the batch id down as the merge tag), record the id LAST."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(index_path, _BATCH_MARKER)
@@ -85,7 +89,7 @@ def _ledgered_applier(
             if not is_built():
                 build(batch_df)
             else:
-                append(batch_df)
+                append(batch_df, str(batch_id))
         os.makedirs(index_path, exist_ok=True)
         with open(marker, "w") as f:  # LAST: presence marks the merge
             f.write(str(batch_id))
@@ -104,7 +108,10 @@ def index_batch_applier(index_path: str, n_buckets: int = 64):
         index_path,
         is_built=lambda: os.path.isdir(os.path.join(index_path, "_meta")),
         build=lambda df: bm25_index_persist(df, index_path, n_buckets=n_buckets),
-        append=lambda df: bm25_index_append(df, index_path),
+        # The batch id rides into _meta as the merge tag, so a replay
+        # is idempotent even for a token-less delta (no postings for
+        # the duplicate guard to collide on).
+        append=lambda df, t: bm25_index_append(df, index_path, tag=t),
     )
 
 
@@ -131,7 +138,9 @@ def vector_index_batch_applier(
             code_stride=code_stride,
             vectorized=vectorized,
         ),
-        append=lambda df: ivfpq_append(df, index_path, vectorized=vectorized),
+        # ivfpq has no _meta to tag; every vector batch writes code
+        # rows, so the duplicate-vec_id guard covers replays.
+        append=lambda df, _t: ivfpq_append(df, index_path, vectorized=vectorized),
     )
 
 

@@ -251,3 +251,127 @@ def test_append_crash_window_leaves_no_meta(spark, tmp_path, monkeypatch):
     with pytest.raises(RuntimeError, match="injected crash"):
         text_mod.bm25_index_append(delta, path)
     assert not os.path.isdir(os.path.join(path, "_meta"))
+
+
+# ---------------------------------------------------------------------------
+# 6. round-9 second review pass: compaction swap safety + meta merge tag
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_aborts_loudly_on_unstageable_partition(spark, tmp_path):
+    """A string partition value whose directory name Spark escapes
+    (here: '=' becomes %3D) cannot be round-tripped by the raw dir-name
+    filter; the swap must ABORT with the original directory intact —
+    never delete data it has no staged replacement for."""
+    from mbai_gdb_spark.io import compact_partitioned
+
+    df = spark.createDataFrame(
+        [("a=b", 1), ("a=b", 2), ("plain", 3)], "k string, v long"
+    )
+    path = str(tmp_path / "layout")
+    # Two writes so the escaped dir holds >1 file (fragmented).
+    df.write.mode("overwrite").partitionBy("k").parquet(path)
+    df.write.mode("append").partitionBy("k").parquet(path)
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    with pytest.raises(RuntimeError, match="staged replacement missing"):
+        compact_partitioned(spark, path, "k")
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert after == before  # nothing lost, nothing changed
+
+
+def test_compaction_leaves_no_aside_residue(spark, tmp_path):
+    from mbai_gdb_spark.io import compact_partitioned
+    from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame([(3, "alpha gamma")], "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    bm25_index_persist(docs, path, n_buckets=4)
+    bm25_index_append(delta, path)
+    compacted = compact_partitioned(spark, path, "bucket")
+    assert compacted
+    assert not any(n.startswith("_compact_old_") for n in os.listdir(path))
+    assert not os.path.exists(os.path.join(path, "_compact_staging"))
+
+
+def test_bm25_append_tag_makes_replay_idempotent(spark, tmp_path):
+    """The merge tag rides inside _meta: a second call with the same
+    tag is a no-op — including for a TOKEN-LESS delta, the case the
+    duplicate-doc_id guard cannot see (no postings to collide on)."""
+    from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    bm25_index_persist(docs, path, n_buckets=4)
+
+    blank = spark.createDataFrame([(7, ""), (8, "  ")], "doc_id long, text string")
+    bm25_index_append(blank, path, tag="b1")
+    m1 = spark.read.parquet(path + "/_meta").first()
+    assert m1["n_docs"] == 4 and m1["last_tag"] == "b1"
+    # Replay (lost marker): same tag -> no double count.
+    bm25_index_append(blank, path, tag="b1")
+    m2 = spark.read.parquet(path + "/_meta").first()
+    assert (m2["n_docs"], m2["total_toks"]) == (m1["n_docs"], m1["total_toks"])
+
+    # A genuinely new token-less batch under a NEW tag still counts.
+    blank2 = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    bm25_index_append(blank2, path, tag="b2")
+    m3 = spark.read.parquet(path + "/_meta").first()
+    assert m3["n_docs"] == 5 and m3["last_tag"] == "b2"
+
+
+def test_vector_applier_replay_after_lost_marker_is_loud(spark, tmp_path):
+    """(Unchanged contract, re-pinned post-refactor): IVF-PQ has no
+    _meta tag, but every vector batch writes code rows, so a replayed
+    batch under a new id trips the duplicate guard."""
+    from mbai_gdb_spark.io import read_table
+    from mbai_gdb_spark.streaming.search import vector_index_batch_applier
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    b0 = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0)
+    b1 = emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1)
+    path = str(tmp_path / "idx")
+    apply_batch = vector_index_batch_applier(path, centroid_stride=50, code_stride=7)
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    with pytest.raises(ValueError, match="already in the index"):
+        apply_batch(b1, 2)
+
+
+def test_bm25_applier_replay_after_lost_marker_is_noop(spark, tmp_path):
+    """With the meta tag, a BM25 batch replayed under a NEW marker
+    state (marker file deleted = the lost-marker crash) is silently
+    absorbed instead of erroring: the tag check inside _meta already
+    covers it."""
+    import os as _os
+
+    from mbai_gdb_spark.ops.text import bm25_probe_persisted
+    from mbai_gdb_spark.streaming.search import index_batch_applier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma"), (3, "alpha gamma")],
+        "doc_id long, text string",
+    )
+    b0 = docs.filter(F.col("doc_id") <= 2)
+    b1 = docs.filter(F.col("doc_id") == 3)
+    path = str(tmp_path / "idx")
+    apply_batch = index_batch_applier(path, n_buckets=4)
+    apply_batch(b0, 0)
+    apply_batch(b1, 1)
+    qs = spark.createDataFrame([("q", "alpha")], "query_id string, qtext string")
+    before = sorted(map(tuple, bm25_probe_persisted(spark, path, qs).collect()))
+    m_before = spark.read.parquet(path + "/_meta").first()
+
+    _os.remove(_os.path.join(path, "_applied_batch"))  # the lost marker
+    apply_batch(b1, 1)  # replay: absorbed by the meta tag
+    after = sorted(map(tuple, bm25_probe_persisted(spark, path, qs).collect()))
+    m_after = spark.read.parquet(path + "/_meta").first()
+    assert after == before
+    assert (m_after["n_docs"], m_after["total_toks"]) == (
+        m_before["n_docs"],
+        m_before["total_toks"],
+    )

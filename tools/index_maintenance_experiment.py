@@ -1,8 +1,10 @@
 """Incremental append vs full rebuild as a BM25 corpus grows.
 
 The claim under test is the whole point of bm25_index_append: ingest
-cost should track the DELTA (plus the touched-bucket rewrite), not the
-accumulated corpus, while a rebuild re-scans everything every tick.
+cost should track the DELTA (a pure insert — no bucket is rewritten;
+this experiment is what falsified the first, df-denormalized design
+whose touched-bucket rewrites made append cost track the INDEX), while
+a rebuild re-scans the accumulated corpus every tick.
 This drives one index through K ingest ticks of fixed delta size and,
 at each tick, measures (a) the append wall, (b) a from-scratch rebuild
 wall over the same accumulated corpus, and (c) the warm probe wall
