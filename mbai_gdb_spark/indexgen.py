@@ -1,0 +1,318 @@
+"""Generation-managed persisted indexes: atomic pointer, hardlink clones.
+
+The serving upgrade the r9 append/streaming docstrings named: every
+mutation of a persisted index (append, delete, compaction) produces a
+COMPLETE new generation directory under ``<root>/_generations/``, and a
+``_current`` pointer file swaps to it atomically only after the
+mutation fully succeeds.  Probes resolve the pointer and read that
+generation with the ordinary probe functions — so a crash anywhere
+inside a mutation leaves an unpublished partial generation and the
+pointer still serving the PREVIOUS generation's exact results, instead
+of the bare layout's correct-but-unavailable refusal (its crash
+evidence — missing ``_meta``, ``_delete_inflight`` — makes probes raise
+until a rebuild).  Availability upgrades from "refuse until rebuilt" to
+"serve the last published state", the standard segment-publishing model
+of production search tiers (Lucene commit points, Iceberg snapshot
+pointers).
+
+Generations are cheap because mutations don't copy data: a new
+generation starts as a HARDLINK clone of the current one (O(#files)
+metadata work, zero bytes copied), and the mutation then runs inside
+the clone with exactly the bare-layout operators —
+``ops.text.bm25_index_append`` adds new part files without rewriting
+any existing file, so the linked files are never written through;
+``bm25_index_delete``/``compact_partitioned`` replace whole partition
+directories, which unlinks the clone's links and leaves the previous
+generation's files untouched.  On an object store the same design is a
+copy-on-write file MANIFEST per generation (Iceberg's model) — the
+hardlink clone is the local-filesystem equivalent with identical
+semantics, chosen because a manifest would force every probe through a
+bespoke file-list reader instead of a plain partitioned-parquet scan.
+
+Single writer per root (the bare layouts' standing contract); probes
+are lock-free — they read whatever generation the pointer named when
+they resolved it, and pruning keeps enough history that an in-flight
+probe's generation outlives it.
+
+Reference parity note: the reference engine (lorenzoliuzzo/MBAI-gdb)
+has no index lifecycle at all — it delegates storage to Neo4j
+(src/manager.py:26-52).  This module exists for the 100 TB serving
+story: crash-safe incremental maintenance of the BM25 and IVF-PQ
+layouts without a rebuild-sized outage window.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+_GENS = "_generations"
+_CURRENT = "_current"
+_GEN_RE = re.compile(r"gen-(\d{6})")
+
+
+def _gens_dir(root: str) -> str:
+    return os.path.join(root, _GENS)
+
+
+def current_generation_name(root: str) -> str | None:
+    """The generation name ``_current`` points at, or None for a root
+    never published (missing pointer = no complete generation exists)."""
+    ptr = os.path.join(root, _CURRENT)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    return name or None
+
+
+def current_generation(root: str) -> str | None:
+    """Absolute path of the generation probes should read, or None."""
+    name = current_generation_name(root)
+    return os.path.join(_gens_dir(root), name) if name else None
+
+
+def _publish(root: str, name: str) -> None:
+    """Atomically swap the pointer: write a temp file in the same
+    directory, fsync, rename over ``_current`` — the one-rename publish
+    that makes a generation live (os.replace is atomic on POSIX)."""
+    ptr = os.path.join(root, _CURRENT)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
+
+
+def list_generations(root: str) -> list[str]:
+    """All generation directory names (published or partial), ordered."""
+    d = _gens_dir(root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(n for n in os.listdir(d) if _GEN_RE.fullmatch(n))
+
+
+def _new_gen_dir(root: str) -> tuple[str, str]:
+    """Create the next generation directory.  Numbering is max(existing)
+    + 1 over ALL directories, including crashed partials, so a name is
+    never reused (a probe must never see a half-written tree under a
+    name it already resolved)."""
+    gens = list_generations(root)
+    nxt = 1 + max(
+        (int(_GEN_RE.fullmatch(n).group(1)) for n in gens), default=0
+    )
+    name = f"gen-{nxt:06d}"
+    path = os.path.join(_gens_dir(root), name)
+    os.makedirs(path)
+    return name, path
+
+
+def _clone_tree_hardlinks(src: str, dst: str) -> None:
+    """Clone an index tree as hardlinks: O(#files) metadata operations,
+    zero data bytes copied.  Safe because every bare-layout mutation is
+    add-file or replace-directory — no operator ever writes INTO an
+    existing part file (tested on sizes+mtimes for the appends).  Falls
+    back to a real copy per file where the filesystem refuses links."""
+    for cur, dirs, files in os.walk(src):
+        rel = os.path.relpath(cur, src)
+        out = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(cur, f), os.path.join(out, f)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def generation_build(root: str, build_fn: Callable[[str], None]) -> str:
+    """Build the FIRST (or a replacement full) generation: ``build_fn``
+    writes a complete index tree into a fresh generation directory, and
+    the pointer swaps only after it returns.  A crashed build leaves an
+    unpublished partial and — if a previous generation existed — the
+    pointer still serving it.  Returns the new generation's path."""
+    os.makedirs(_gens_dir(root), exist_ok=True)
+    name, path = _new_gen_dir(root)
+    build_fn(path)
+    _publish(root, name)
+    return path
+
+
+def generation_mutate(root: str, mutate_fn: Callable[[str], None]) -> str:
+    """Run a mutation (append / delete / compaction) against a hardlink
+    clone of the current generation, publishing the clone only after
+    ``mutate_fn`` returns.  THE crash-window closer: the bare operators'
+    loud-refusal evidence (missing ``_meta``, ``_delete_inflight``,
+    ``_compact_old_*``) can only ever exist inside an UNPUBLISHED
+    generation, so probes through the pointer never see it — they keep
+    serving the previous generation's exact results.  Returns the new
+    generation's path."""
+    cur = current_generation(root)
+    if cur is None:
+        raise ValueError(
+            f"generation_mutate: no published generation at {root} — "
+            "build one first (generation_build)"
+        )
+    name, path = _new_gen_dir(root)
+    _clone_tree_hardlinks(cur, path)
+    mutate_fn(path)
+    _publish(root, name)
+    return path
+
+
+def prune_generations(root: str, keep: int = 2) -> list[str]:
+    """Remove old and crashed generations, keeping the current one plus
+    the ``keep - 1`` most recent others (history for in-flight probes /
+    manual rollback).  Unpublished partials NEWER than current are
+    crashed mutations and are removed too — single writer per root, so
+    nothing else can be mid-build.  Returns the removed names."""
+    cur = current_generation_name(root)
+    gens = list_generations(root)
+    if cur is None or cur not in gens:
+        return []
+    keep_set = set(gens[gens.index(cur):][:1])  # always the current
+    older = [n for n in gens if n < cur]
+    keep_set.update(older[-max(keep - 1, 0):] if keep > 1 else [])
+    removed = []
+    for n in gens:
+        if n in keep_set:
+            continue
+        shutil.rmtree(os.path.join(_gens_dir(root), n), ignore_errors=True)
+        removed.append(n)
+    return removed
+
+
+def _require_current(root: str) -> str:
+    cur = current_generation(root)
+    if cur is None:
+        raise ValueError(
+            f"no published index generation at {root} — nothing to probe"
+        )
+    return cur
+
+
+# ---------------------------------------------------------------------------
+# Layout wrappers: the two persisted index families, generation-managed
+# ---------------------------------------------------------------------------
+
+
+def bm25_gen_build(docs: DataFrame, root: str, **kw) -> str:
+    """Publish generation 1 of a BM25 index (ops.text.bm25_index_persist
+    kwargs pass through — n_buckets, positions, ...)."""
+    from mbai_gdb_spark.ops.text import bm25_index_persist
+
+    return generation_build(root, lambda p: bm25_index_persist(docs, p, **kw))
+
+
+def bm25_gen_append(docs: DataFrame, root: str, **kw) -> str:
+    """O(delta) append published as a new generation: the clone shares
+    every existing posting file by hardlink; only the delta's new part
+    files and the rewritten ``_meta`` are new bytes."""
+    from mbai_gdb_spark.ops.text import bm25_index_append
+
+    return generation_mutate(root, lambda p: bm25_index_append(docs, p, **kw))
+
+
+def bm25_gen_delete(docs: DataFrame, root: str, **kw) -> str:
+    """Physical delete published as a new generation: touched buckets
+    are rewritten filtered inside the clone (unlinking, never modifying,
+    the previous generation's files)."""
+    from mbai_gdb_spark.ops.text import bm25_index_delete
+
+    return generation_mutate(root, lambda p: bm25_index_delete(docs, p, **kw))
+
+
+def bm25_gen_probe(spark, root: str, queries_df: DataFrame, **kw) -> DataFrame:
+    """bm25_probe_persisted through the pointer — the serving path."""
+    from mbai_gdb_spark.ops.text import bm25_probe_persisted
+
+    return bm25_probe_persisted(spark, _require_current(root), queries_df, **kw)
+
+
+def bm25_gen_phrase_probe(
+    spark, root: str, queries_df: DataFrame, **kw
+) -> DataFrame:
+    """phrase_bm25_probe_persisted through the pointer (positional
+    layouts only)."""
+    from mbai_gdb_spark.ops.text import phrase_bm25_probe_persisted
+
+    return phrase_bm25_probe_persisted(
+        spark, _require_current(root), queries_df, **kw
+    )
+
+
+def ivfpq_gen_build(corpus: DataFrame, root: str, **kw) -> str:
+    """Publish generation 1 of a residual IVF-PQ index
+    (ops.similarity.ivfpq_persist kwargs pass through)."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_persist
+
+    return generation_build(root, lambda p: ivfpq_persist(corpus, p, **kw))
+
+
+def ivfpq_gen_append(vectors: DataFrame, root: str, **kw) -> str:
+    """Frozen-quantizer insert published as a new generation."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_append
+
+    return generation_mutate(root, lambda p: ivfpq_append(vectors, p, **kw))
+
+
+def ivfpq_gen_delete(vectors: DataFrame, root: str, **kw) -> str:
+    """Physical delete (by vector) published as a new generation."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_delete
+
+    return generation_mutate(root, lambda p: ivfpq_delete(vectors, p, **kw))
+
+
+def ivfpq_gen_probe(spark, root: str, queries: DataFrame, **kw) -> DataFrame:
+    """ivfpq_probe_persisted through the pointer — the serving path."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_probe_persisted
+
+    return ivfpq_probe_persisted(spark, _require_current(root), queries, **kw)
+
+
+def gen_compact(
+    spark, root: str, partition_col: str, max_files: int = 1
+) -> list:
+    """Compaction published as a new generation — the structural fix for
+    the bare ``io.compact_partitioned`` swap window: the rewrite happens
+    inside an unpublished clone, so there is NO instant at which a probe
+    can observe a missing or partial partition directory.  Publishes
+    only when at least one directory was compacted (a no-op tick leaves
+    the pointer alone and removes the empty clone).  Returns the
+    compacted partition values."""
+    from mbai_gdb_spark.io import compact_partitioned
+
+    cur = current_generation(root)
+    if cur is None:
+        raise ValueError(
+            f"gen_compact: no published generation at {root}"
+        )
+    done: list = []
+
+    def _mutate(p: str) -> None:
+        done.extend(compact_partitioned(spark, p, partition_col, max_files))
+        if not done:
+            raise _NothingToCompact()
+
+    try:
+        return_path = generation_mutate(root, _mutate)  # noqa: F841
+    except _NothingToCompact:
+        # Remove the unpublished no-op clone: nothing was fragmented.
+        gens = list_generations(root)
+        cur_name = current_generation_name(root)
+        for n in gens:
+            if n > (cur_name or ""):
+                shutil.rmtree(
+                    os.path.join(_gens_dir(root), n), ignore_errors=True
+                )
+        return []
+    return done
+
+
+class _NothingToCompact(Exception):
+    """Internal: unwinds gen_compact's clone when no dir was fragmented."""

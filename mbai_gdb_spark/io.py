@@ -262,50 +262,129 @@ def compact_partitioned(
     serving tier schedules off-peak; cost is |fragmented dirs|, never
     the layout."""
     import shutil
+    from urllib.parse import unquote
 
+    check_compaction_residue(path)
     prefix = f"{partition_col}="
-    frag: list = []
+    raw_frag: list[str] = []  # directory-name form (Spark-escaped)
     for nm in sorted(os.listdir(path)):
         if not nm.startswith(prefix):
             continue
         d = os.path.join(path, nm)
         n_parts = sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
         if n_parts > max_files:
-            raw = nm[len(prefix):]
-            frag.append(int(raw) if raw.lstrip("-").isdigit() else raw)
-    if not frag:
+            raw_frag.append(nm[len(prefix):])
+    if not raw_frag:
         return []
-    rows = spark.read.parquet(path).filter(F.col(partition_col).isin(frag))
+    # Partition VALUES are handled as the strings Spark wrote into the
+    # directory names (unescaped for the filter; inference disabled so
+    # the read yields those exact strings): no int-coercion guessing, so
+    # zero-padded keys ('01'), floats, and Spark-escaped values ('='/'%'
+    # → %XX) all round-trip — the staging re-escape reproduces the
+    # original directory name exactly, and the staging-miss abort below
+    # stays as the no-damage safety net for anything that doesn't.  The
+    # data files never store the partition column, so disabling
+    # inference for this read changes nothing about the rewritten files.
+    values = [unquote(r) for r in raw_frag]
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prior = spark.conf.get(infer_key, "true")
     staging = os.path.join(path, "_compact_staging")
-    # repartition BY the partition column: each value's rows land in one
-    # task, so partitionBy emits exactly one file per directory.
-    (
-        rows.repartition(max(len(frag), 1), F.col(partition_col))
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(staging)
-    )
-    for v in frag:
-        src = os.path.join(staging, f"{prefix}{v}")
-        dst = os.path.join(path, f"{prefix}{v}")
+    try:
+        spark.conf.set(infer_key, "false")
+        rows = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(values)
+        )
+        # repartition BY the partition column: each value's rows land in
+        # one task, so partitionBy emits exactly one file per directory.
+        (
+            rows.repartition(max(len(values), 1), F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+    finally:
+        spark.conf.set(infer_key, prior)
+    for raw in raw_frag:
+        src = os.path.join(staging, f"{prefix}{raw}")
+        dst = os.path.join(path, f"{prefix}{raw}")
         if not os.path.isdir(src):
             # Never touch the original without a staged replacement in
-            # hand — this is where URL-escaped partition names (or any
-            # staging anomaly) land, as a loud no-damage abort.
+            # hand — a loud no-damage abort for any staging anomaly.
             raise RuntimeError(
                 f"compact_partitioned: staged replacement missing for "
                 f"{dst} ({src} not written); aborting with the original "
-                "intact — partition values requiring URL-escaping are "
-                "not supported"
+                "intact"
             )
-        aside = os.path.join(path, f"_compact_old_{prefix}{v}")
+        aside = os.path.join(path, f"_compact_old_{prefix}{raw}")
         shutil.rmtree(aside, ignore_errors=True)
         if os.path.isdir(dst):
             os.replace(dst, aside)  # atomic: old bytes preserved, hidden
         os.replace(src, dst)  # atomic: replacement in
         shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
-    return frag
+    # Return values in the probe-facing type: ints where the directory
+    # name IS an int's canonical form (the two shipped layouts), the
+    # unescaped string otherwise ('01' stays '01', never 1).
+    out: list = []
+    for raw, v in zip(raw_frag, values):
+        try:
+            iv = int(v)
+        except ValueError:
+            out.append(v)
+        else:
+            out.append(iv if str(iv) == v else v)
+    return out
+
+
+DELETE_SENTINEL = "_delete_inflight"
+
+
+def check_serving_safe(path: str) -> None:
+    """The probe-side maintenance gate: raise if the dataset holds
+    evidence of a crashed maintenance operation that could make a scan
+    silently incomplete — compaction-swap residue
+    (:func:`check_compaction_residue`) or an in-flight physical delete
+    (the ``_delete_inflight`` sentinel written before the first
+    partition-directory swap of a delete and removed after the last:
+    between those, some directories are filtered and some are not, so
+    serving would mix the two states).  Every persisted-index probe
+    calls this before reading the layout.  The sentinel is checked
+    FIRST: a crashed delete also leaves move-aside residue, and the
+    delete diagnosis is the accurate one."""
+    if os.path.exists(os.path.join(path, DELETE_SENTINEL)):
+        raise RuntimeError(
+            f"dataset at {path} has an IN-FLIGHT physical delete "
+            f"({DELETE_SENTINEL} present): a delete crashed between "
+            "partition-directory swaps, so some directories are "
+            "filtered and some are not.  Rebuild the index — or, "
+            "generation-managed, discard the partial generation (the "
+            "_current pointer still serves the previous one)."
+        )
+    check_compaction_residue(path)
+
+
+def check_compaction_residue(path: str) -> None:
+    """Raise if a prior :func:`compact_partitioned` crashed inside its
+    one-rename-wide swap window: the partition directory's prior bytes
+    then survive only under a hidden ``_compact_old_*`` name — which
+    scans SKIP, so a probe would silently return incomplete results.
+    Probes and compaction both call this first, turning the silent
+    window into a loud refusal with a recovery hint (the original data
+    is intact under the hidden name)."""
+    if not os.path.isdir(path):
+        return
+    leftover = sorted(
+        n for n in os.listdir(path) if n.startswith("_compact_old_")
+    )
+    if leftover:
+        raise RuntimeError(
+            f"dataset at {path} holds crashed-compaction residue "
+            f"({', '.join(leftover[:5])}): a compact_partitioned swap "
+            "died mid-window and the affected partition directory may "
+            "be missing or partial.  The prior bytes are intact under "
+            "the _compact_old_* name — rename it back (or re-run "
+            "compaction after restoring) before serving."
+        )
 
 
 def _delta_enabled(spark: SparkSession) -> bool:

@@ -695,6 +695,9 @@ def ivf_probe_persisted(
     side-car), then scan ONLY those list directories
     — the ``centroid_id IN (...)`` filter is a partition filter, so the
     unprobed inverted lists are never read (plan-tested)."""
+    from mbai_gdb_spark.io import check_serving_safe
+
+    check_serving_safe(path)
     lists = spark.read.parquet(path)
     # Materialize the probe assignment ONCE: it feeds both the
     # partition-filter id list (collected) and the candidate join —
@@ -1593,6 +1596,120 @@ def ivfpq_append(
     codes.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
+def ivfpq_delete(
+    del_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> None:
+    """Physically DELETE vectors from a persisted :func:`ivfpq_persist`
+    layout — the counterpart of ``ops.text.bm25_index_delete`` and the
+    missing half of the update story (update = delete + re-append).
+    Quantizers stay FROZEN: deletion removes code rows, never retrains
+    — production vector-database semantics, where drift-driven
+    retraining is an offline new-generation build.  A deleted vector
+    that also served as a centroid keeps its centroid role (the
+    ``_centroids`` side-car is the quantizer, not corpus data).
+
+    Delete-by-VECTOR, not by id, for the same reason the BM25 delete is
+    by-document: assigning the delta under the frozen centroids names
+    exactly the list directories its code rows live in, so
+    identification is O(delta) map-only work + |assigned lists|
+    directory reads, never an index scan.  Every delta id must be found
+    in its assigned list (a vector passed with different values than
+    indexed assigns elsewhere, is not found, and raises — refuse over
+    corrupt).  Deletion itself only needs the LIST, so code rows are
+    removed exactly even though codes are lossy.
+
+    Exactness contract (property-tested): probes after the delete are
+    bit-identical to an index built the same way over the corpus
+    without the deleted vectors (same frozen quantizers — deletion
+    cannot retrain, by design).
+
+    Crash story: a ``_delete_inflight`` sentinel spans the partition-
+    directory swaps; probes refuse while it stands (mixed filtered/
+    unfiltered lists must not serve).  Under a generation-managed root
+    (:mod:`mbai_gdb_spark.indexgen`) a crashed delete is simply an
+    unpublished generation."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import DELETE_SENTINEL, check_serving_safe
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    check_serving_safe(path)
+    spark = del_vectors.sparkSession
+    centroids = spark.read.parquet(path + "/_centroids").select(
+        F.col("centroid_id").alias(id_col), F.col(vec_col)
+    )
+    stats = del_vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    d_vecs = int(stats["n"] or 0)
+    if d_vecs == 0:
+        return  # empty delta: nothing to delete
+    if int(stats["nd"]) != d_vecs:
+        raise ValueError(
+            "ivfpq_delete: delta contains duplicate vec_ids — each "
+            "deleted vector must appear exactly once"
+        )
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    assignment = truncate(assign_fn(del_vectors, centroids, id_col, vec_col))
+    touched = sorted(
+        r["centroid_id"]
+        for r in assignment.select("centroid_id").distinct().collect()
+    )
+    stored_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .select(id_col)
+        .distinct()
+    )
+    found = stored_ids.join(
+        F.broadcast(assignment.select(id_col)), id_col, "leftsemi"
+    ).count()
+    if found != d_vecs:
+        raise ValueError(
+            f"ivfpq_delete: only {found} of {d_vecs} delta vec_ids were "
+            "found in their assigned lists — a vector absent from the "
+            "index, or passed with different values than indexed "
+            "(assigning to a different list), refuses loudly instead of "
+            "corrupting the layout"
+        )
+    # Materialize the filtered survivors BEFORE mutating anything.
+    staging = os.path.join(path, "_delete_staging")
+    keep = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .join(F.broadcast(assignment.select(id_col)), id_col, "left_anti")
+    )
+    (
+        keep.repartition(max(len(touched), 1), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    sentinel = os.path.join(path, DELETE_SENTINEL)
+    with open(sentinel, "w"):
+        pass
+    for c in touched:
+        src = os.path.join(staging, f"centroid_id={c}")
+        dst = os.path.join(path, f"centroid_id={c}")
+        aside = os.path.join(path, f"_compact_old_centroid_id={c}")
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, aside)  # atomic: old bytes preserved, hidden
+        if os.path.isdir(src):
+            os.replace(src, dst)  # atomic: filtered replacement in
+        # A list whose every vector was deleted has no staged dir: the
+        # directory simply goes away (probes tolerate missing lists).
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(sentinel)
+
+
 def ivfpq_probe_persisted(
     spark,
     path: str,
@@ -1611,9 +1728,22 @@ def ivfpq_probe_persisted(
     PARTITION filter on the codes layout — unprobed lists are never
     read — and the rest is the shared residual-ADC pipeline
     (:func:`_residual_adc_search`).  Same output contract as
-    :func:`ivf_pq_residual_topk`."""
+    :func:`ivf_pq_residual_topk`.  Refuses crashed-maintenance layouts
+    (compaction residue / in-flight delete) loudly; an index whose
+    every list was deleted probes to the typed empty result."""
+    import os
+
+    from mbai_gdb_spark.io import check_serving_safe
     from mbai_gdb_spark.ops.lineage import truncate
 
+    check_serving_safe(path)
+    if not any(n.startswith("centroid_id=") for n in os.listdir(path)):
+        qid_ddl = queries.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [],
+            f"`{query_id_col}` {qid_ddl}, `{id_col}` {qid_ddl},"
+            " adc_dist double, rank int",
+        )
     centroids = spark.read.parquet(path + "/_centroids").select(
         F.col("centroid_id").alias(id_col), F.col(vec_col)
     )

@@ -616,6 +616,7 @@ def bm25_index_persist(
     n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    positions: bool = False,
 ) -> None:
     """Write the BM25 inverted index as a parquet layout PARTITIONED BY
     term-hash bucket — the text-search counterpart of the persisted IVF
@@ -639,11 +640,20 @@ def bm25_index_persist(
     work: no df join against the corpus, no length join, no count().
     Index build is one explode + two hash aggregations over the
     corpus; rebuilds overwrite atomically per partition dir (parquet
-    overwrite semantics)."""
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    ).filter(F.col("term") != "")
-    postings = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    overwrite semantics).
+
+    ``positions=True`` adds a sorted ``positions`` array (token offsets
+    of the term in the doc) to each posting row — the standard
+    positional-postings extension, making the SAME layout serve
+    exact-phrase retrieval from its buckets
+    (:func:`phrase_bm25_probe_persisted`).  Parquet is columnar, so
+    non-phrase probes never read the column; the cost is index bytes
+    (one int per token instead of per distinct (term, doc)), the trade
+    every positional index makes.  The flag rides in ``_meta`` so
+    appends reproduce the layout and phrase probes can refuse a
+    position-less index loudly."""
+    toks = _doc_term_positions(docs, id_col, text_col)
+    postings = _postings_from_toks(toks, id_col, positions)
     doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -664,11 +674,80 @@ def bm25_index_persist(
 
     write_partitioned(rows, path, ["bucket"])
     spark = docs.sparkSession
+    _write_bm25_meta(
+        spark,
+        path,
+        n_docs=int(n_docs),
+        total_toks=int(total_toks),
+        n_buckets=int(n_buckets),
+        last_tag=None,
+        id_type=docs.schema[id_col].dataType.simpleString(),
+        has_positions=bool(positions),
+    )
+
+
+def _doc_term_positions(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, term) rows over the non-empty token stream — the one
+    corpus pass every index build/append/delete derives from.  ``pos``
+    indexes the CLEANED stream (empty tokens dropped first), matching
+    :func:`phrase_bm25_topk`'s convention exactly."""
+    cleaned = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    return docs.select(F.col(id_col), F.posexplode(cleaned).alias("pos", "term"))
+
+
+def _postings_from_toks(toks: DataFrame, id_col: str, positions: bool) -> DataFrame:
+    """(term, id, tf[, positions]) from the (id, pos, term) stream; the
+    positions array is sorted so layouts are deterministic (append ≡
+    rebuild compares bit-exact)."""
+    aggs = [F.count(F.lit(1)).alias("tf")]
+    if positions:
+        aggs.append(F.sort_array(F.collect_list("pos")).alias("positions"))
+    return toks.groupBy("term", id_col).agg(*aggs)
+
+
+def _write_bm25_meta(spark, path: str, **kw) -> None:
+    """The one writer of the ``_meta`` side-car, so every mutation
+    (build, append, delete) carries the full column set: corpus scalars,
+    layout parameters (n_buckets, has_positions), the replay tag, and
+    the id column's Spark DDL type (so an empty probe can synthesize
+    the exact result schema — a layout with zero posting rows has no
+    file to infer it from)."""
     meta = spark.createDataFrame(
-        [(int(n_docs), int(total_toks), int(n_buckets), None)],
-        "n_docs long, total_toks long, n_buckets int, last_tag string",
+        [
+            (
+                int(kw["n_docs"]),
+                int(kw["total_toks"]),
+                int(kw["n_buckets"]),
+                kw.get("last_tag"),
+                kw.get("id_type"),
+                bool(kw.get("has_positions", False)),
+            )
+        ],
+        "n_docs long, total_toks long, n_buckets int, last_tag string,"
+        " id_type string, has_positions boolean",
     )
     meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def _meta_field(meta, name: str, default=None):
+    """Read an optional ``_meta`` column with a legacy-tolerant default
+    (indexes persisted before the column existed lack it)."""
+    return meta[name] if name in meta.__fields__ else default
+
+
+def _empty_probe_result(spark, meta, queries_df, query_id_col, id_col):
+    """The typed empty result every probe of a posting-less index
+    returns: the id column's type comes from the ``id_type`` DDL stored
+    in `_meta` at build time (falling back to bigint for legacy
+    indexes), NOT a hard-coded guess — so schema-sensitive callers
+    (unions, checkpointed sinks) see one schema whether the probe hit
+    postings or not."""
+    qid_ddl = queries_df.schema[query_id_col].dataType.simpleString()
+    id_ddl = _meta_field(meta, "id_type") or "bigint"
+    return spark.createDataFrame(
+        [],
+        f"`{query_id_col}` {qid_ddl}, rank int, `{id_col}` {id_ddl}, score long",
+    )
 
 
 def bm25_index_append(
@@ -732,14 +811,18 @@ def bm25_index_append(
     # duplicate-doc_id guard cannot see — a replayed delta whose docs
     # all tokenize to nothing would otherwise double-count n_docs with
     # no postings to collide on.
-    last_tag = meta["last_tag"] if "last_tag" in meta.__fields__ else None
+    last_tag = _meta_field(meta, "last_tag")
     if tag is not None and last_tag == tag:
         return  # this exact merge is already reflected in _meta
     n_buckets = int(meta["n_buckets"])
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    ).filter(F.col("term") != "")
-    delta_post = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    # Layout parameters come from _meta, the source of truth: the delta
+    # must reproduce the persisted schema (positional layouts get
+    # positional delta rows), and the rewritten _meta must preserve the
+    # id type the empty-probe path synthesizes schemas from.
+    has_positions = bool(_meta_field(meta, "has_positions", False))
+    id_type = _meta_field(meta, "id_type")
+    toks = _doc_term_positions(docs, id_col, text_col)
+    delta_post = _postings_from_toks(toks, id_col, has_positions)
     delta_dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
@@ -751,10 +834,13 @@ def bm25_index_append(
     if d_docs == 0:
         return  # empty delta: nothing to merge, meta unchanged
 
+    value_cols = ["term", id_col, "tf"] + (
+        ["positions"] if has_positions else []
+    )
     delta_rows = (
         delta_post.join(delta_dl, id_col)
         .withColumn("bucket", _term_bucket(F.col("term"), n_buckets))
-        .select("term", id_col, "tf", "dl", "bucket")
+        .select(*value_cols, "dl", "bucket")
     )
     # Bounded driver scalar (≤ n_buckets, itself small) — the same
     # folded-into-the-scan shape the probe uses.
@@ -795,18 +881,195 @@ def bm25_index_append(
         shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
     # _meta written last: its presence marks a complete merge (see the
     # crash-evidence note above).
-    new_meta = spark.createDataFrame(
-        [
-            (
-                int(meta["n_docs"]) + d_docs,
-                int(meta["total_toks"]) + d_toks,
-                n_buckets,
-                tag,
-            )
-        ],
-        "n_docs long, total_toks long, n_buckets int, last_tag string",
+    _write_bm25_meta(
+        spark,
+        path,
+        n_docs=int(meta["n_docs"]) + d_docs,
+        total_toks=int(meta["total_toks"]) + d_toks,
+        n_buckets=n_buckets,
+        last_tag=tag,
+        id_type=id_type,
+        has_positions=has_positions,
     )
-    new_meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def bm25_index_delete(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tag: str | None = None,
+) -> None:
+    """Physically DELETE documents from a persisted
+    :func:`bm25_index_persist` layout — the path an LLM-data pipeline
+    needs routinely (dedup verdicts, takedowns) and the missing half of
+    the update story: update = delete + re-append, which also closes
+    the disjoint-token re-add hole the append docstring documents.
+
+    Delete-by-DOCUMENT, not by id: the caller passes the exact indexed
+    (id, text) rows.  That is what makes the operation O(touched
+    buckets) instead of O(index) — the doc's terms name exactly the
+    bucket directories its postings live in, so identification needs no
+    index scan — and it is verifiable: within those buckets the stored
+    postings of the deleted ids must equal the recomputed delta
+    postings (term-for-term, tf-for-tf) and each stored ``dl`` must
+    equal the recomputed length.  Since every doc's stored tf sums to
+    its stored dl across ALL buckets, a full match proves no posting of
+    a deleted doc survives outside the touched set — the delete is
+    EXACT, and a wrong-text delete raises instead of corrupting.
+    Token-less documents are rejected (they have no postings to verify
+    against; remove them with a rebuild).
+
+    Exactness contract (property-tested over random delete sets): after
+    the delete, :func:`bm25_probe_persisted` is bit-identical to a
+    from-scratch build over the corpus WITHOUT the deleted docs — the
+    touched buckets are rewritten filtered, ``_meta``'s scalars
+    decrement by the delta's exact contributions, and df self-corrects
+    because the probe recounts it from the surviving postings.
+
+    Crash story: same protocol as the append (``_meta`` removed before
+    any mutation, rewritten last) plus a ``_delete_inflight`` sentinel
+    across the partition-directory swaps — a crash anywhere leaves an
+    index every probe loudly refuses, and under a generation-managed
+    root (:mod:`mbai_gdb_spark.indexgen`) the crashed generation is
+    simply never published.  ``tag`` gives replay idempotence exactly
+    as in :func:`bm25_index_append`."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import DELETE_SENTINEL, check_serving_safe
+
+    check_serving_safe(path)
+    spark = docs.sparkSession
+    meta = spark.read.parquet(path + "/_meta").first()
+    last_tag = _meta_field(meta, "last_tag")
+    if tag is not None and last_tag == tag:
+        return  # replay: this exact delete is already reflected
+    n_buckets = int(meta["n_buckets"])
+    toks = _doc_term_positions(docs, id_col, text_col)
+    del_post = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
+    del_dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    d_docs = int(stats["n"] or 0)
+    if d_docs == 0:
+        return  # empty delta: nothing to delete, meta unchanged
+    if int(stats["nd"]) != d_docs:
+        raise ValueError(
+            "bm25_index_delete: delta contains duplicate doc_ids — each "
+            "deleted document must appear exactly once"
+        )
+    # Bounded driver scalars: the delta's token total (for _meta) and
+    # its touched buckets (≤ n_buckets, the same folded-filter shape
+    # append and probe use).
+    agg = toks.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.count_distinct(F.col(id_col)).alias("docs_with_toks"),
+    ).first()
+    d_toks = int(agg["t"] or 0)
+    if int(agg["docs_with_toks"] or 0) != d_docs:
+        raise ValueError(
+            "bm25_index_delete: delta contains token-less documents, "
+            "which have no postings to verify the delete against — "
+            "remove token-less docs with a rebuild"
+        )
+    touched = sorted(
+        {
+            r["b"]
+            for r in del_post.select(
+                _term_bucket(F.col("term"), n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+    )
+    has_data = any(n.startswith("bucket=") for n in os.listdir(path))
+    if not has_data:
+        raise ValueError(
+            "bm25_index_delete: index holds no postings — the delta's "
+            "documents are not in it"
+        )
+    # Verify stored-vs-recomputed EXACTLY (see the docstring's argument
+    # for why touched buckets suffice): any missing/extra posting, tf
+    # mismatch, or dl mismatch means the caller's text is not the
+    # indexed text — refuse rather than corrupt.
+    stored = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(touched))
+        .join(F.broadcast(del_dl.select(id_col)), id_col, "leftsemi")
+        .select(
+            "term",
+            id_col,
+            F.col("tf").alias("__stf__"),
+            F.col("dl").alias("__sdl__"),
+        )
+    )
+    delta_cmp = del_post.join(del_dl, id_col).select(
+        "term", id_col, F.col("tf").alias("__dtf__"), F.col("dl").alias("__ddl__")
+    )
+    mismatch = (
+        stored.join(delta_cmp, ["term", id_col], "full_outer")
+        .filter(
+            F.col("__stf__").isNull()
+            | F.col("__dtf__").isNull()
+            | (F.col("__stf__") != F.col("__dtf__"))
+            | (F.col("__sdl__") != F.col("__ddl__"))
+        )
+        .limit(1)
+    )
+    if mismatch.count() > 0:
+        raise ValueError(
+            "bm25_index_delete: delta does not match the indexed "
+            "documents exactly (posting/tf/dl mismatch) — delete-by-"
+            "document requires the EXACT indexed (id, text) rows; a "
+            "doc absent from the index, or passed with different text, "
+            "refuses loudly instead of corrupting the layout"
+        )
+    # Materialize the filtered survivors BEFORE mutating anything.
+    staging = os.path.join(path, "_delete_staging")
+    keep = (
+        spark.read.parquet(path)
+        .filter(F.col("bucket").isin(touched))
+        .join(F.broadcast(del_dl.select(id_col)), id_col, "left_anti")
+    )
+    (
+        keep.repartition(max(len(touched), 1), F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(staging)
+    )
+    # Crash-evidence: _meta out first, sentinel across the swaps, _meta
+    # (with decremented scalars) back last.
+    shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
+    sentinel = os.path.join(path, DELETE_SENTINEL)
+    with open(sentinel, "w"):
+        pass
+    for b in touched:
+        src = os.path.join(staging, f"bucket={b}")
+        dst = os.path.join(path, f"bucket={b}")
+        aside = os.path.join(path, f"_compact_old_bucket={b}")
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, aside)  # atomic: old bytes preserved, hidden
+        if os.path.isdir(src):
+            os.replace(src, dst)  # atomic: filtered replacement in
+        # A bucket whose every posting belonged to deleted docs has no
+        # staged dir: the directory simply goes away.
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(sentinel)
+    _write_bm25_meta(
+        spark,
+        path,
+        n_docs=int(meta["n_docs"]) - d_docs,
+        total_toks=int(meta["total_toks"]) - d_toks,
+        n_buckets=n_buckets,
+        last_tag=tag,
+        id_type=_meta_field(meta, "id_type"),
+        has_positions=bool(_meta_field(meta, "has_positions", False)),
+    )
 
 
 def bm25_probe_persisted(
@@ -827,24 +1090,18 @@ def bm25_probe_persisted(
     filter, so unprobed buckets are NEVER read — physically proven by
     the delete-unprobed-dirs test, the same standard the persisted IVF
     index meets.  An index over a token-less corpus (complete `_meta`,
-    zero bucket dirs) probes to the empty result, not a read error."""
+    zero bucket dirs) probes to the empty result — typed from the
+    ``id_type`` recorded in `_meta` (there is no posting file to infer
+    it from), so the empty and non-empty paths return the same schema."""
     import os
 
+    from mbai_gdb_spark.io import check_serving_safe
+
+    check_serving_safe(path)
     meta = spark.read.parquet(path + "/_meta").first()
     if not any(n.startswith("bucket=") for n in os.listdir(path)):
-        from pyspark.sql import types as T
-
-        qid_type = queries_df.schema[query_id_col].dataType
-        return spark.createDataFrame(
-            [],
-            T.StructType(
-                [
-                    T.StructField(query_id_col, qid_type),
-                    T.StructField("rank", T.IntegerType()),
-                    T.StructField(id_col, T.LongType()),
-                    T.StructField("score", T.LongType()),
-                ]
-            ),
+        return _empty_probe_result(
+            spark, meta, queries_df, query_id_col, id_col
         )
     qterms = (
         queries_df.select(
@@ -870,6 +1127,104 @@ def bm25_probe_persisted(
     hits = hits.withColumn("df", F.count(F.lit(1)).over(w))
     return _bm25_score_rank(
         hits, meta["n_docs"], meta["total_toks"], idf_scale, query_id_col, id_col, k
+    )
+
+
+def phrase_bm25_probe_persisted(
+    spark,
+    path: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    query_text_col: str = "qtext",
+    id_col: str = "doc_id",
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact-phrase BM25 top-k SERVED from a persisted positional index
+    (:func:`bm25_index_persist` with ``positions=True``) — bit-identical
+    to :func:`phrase_bm25_topk` over the same corpus, but touching only
+    the bucket directories the phrase's terms hash to.  This is what
+    makes phrase retrieval scale like its non-phrase siblings: the
+    in-memory query re-explodes the CORPUS per call (corpus-bound at
+    100 TB), while this probe reads |queried buckets|/n_buckets of the
+    index — the positions arrays ride in the very posting rows the BM25
+    tail needs anyway, so phrase matching costs ZERO extra scan.
+
+    The offset trick runs unchanged over exploded stored positions:
+    candidate start ``s = pos - qpos`` must be covered by all m phrase
+    offsets (repeated-term phrases fall out for free).  df is the same
+    recount-over-hit-rows window the non-phrase probe uses — computed
+    BEFORE the phrase semi-join, since df counts every doc containing
+    the term, phrase-matched or not.  Raises on a position-less layout
+    (``has_positions`` in ``_meta`` is the source of truth) instead of
+    silently degrading to non-phrase ranking."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from mbai_gdb_spark.io import check_serving_safe
+
+    check_serving_safe(path)
+    meta = spark.read.parquet(path + "/_meta").first()
+    if not bool(_meta_field(meta, "has_positions", False)):
+        raise ValueError(
+            "phrase_bm25_probe_persisted: index at "
+            f"{path} stores no positions — rebuild with "
+            "bm25_index_persist(..., positions=True) to serve phrase "
+            "queries from the index"
+        )
+    if not any(n.startswith("bucket=") for n in os.listdir(path)):
+        return _empty_probe_result(
+            spark, meta, queries_df, query_id_col, id_col
+        )
+    qcleaned = F.filter(tokens(query_text_col), lambda x: x != F.lit(""))
+    qtoks = queries_df.select(
+        F.col(query_id_col), F.posexplode(qcleaned).alias("qpos", "term")
+    )
+    m_per_q = qtoks.groupBy(query_id_col).agg((F.max("qpos") + 1).alias("__m__"))
+    qterms = (
+        qtoks.select(query_id_col, "term")
+        .distinct()
+        .withColumn("bucket", _term_bucket(F.col("term"), meta["n_buckets"]))
+    )
+    buckets = sorted(
+        {r["bucket"] for r in qterms.select("bucket").distinct().collect()}
+    )
+    lists = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
+    hits = lists.join(F.broadcast(qterms.drop("bucket")), "term")
+    # Phrase candidates from the STORED positions of hit rows only.
+    starts = (
+        hits.select(
+            query_id_col, id_col, "term", F.explode("positions").alias("pos")
+        )
+        .join(F.broadcast(qtoks), [query_id_col, "term"])
+        .select(
+            query_id_col, id_col, (F.col("pos") - F.col("qpos")).alias("s"), "qpos"
+        )
+    )
+    phrase_docs = (
+        starts.groupBy(query_id_col, id_col, "s")
+        .agg(F.count_distinct("qpos").alias("__c__"))
+        .join(F.broadcast(m_per_q), query_id_col)
+        .filter(F.col("__c__") == F.col("__m__"))
+        .select(query_id_col, id_col)
+        .distinct()
+    )
+    # df BEFORE the phrase filter (a doc need not contain the phrase to
+    # count toward a term's document frequency) — the same
+    # recount-from-rows-in-hand window as bm25_probe_persisted.
+    w = W.partitionBy(query_id_col, "term")
+    scored_hits = hits.withColumn("df", F.count(F.lit(1)).over(w)).join(
+        F.broadcast(phrase_docs), [query_id_col, id_col], "leftsemi"
+    )
+    return _bm25_score_rank(
+        scored_hits,
+        meta["n_docs"],
+        meta["total_toks"],
+        idf_scale,
+        query_id_col,
+        id_col,
+        k,
     )
 
 

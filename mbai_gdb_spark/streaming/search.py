@@ -33,8 +33,12 @@ in an ``_applied_batch`` side-car (written LAST) and replays of
 recorded batches are skipped.  The crash windows fail LOUDLY rather
 than silently corrupting the index: a crash inside the BM25 append
 leaves the index without ``_meta`` (removed before the delta insert,
-rewritten after), so the replayed merge — and any probe — refuses an
-incomplete index; a crash between an append completing and the marker
+rewritten after), so any probe refuses an incomplete index, and the
+replayed batch raises in the applier itself — index bytes without the
+completeness side-car mark a crashed merge, and the applier refuses to
+take the build() branch over them (the builders write
+``mode('overwrite')``, which would silently discard every prior
+batch); a crash between an append completing and the marker
 write makes the replay a no-op for BM25 (the micro-batch id is stored
 INSIDE ``_meta``, atomically with the corpus scalars — covering even
 token-less deltas, which have no postings for a duplicate guard to
@@ -65,6 +69,25 @@ from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
 from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
 
 _BATCH_MARKER = "_applied_batch"
+_CKPT_REF = "_ckpt_ref"
+
+
+def _index_residue(index_path: str) -> list[str]:
+    """Entries under the index path that are INDEX BYTES rather than the
+    runner's own bookkeeping (ledger marker, checkpoint ref).  Residue
+    with the layout's completeness side-car absent means a build or
+    append died mid-flight — NEVER a fresh path.  Distinguishing the
+    two is what keeps a replayed batch from taking the build() branch
+    over a crashed append: the builders write mode('overwrite'), which
+    would silently wipe every prior batch's postings and rebuild the
+    index from that one micro-batch."""
+    if not os.path.isdir(index_path):
+        return []
+    return sorted(
+        n
+        for n in os.listdir(index_path)
+        if n not in (_BATCH_MARKER, _CKPT_REF)
+    )
 
 
 def _ledgered_applier(
@@ -75,7 +98,16 @@ def _ledgered_applier(
 ):
     """The shared replay-safe foreachBatch shape: skip recorded batch
     ids, BUILD on the first non-empty batch, APPEND on every later one
-    (handing the batch id down as the merge tag), record the id LAST."""
+    (handing the batch id down as the merge tag), record the id LAST.
+
+    The build branch is taken ONLY when the index path holds no index
+    bytes at all (the ledger marker and ``_ckpt_ref`` don't count — an
+    empty first batch legitimately writes the marker before any build).
+    An index that has bytes but fails ``is_built()`` is a crashed
+    build/append replaying: the applier raises loudly instead of
+    letting the builder's ``mode('overwrite')`` silently destroy every
+    prior batch's data (the incomplete-index refusal the module
+    docstring promises)."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(index_path, _BATCH_MARKER)
@@ -86,10 +118,22 @@ def _ledgered_applier(
         if batch_id <= last:
             return  # replay of an already-merged batch
         if not batch_df.isEmpty():
-            if not is_built():
-                build(batch_df)
-            else:
+            if is_built():
                 append(batch_df, str(batch_id))
+            else:
+                residue = _index_residue(index_path)
+                if residue:
+                    raise RuntimeError(
+                        f"streaming index at {index_path} is INCOMPLETE: "
+                        f"index bytes exist ({', '.join(residue[:5])}) but "
+                        "the layout's completeness side-car is missing — a "
+                        "build or append crashed mid-flight.  Refusing to "
+                        "rebuild from one micro-batch (that would silently "
+                        "discard every prior batch); remove the index "
+                        "directory (or restore a previous generation) and "
+                        "restart to rebuild."
+                    )
+                build(batch_df)
         os.makedirs(index_path, exist_ok=True)
         with open(marker, "w") as f:  # LAST: presence marks the merge
             f.write(str(batch_id))
@@ -144,6 +188,29 @@ def vector_index_batch_applier(
     )
 
 
+def _with_compaction_tick(applier, index_path: str, partition_col: str, every: int):
+    """Wrap an applier with the self-paying small-files tick: after
+    every ``every``-th batch id is recorded, fragmented partition
+    directories compact back to one file each
+    (``io.compact_partitioned`` — content-preserving, so stream ≡ batch
+    stays bit-identical and a replayed tick is a no-op).  Keyed on the
+    batch id, not a counter, so replays after a restart re-tick
+    harmlessly instead of drifting.  A tick crash leaves loud
+    ``_compact_old_*`` residue that both probes and the next tick
+    refuse — never a silently partial layout."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applier(batch_df, batch_id)
+        if (batch_id + 1) % every == 0:
+            from mbai_gdb_spark.io import compact_partitioned
+
+            compact_partitioned(
+                batch_df.sparkSession, index_path, partition_col
+            )
+
+    return apply_batch
+
+
 def _run_available_now(
     spark,
     source_dir: str,
@@ -156,7 +223,7 @@ def _run_available_now(
     """Shared runner: checkpoint-lineage guard, file-by-file drain,
     ``_ckpt_ref`` recorded on success."""
     ckpt = checkpoint or index_path + "__ckpt"
-    ref = os.path.join(index_path, "_ckpt_ref")
+    ref = os.path.join(index_path, _CKPT_REF)
     if os.path.exists(ref):
         with open(ref) as f:
             prior = f.read().strip()
@@ -194,22 +261,34 @@ def run_streaming_bm25_index_available_now(
     n_buckets: int = 64,
     max_files_per_trigger: int = 1,
     checkpoint: str | None = None,
+    compact_every: int | None = None,
 ) -> None:
     """Drain a parquet document feed file-by-file into the persisted
     BM25 index; returns once the feed is exhausted.  Probe the result
     with :func:`mbai_gdb_spark.ops.text.bm25_probe_persisted` — the
     identical serving path the batch build uses.
 
+    ``compact_every=N`` pays the small-files debt down as the stream
+    runs: after every Nth batch, fragmented bucket directories merge
+    back to one file each (content-preserving — probes and the
+    stream ≡ batch guarantee are unaffected; what changes is files
+    opened per probed directory, O(appends-since-compaction) → 1).
+
     Raises if the index was previously driven from a DIFFERENT
     checkpoint: batch ids are per-checkpoint, so the ledger would
     misfire (see the module docstring).  Drive one index from one
     checkpoint lineage; a lost checkpoint means a rebuild."""
+    applier = index_batch_applier(index_path, n_buckets)
+    if compact_every:
+        applier = _with_compaction_tick(
+            applier, index_path, "bucket", compact_every
+        )
     _run_available_now(
         spark,
         source_dir,
         schema,
         index_path,
-        index_batch_applier(index_path, n_buckets),
+        applier,
         max_files_per_trigger,
         checkpoint,
     )
@@ -225,6 +304,7 @@ def run_streaming_ivfpq_index_available_now(
     vectorized: bool = True,
     max_files_per_trigger: int = 1,
     checkpoint: str | None = None,
+    compact_every: int | None = None,
 ) -> None:
     """Drain a parquet vector feed file-by-file into the persisted
     residual IVF-PQ index; probe with
@@ -233,15 +313,21 @@ def run_streaming_ivfpq_index_available_now(
     quantizers); the result is bit-identical to
     ``ivfpq_persist(first file) + ivfpq_append(rest)`` in one batch —
     by the append's associativity, across ANY micro-batch split of the
-    rest.  Same checkpoint-lineage contract as the BM25 runner."""
+    rest.  Same checkpoint-lineage contract as the BM25 runner;
+    ``compact_every`` is the same self-paying small-files tick."""
+    applier = vector_index_batch_applier(
+        index_path, centroid_stride, code_stride, vectorized
+    )
+    if compact_every:
+        applier = _with_compaction_tick(
+            applier, index_path, "centroid_id", compact_every
+        )
     _run_available_now(
         spark,
         source_dir,
         schema,
         index_path,
-        vector_index_batch_applier(
-            index_path, centroid_stride, code_stride, vectorized
-        ),
+        applier,
         max_files_per_trigger,
         checkpoint,
     )

@@ -258,11 +258,12 @@ def test_append_crash_window_leaves_no_meta(spark, tmp_path, monkeypatch):
 # ---------------------------------------------------------------------------
 
 
-def test_compaction_aborts_loudly_on_unstageable_partition(spark, tmp_path):
+def test_compaction_handles_escaped_partition_values(spark, tmp_path):
     """A string partition value whose directory name Spark escapes
-    (here: '=' becomes %3D) cannot be round-tripped by the raw dir-name
-    filter; the swap must ABORT with the original directory intact —
-    never delete data it has no staged replacement for."""
+    (here: '=' becomes %3D) used to be unstageable (r9 pinned a loud
+    no-damage abort); since round 10 the dir names are unescaped for
+    the filter and re-escaped by the staging write, so these values
+    compact CORRECTLY — content preserved, one file per directory."""
     from mbai_gdb_spark.io import compact_partitioned
 
     df = spark.createDataFrame(
@@ -273,10 +274,17 @@ def test_compaction_aborts_loudly_on_unstageable_partition(spark, tmp_path):
     df.write.mode("overwrite").partitionBy("k").parquet(path)
     df.write.mode("append").partitionBy("k").parquet(path)
     before = sorted(map(tuple, spark.read.parquet(path).collect()))
-    with pytest.raises(RuntimeError, match="staged replacement missing"):
-        compact_partitioned(spark, path, "k")
+    done = compact_partitioned(spark, path, "k")
+    assert sorted(done) == ["a=b", "plain"]
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert after == before  # nothing lost, nothing changed
+    for d in ("k=a%3Db", "k=plain"):
+        parts = [
+            f
+            for f in os.listdir(os.path.join(path, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1
 
 
 def test_compaction_leaves_no_aside_residue(spark, tmp_path):

@@ -223,3 +223,69 @@ def test_vector_applier_replay_and_dup_guard(spark, tmp_path):
     # vectors must refuse loudly.
     with pytest.raises(ValueError, match="already in the index"):
         apply_batch(b1, 2)
+
+
+def test_streaming_compaction_tick_preserves_equivalence(spark, tmp_path):
+    """The self-paying small-files tick (round 10): with
+    compact_every=1 the drained index serves results bit-identical to a
+    one-shot batch build AND every bucket directory holds exactly one
+    parquet file — the O(appends)-files-per-probe debt is gone."""
+    import glob
+    import os
+
+    from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_bm25_index_available_now,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "feed")
+    docs.repartition(6).write.parquet(src)
+
+    plain_path = str(tmp_path / "plain_idx")
+    run_streaming_bm25_index_available_now(
+        spark, src, docs.schema, plain_path, n_buckets=16
+    )
+    ticked_path = str(tmp_path / "ticked_idx")
+    run_streaming_bm25_index_available_now(
+        spark,
+        src,
+        docs.schema,
+        ticked_path,
+        n_buckets=16,
+        compact_every=1,
+        checkpoint=str(tmp_path / "ckpt2"),
+    )
+
+    # Fragmentation paid down: one file per bucket dir in the ticked
+    # index; the un-ticked twin must be fragmented (or the fixture
+    # proves nothing).
+    def max_files(path):
+        return max(
+            len(glob.glob(os.path.join(path, d, "*.parquet")))
+            for d in os.listdir(path)
+            if d.startswith("bucket=")
+        )
+
+    assert max_files(plain_path) > 1
+    assert max_files(ticked_path) == 1
+
+    full_path = str(tmp_path / "full_idx")
+    bm25_index_persist(docs, full_path, n_buckets=16)
+    qs = spark.createDataFrame(_QUERIES, "query_id string, qtext string")
+    ticked = sorted(
+        map(tuple, bm25_probe_persisted(spark, ticked_path, qs, k=10).collect())
+    )
+    want = sorted(
+        map(tuple, bm25_probe_persisted(spark, full_path, qs, k=10).collect())
+    )
+    assert ticked == want and len(ticked) > 0
+
+    cols = ["term", "doc_id", "tf", "dl", "bucket"]
+    got_rows = sorted(
+        map(tuple, spark.read.parquet(ticked_path).select(cols).collect())
+    )
+    want_rows = sorted(
+        map(tuple, spark.read.parquet(full_path).select(cols).collect())
+    )
+    assert got_rows == want_rows
