@@ -118,6 +118,13 @@ HEADLINE = [
     "search_bm25_appended",
     "sim_ivfpq_appended_top5",
     "search_phrase_bm25",
+    # Round-10 additions: generation-managed lifecycle (build → append →
+    # physical delete → pointer-served probe; cold = whole lifecycle,
+    # warm = probe only) for both layouts, and exact-phrase retrieval
+    # served bucket-pruned from the persisted POSITIONAL index
+    "search_bm25_deleted",
+    "sim_ivfpq_deleted_top5",
+    "search_phrase_persisted",
 ]
 
 
@@ -206,19 +213,22 @@ def _persist_full_battery(out: dict) -> None:
         # run then rewrites this file — without the carry the isolated
         # key (the drift-vs-regression evidence verdicts ask for)
         # would be silently lost (this is what erased the r8 record).
-        if "isolated" not in out and os.path.exists(path):
+        if os.path.exists(path):
             try:
                 with open(path) as f:
                     prev = json.load(f)
-                if isinstance(prev, dict) and "isolated" in prev:
-                    out = {
-                        **out,
-                        "isolated": prev["isolated"],
-                        "isolated_note": (
-                            "carried from this round's earlier --isolate "
-                            "battery (this run had no --isolate flag)"
-                        ),
-                    }
+                if isinstance(prev, dict):
+                    for key in ("isolated", "compaction"):
+                        if key not in out and key in prev:
+                            out = {
+                                **out,
+                                key: prev[key],
+                                f"{key}_note": (
+                                    "carried from this round's earlier "
+                                    "flagged run (this run had no such "
+                                    "flag)"
+                                ),
+                            }
             except (OSError, ValueError):
                 pass
         with open(path, "w") as f:
@@ -226,6 +236,115 @@ def _persist_full_battery(out: dict) -> None:
             f.write("\n")
     except OSError as exc:
         print(f"bench: full-battery persist skipped: {exc}", file=sys.stderr)
+
+
+def _merge_into_full_battery(extra: dict) -> None:
+    """Read-modify-write the round's BENCH_full file with extra keys
+    (e.g. the --compaction-probe record) without disturbing an existing
+    battery; creates a keys-only stub if no battery ran yet (the
+    driver's plain run later merges over it via the carry logic)."""
+    import glob
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+        ]
+        rnd = max(rounds, default=0) + 1
+        path = os.environ.get("SPARK_GRAFT_BENCH_FULL") or os.path.join(
+            repo, f"BENCH_full_r{rnd:02d}.json"
+        )
+        prev: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                prev = loaded
+        prev.update(extra)
+        with open(path, "w") as f:
+            json.dump(prev, f, indent=1)
+            f.write("\n")
+    except (OSError, ValueError) as exc:
+        print(f"bench: battery merge skipped: {exc}", file=sys.stderr)
+
+
+def _run_compaction_probe(sf_dir: str) -> dict:
+    """Measure what the compaction tick buys at serving time: build the
+    BM25 index FRAGMENTED (1 build + 7 appends over doc_id slices — the
+    shape a streaming drain leaves), time the warm probe, compact, time
+    it again.  Records per-phase probe seconds (n=3), max parquet files
+    per bucket directory before/after, and the compaction cost itself —
+    the probe-latency-before/after evidence the r9 verdict asked to see
+    in the battery."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.io import compact_partitioned, read_table
+    from mbai_gdb_spark.ops.text import (
+        bm25_index_append,
+        bm25_index_persist,
+        bm25_probe_persisted,
+    )
+    from mbai_gdb_spark.queries_north import _SEARCH_QUERIES
+    from mbai_gdb_spark.session import get_spark
+
+    spark = get_spark("bench-compaction")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="mbai_bench_compact_")
+    path = os.path.join(work, "idx")
+    qs = spark.createDataFrame(_SEARCH_QUERIES, "query_id string, qtext string")
+
+    def probe() -> float:
+        t0 = time.perf_counter()
+        bm25_probe_persisted(spark, path, qs, k=10).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    def max_files() -> int:
+        return max(
+            sum(
+                1
+                for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            )
+            for d in os.listdir(path)
+            if d.startswith("bucket=")
+        )
+
+    try:
+        bm25_index_persist(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(8)) == 0), path, n_buckets=64
+        )
+        for m in range(1, 8):
+            bm25_index_append(
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(8)) == m), path
+            )
+        probe()  # JVM/codegen warm-up, excluded
+        before = [probe() for _ in range(3)]
+        files_before = max_files()
+        t0 = time.perf_counter()
+        n_dirs = len(compact_partitioned(spark, path, "bucket"))
+        compact_secs = round(time.perf_counter() - t0, 3)
+        files_after = max_files()
+        after = [probe() for _ in range(3)]
+        return {
+            "layout": "bm25/bucket=64, 1 build + 7 appends",
+            "probe_before": before,
+            "probe_after": after,
+            "max_files_per_dir_before": files_before,
+            "max_files_per_dir_after": files_after,
+            "dirs_compacted": n_dirs,
+            "compact_secs": compact_secs,
+            "sf_dir": sf_dir,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def _isolated_single(name: str, sf_dir: str) -> None:
@@ -331,6 +450,9 @@ def main() -> None:
     #                            record both numbers under "isolated"
     #   --isolate-only a,b       skip the battery; isolated runs only
     #   --isolate-runs N         subprocesses per name (default 3)
+    #   --compaction-probe       skip the battery; measure probe latency
+    #                            before/after the compaction tick and
+    #                            merge the record into BENCH_full
     argv = sys.argv[1:]
     isolate_names: list[str] = []
     isolate_only = False
@@ -340,6 +462,13 @@ def main() -> None:
         a = argv[i]
         if a == "--isolated-single":
             _isolated_single(argv[i + 1], sf_dir)
+            return
+        if a == "--compaction-probe":
+            rec = _run_compaction_probe(sf_dir)
+            _merge_into_full_battery({"compaction": rec})
+            print(json.dumps({"metric": "compaction_probe", "value": 0.0,
+                              "unit": "sec", "queries": {}, "compaction": rec,
+                              "sf": sf}))
             return
         if a in ("--isolate", "--isolate-only"):
             isolate_names = [s for s in argv[i + 1].split(",") if s]

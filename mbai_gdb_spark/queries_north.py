@@ -2279,6 +2279,113 @@ def search_bm25_appended(spark, sf_dir):
     return bm25_probe_persisted(spark, path, queries_df, k=10)
 
 
+def _bm25_deleted_oracle() -> str:
+    """The full-corpus BM25 SQL over documents MINUS the deleted set —
+    physical deletion must make the index serve exactly what a rebuild
+    without those docs serves, so the oracle IS search_bm25_persisted's
+    with the corpus filtered at the source (both the token stream and
+    the N scalar shrink; df/avgdl re-derive in the CTEs)."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    base = ORACLES["search_bm25_persisted"]
+    needle = "FROM documents"
+    assert base.count(needle) == 2  # toks CTE + the N scalar
+    return base.replace(
+        needle, "FROM (SELECT * FROM documents WHERE doc_id % 10 <> 7)"
+    )
+
+
+@query("search_bm25_deleted", _bm25_deleted_oracle())
+def search_bm25_deleted(spark, sf_dir):
+    """BM25 served through the GENERATION-MANAGED lifecycle
+    (mbai_gdb_spark.indexgen): generation 1 builds from the even half,
+    generation 2 hardlink-clones it and appends the odd half as a pure
+    O(delta) insert, generation 3 physically DELETES every doc_id % 10
+    == 7 (delete-by-document: the doc's terms name exactly the touched
+    buckets; stored-vs-recomputed postings verify before any mutation),
+    and the probe resolves the atomically-swapped `_current` pointer.
+    The oracle is the full BM25 SQL over the corpus minus the deleted
+    docs, so the driver row certifies the whole lifecycle — build,
+    incremental append, physical delete, pointer-served probe — ends at
+    exactly the rebuild-without-docs ranking.  At 100 TB this is the
+    difference between 'dedup verdicts and takedowns force a rebuild'
+    and an O(touched buckets) published generation, with a crashed
+    mutation serving the previous generation instead of an outage."""
+    import os
+
+    from mbai_gdb_spark import indexgen as G
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _bm25_index_path(sf_dir, suffix="_gen")
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        shutil.rmtree(root, ignore_errors=True)
+        G.bm25_gen_build(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+            root,
+            n_buckets=64,
+        )
+        G.bm25_gen_append(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1), root
+        )
+        G.bm25_gen_delete(
+            docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7), root
+        )
+        with open(done, "w"):
+            pass
+        _BM25_BUILT_PATHS.add(root)
+    queries_df = spark.createDataFrame(
+        _SEARCH_QUERIES, "query_id string, qtext string"
+    )
+    return G.bm25_gen_probe(spark, root, queries_df, k=10)
+
+
+def _phrase_persisted_oracle() -> str:
+    """The persisted phrase probe must serve EXACTLY what the in-memory
+    phrase query computes, so its oracle IS search_phrase_bm25's —
+    registered by reference so the two can never drift (the same
+    pattern the appended-index row uses)."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    return ORACLES["search_phrase_bm25"]
+
+
+@query("search_phrase_persisted", _phrase_persisted_oracle())
+def search_phrase_persisted(spark, sf_dir):
+    """Exact-phrase BM25 SERVED from the persisted POSITIONAL index
+    (ops.text.bm25_index_persist with positions=True /
+    phrase_bm25_probe_persisted): the sorted per-(term, doc) positions
+    arrays ride in the same bucket-partitioned posting rows the BM25
+    tail reads anyway, so the offset trick (candidate start s = pos -
+    qpos covered by all m offsets) runs over ONLY the queried buckets —
+    closing the r9 gap where phrase retrieval re-exploded the corpus
+    per call while its non-phrase siblings probed buckets.  Parquet is
+    columnar, so non-phrase probes of the same layout never read the
+    positions column (plan-asserted).  The oracle is the in-memory
+    phrase query's SQL: the positional index is an access path, not a
+    semantic change."""
+    import os
+
+    from mbai_gdb_spark.ops.text import (
+        bm25_index_persist,
+        phrase_bm25_probe_persisted,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    path = _bm25_index_path(sf_dir, suffix="_pos")
+    if not os.path.isdir(os.path.join(path, "_meta")):
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        bm25_index_persist(docs, path, n_buckets=64, positions=True)
+        _BM25_BUILT_PATHS.add(path)
+    queries_df = spark.createDataFrame(
+        _PHRASE_QUERIES, "query_id string, qtext string"
+    )
+    return phrase_bm25_probe_persisted(spark, path, queries_df, k=10)
+
+
 @query(
     "sketch_heavy_hitters",
     f"""
@@ -3806,6 +3913,75 @@ def sim_ivfpq_appended_top5(spark, sf_dir):
         _BM25_BUILT_PATHS.add(path)
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivfpq_probe_persisted(spark, path, queries_df, k=5, n_probe=2)
+
+
+def _ivfpq_deleted_oracle() -> str:
+    """sim_ivfpq_appended_top5's oracle with the deleted vectors
+    excluded from the CANDIDATE set only: physical deletion removes
+    code rows, never retrains (centroids/codebook stay frozen — the
+    production semantics ivfpq_delete implements), so assignments,
+    probes, and ADC tables replay identically and the deleted ids just
+    stop being candidates.  vec_id % 50 == 0 centroids are never % 10
+    == 3, so the centroid set is provably untouched."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    base = ORACLES["sim_ivfpq_appended_top5"]
+    needle = "FROM pivoted WHERE vec_id <> query_id"
+    assert base.count(needle) == 1
+    return base.replace(needle, needle + " AND vec_id % 10 <> 3")
+
+
+@query("sim_ivfpq_deleted_top5", _ivfpq_deleted_oracle())
+def sim_ivfpq_deleted_top5(spark, sf_dir):
+    """Residual IVF-PQ search through the full GENERATION-MANAGED
+    lifecycle (mbai_gdb_spark.indexgen): generation 1 bootstraps the
+    frozen quantizers from the even half, generation 2 inserts the odd
+    half under them, generation 3 physically DELETES every vec_id % 10
+    == 3 (delete-by-vector: assignment under the frozen centroids names
+    exactly the touched list directories; every id must be found there
+    or the delete refuses), and the probe resolves the `_current`
+    pointer.  Note query vector 3 still QUERIES — deletion removes it
+    as a candidate, not as a query — exactly what the oracle's
+    candidate-side exclusion expresses.  At 100 TB: takedown cost is
+    |touched lists| directory rewrites in an unpublished clone, with
+    crash = serve the previous generation."""
+    import os
+
+    from mbai_gdb_spark import indexgen as G
+
+    emb = _t(spark, sf_dir, "embeddings")
+    root = _ivfpq_index_path(sf_dir, suffix="_del")
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        shutil.rmtree(root, ignore_errors=True)
+        # vectorized=False on every phase: the HOF sequential-fold path,
+        # so every float lands exactly where the oracle's list_reduce
+        # puts it (the appended row's convention).
+        G.ivfpq_gen_build(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            root,
+            centroid_stride=50,
+            code_stride=7,
+            vectorized=False,
+        )
+        G.ivfpq_gen_append(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+            root,
+            vectorized=False,
+        )
+        G.ivfpq_gen_delete(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 3),
+            root,
+            vectorized=False,
+        )
+        with open(done, "w"):
+            pass
+        _BM25_BUILT_PATHS.add(root)
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return G.ivfpq_gen_probe(spark, root, queries_df, k=5, n_probe=2)
 
 
 @query(
