@@ -500,6 +500,10 @@ def main() -> None:
 
     if isolate_only:
         isolated = _run_isolated(isolate_names, isolate_runs, sf_dir)
+        # Persist like the with-battery --isolate path does: merge into
+        # the round's BENCH_full so the record survives the driver's
+        # later plain run (the carry logic preserves it).
+        _merge_into_full_battery({"isolated": isolated})
         print(
             json.dumps(
                 {

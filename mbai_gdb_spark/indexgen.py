@@ -300,7 +300,7 @@ def gen_compact(
             raise _NothingToCompact()
 
     try:
-        return_path = generation_mutate(root, _mutate)  # noqa: F841
+        generation_mutate(root, _mutate)
     except _NothingToCompact:
         # Remove the unpublished no-op clone: nothing was fragmented.
         gens = list_generations(root)
