@@ -1,0 +1,129 @@
+"""Round-10 self-review regressions.
+
+The load-bearing invariant of the generation design is that PUBLISHED
+generations are immutable: mutations run in hardlink clones, and a
+hardlink shares the inode — so an operator that ever wrote INTO an
+existing file (instead of adding/unlinking) would corrupt the previous
+generation through the link.  These tests pin byte-level immutability
+of the previous generation across all three mutation kinds, plus the
+smaller review findings (prune keep=1, tick on an empty feed head,
+compact on a path that only ever saw empty batches)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark import indexgen as G
+from mbai_gdb_spark.io import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _snapshot(tree: str) -> dict:
+    """path → (size, sha1) for every file — byte-level identity, not
+    just inode sharing (a truncate-through-hardlink keeps the inode)."""
+    out = {}
+    for cur, _dirs, files in os.walk(tree):
+        for f in files:
+            p = os.path.join(cur, f)
+            with open(p, "rb") as fh:
+                out[os.path.relpath(p, tree)] = (
+                    os.path.getsize(p),
+                    hashlib.sha1(fh.read()).hexdigest(),
+                )
+    return out
+
+
+def test_published_generations_are_byte_immutable(spark, tmp_path):
+    """Append, delete, AND compaction must leave every byte of every
+    prior generation untouched (mutations add files or unlink links —
+    never write through one)."""
+    docs = _docs(spark)
+    root = str(tmp_path / "root")
+    g1 = G.bm25_gen_build(
+        docs.filter(F.col("doc_id") % 2 == 0), root, n_buckets=8, positions=True
+    )
+    snap1 = _snapshot(g1)
+
+    g2 = G.bm25_gen_append(docs.filter(F.col("doc_id") % 2 == 1), root)
+    assert _snapshot(g1) == snap1, "append wrote through a hardlink into gen1"
+    snap2 = _snapshot(g2)
+
+    # Compact while fragmented (build + append = 2 files/dir) — a later
+    # delete would defragment its touched buckets as a side effect.
+    assert G.gen_compact(spark, root, "bucket"), "fixture must be fragmented"
+    assert _snapshot(g1) == snap1, "compaction wrote through a hardlink into gen1"
+    assert _snapshot(g2) == snap2, "compaction wrote through a hardlink into gen2"
+    g3 = G.current_generation(root)
+    snap3 = _snapshot(g3)
+
+    G.bm25_gen_delete(docs.filter(F.col("doc_id") % 10 == 3), root)
+    assert _snapshot(g1) == snap1, "delete wrote through a hardlink into gen1"
+    assert _snapshot(g2) == snap2, "delete wrote through a hardlink into gen2"
+    assert _snapshot(g3) == snap3, "delete wrote through a hardlink into gen3"
+
+
+def test_prune_keep_one_leaves_only_current(spark, tmp_path):
+    docs = _docs(spark)
+    root = str(tmp_path / "root")
+    G.bm25_gen_build(docs.filter(F.col("doc_id") % 3 == 0), root, n_buckets=8)
+    G.bm25_gen_append(docs.filter(F.col("doc_id") % 3 == 1), root)
+    G.bm25_gen_append(docs.filter(F.col("doc_id") % 3 == 2), root)
+    removed = G.prune_generations(root, keep=1)
+    assert removed == ["gen-000001", "gen-000002"]
+    assert G.list_generations(root) == ["gen-000003"]
+    qs = spark.createDataFrame([("q", "the")], "query_id string, qtext string")
+    assert G.bm25_gen_probe(spark, root, qs, k=3).count() > 0
+
+
+def test_compaction_tick_tolerates_index_of_only_empty_batches(spark, tmp_path):
+    """compact_every over a feed whose first batches are empty: the
+    marker dir exists, no bucket dirs — the tick must no-op, not
+    FileNotFoundError."""
+    from mbai_gdb_spark.streaming.search import (
+        _with_compaction_tick,
+        index_batch_applier,
+    )
+
+    path = str(tmp_path / "idx")
+    applier = _with_compaction_tick(
+        index_batch_applier(path, n_buckets=8), path, "bucket", 1
+    )
+    empty = _docs(spark).filter(F.lit(False))
+    applier(empty, 0)  # marker written, tick runs on a bucket-less dir
+    applier(empty, 1)
+    assert os.path.exists(os.path.join(path, "_applied_batch"))
+
+
+def test_gen_append_tag_replay_publishes_identical_generation(spark, tmp_path):
+    """A replayed tagged append inside the generation machinery is a
+    no-op merge published as a content-identical generation — probes
+    unchanged, n_docs not double-counted."""
+    docs = _docs(spark)
+    root = str(tmp_path / "root")
+    G.bm25_gen_build(docs.filter(F.col("doc_id") % 2 == 0), root, n_buckets=8)
+    G.bm25_gen_append(docs.filter(F.col("doc_id") % 2 == 1), root, tag="b1")
+    qs = spark.createDataFrame(
+        [("q1", "the data model")], "query_id string, qtext string"
+    )
+    before = sorted(map(tuple, G.bm25_gen_probe(spark, root, qs, k=10).collect()))
+    meta_before = spark.read.parquet(
+        os.path.join(G.current_generation(root), "_meta")
+    ).first()
+    G.bm25_gen_append(docs.filter(F.col("doc_id") % 2 == 1), root, tag="b1")
+    after = sorted(map(tuple, G.bm25_gen_probe(spark, root, qs, k=10).collect()))
+    meta_after = spark.read.parquet(
+        os.path.join(G.current_generation(root), "_meta")
+    ).first()
+    assert after == before
+    assert (meta_before["n_docs"], meta_before["total_toks"]) == (
+        meta_after["n_docs"],
+        meta_after["total_toks"],
+    )
