@@ -211,6 +211,175 @@ def _with_compaction_tick(applier, index_path: str, partition_col: str, every: i
     return apply_batch
 
 
+_GEN_TAG = "_gen_tag"
+
+
+def _write_gen_tag(gen_path: str, batch_id: int) -> None:
+    """Record the micro-batch a generation merged, INSIDE the
+    generation tree — so the tag publishes atomically with the pointer
+    swap.  Written via tmp + os.replace: a clone carries the previous
+    tag as a HARDLINK, and an in-place open('w') would truncate through
+    the link into the published generation (the byte-immutability
+    invariant tests/test_review_r10.py pins)."""
+    tmp = os.path.join(gen_path, _GEN_TAG + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(gen_path, _GEN_TAG))
+
+
+def _read_gen_tag(gen_path: str) -> str | None:
+    p = os.path.join(gen_path, _GEN_TAG)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return f.read().strip() or None
+
+
+def generation_index_batch_applier(root: str, build_fn, append_fn):
+    """The generation-managed foreachBatch shape — the SELF-HEALING
+    upgrade of :func:`_ledgered_applier`: every micro-batch merge runs
+    inside an unpublished hardlink clone (mbai_gdb_spark.indexgen) and
+    publishes atomically, so EVERY crash window degrades to serving the
+    last published generation and replays simply retry from it:
+
+    - crash mid-build / mid-append → unpublished partial; the replay
+      clones the still-healthy current generation and re-merges (the
+      bare applier can only refuse loudly here — this one heals);
+    - crash between publish and the ledger-marker write → the replayed
+      batch's id equals the CURRENT generation's ``_gen_tag`` (written
+      inside the tree, so it published atomically with the pointer) and
+      the merge is skipped — exactly-once without relying on layout
+      duplicate guards.
+
+    ``build_fn(df, path)`` / ``append_fn(df, path)`` write/merge a bare
+    layout at ``path``; probes go through the pointer
+    (indexgen.bm25_gen_probe / ivfpq_gen_probe)."""
+    from mbai_gdb_spark import indexgen as G
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(root, _BATCH_MARKER)
+        last = -1
+        if os.path.exists(marker):
+            with open(marker) as f:
+                last = int(f.read().strip() or -1)
+        if batch_id <= last:
+            return  # replay of a ledgered batch
+        if not batch_df.isEmpty():
+            cur = G.current_generation(root)
+            if cur is None:
+                # First data (or a crashed BUILD replaying: partials are
+                # unpublished and numbering skips them).
+                G.generation_build(
+                    root,
+                    lambda p: (build_fn(batch_df, p), _write_gen_tag(p, batch_id)),
+                )
+            elif _read_gen_tag(cur) == str(batch_id):
+                pass  # published, marker lost: already merged — skip
+            else:
+                G.generation_mutate(
+                    root,
+                    lambda p: (append_fn(batch_df, p), _write_gen_tag(p, batch_id)),
+                )
+        os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as f:  # LAST: fast-path dedup only
+            f.write(str(batch_id))
+
+    return apply_batch
+
+
+def run_streaming_bm25_generations_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    root: str,
+    n_buckets: int = 64,
+    positions: bool = False,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+    compact_every: int | None = None,
+) -> None:
+    """The generation-managed twin of
+    :func:`run_streaming_bm25_index_available_now`: each micro-batch
+    publishes a complete generation, probes
+    (indexgen.bm25_gen_probe / bm25_gen_phrase_probe) always see a
+    complete index, and a mid-merge crash costs NOTHING but the batch's
+    retry — restart the drain and it heals from the last published
+    generation.  ``compact_every=N`` runs gen_compact (windowless
+    compaction) after every Nth recorded batch."""
+    from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
+
+    applier = generation_index_batch_applier(
+        root,
+        build_fn=lambda df, p: bm25_index_persist(
+            df, p, n_buckets=n_buckets, positions=positions
+        ),
+        # No layout-level tag: _gen_tag is the one replay mechanism.
+        append_fn=lambda df, p: bm25_index_append(df, p),
+    )
+    if compact_every:
+        applier = _with_gen_compaction_tick(applier, root, "bucket", compact_every)
+    _run_available_now(
+        spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
+    )
+
+
+def run_streaming_ivfpq_generations_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    root: str,
+    centroid_stride: int = 50,
+    code_stride: int = 7,
+    vectorized: bool = True,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+    compact_every: int | None = None,
+) -> None:
+    """Generation-managed IVF-PQ streaming ingest: the first non-empty
+    batch bootstraps the frozen quantizers as generation 1; every later
+    batch publishes a pure-insert generation.  Crash anywhere = serve
+    the previous generation, retry heals — including the
+    publish-before-marker window the bare runner can only surface as a
+    duplicate-vec_id refusal (the ``_gen_tag`` skip covers it here)."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
+
+    applier = generation_index_batch_applier(
+        root,
+        build_fn=lambda df, p: ivfpq_persist(
+            df,
+            p,
+            centroid_stride=centroid_stride,
+            code_stride=code_stride,
+            vectorized=vectorized,
+        ),
+        append_fn=lambda df, p: ivfpq_append(df, p, vectorized=vectorized),
+    )
+    if compact_every:
+        applier = _with_gen_compaction_tick(
+            applier, root, "centroid_id", compact_every
+        )
+    _run_available_now(
+        spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
+    )
+
+
+def _with_gen_compaction_tick(applier, root: str, partition_col: str, every: int):
+    """The generation flavor of :func:`_with_compaction_tick`: the tick
+    is indexgen.gen_compact, so compaction has NO probe-visible window
+    and a crashed tick is just an unpublished clone (the next tick
+    re-runs it; nothing to refuse)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applier(batch_df, batch_id)
+        if (batch_id + 1) % every == 0:
+            from mbai_gdb_spark import indexgen as G
+
+            if G.current_generation(root) is not None:
+                G.gen_compact(batch_df.sparkSession, root, partition_col)
+
+    return apply_batch
+
+
 def _run_available_now(
     spark,
     source_dir: str,

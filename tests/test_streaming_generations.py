@@ -1,0 +1,212 @@
+"""Generation-managed streaming index maintenance (round 10): every
+micro-batch publishes a complete generation, so probes never see a
+partial index and every crash window SELF-HEALS on retry — including
+the two the bare runners can only refuse loudly (crashed merge; crash
+between publish and the ledger-marker write)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mbai_gdb_spark import indexgen as G
+from mbai_gdb_spark.io import read_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_QUERIES = [
+    ("q1", "the data model"),
+    ("q2", "stream of events"),
+    ("q3", "quality"),
+]
+
+
+def _docs(spark):
+    return read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+
+def _qs(spark):
+    return spark.createDataFrame(_QUERIES, "query_id string, qtext string")
+
+
+def _gen_probe(spark, root):
+    return sorted(
+        map(tuple, G.bm25_gen_probe(spark, root, _qs(spark), k=10).collect())
+    )
+
+
+def test_gen_stream_equals_batch_build(spark, tmp_path):
+    from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_bm25_generations_available_now,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "feed")
+    docs.repartition(4).write.parquet(src)
+    root = str(tmp_path / "root")
+    run_streaming_bm25_generations_available_now(
+        spark, src, docs.schema, root, n_buckets=16, compact_every=2
+    )
+
+    full = str(tmp_path / "full")
+    bm25_index_persist(docs, full, n_buckets=16)
+    want = sorted(
+        map(tuple, bm25_probe_persisted(spark, full, _qs(spark), k=10).collect())
+    )
+    assert _gen_probe(spark, root) == want and len(want) > 0
+
+    # Rows bit-identical too, through clone+append+compaction ticks.
+    cols = ["term", "doc_id", "tf", "dl", "bucket"]
+    got_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(G.current_generation(root)).select(cols).collect(),
+        )
+    )
+    want_rows = sorted(map(tuple, spark.read.parquet(full).select(cols).collect()))
+    assert got_rows == want_rows
+
+
+def test_gen_stream_crashed_merge_self_heals(spark, tmp_path, monkeypatch):
+    """Kill one micro-batch merge mid-flight: the drain dies, the
+    pointer still serves the last published generation, and simply
+    RE-RUNNING the drain (same checkpoint) completes to the exact
+    batch-build result — the self-healing the bare runner's loud
+    refusal cannot offer."""
+    import mbai_gdb_spark.ops.text as text_mod
+    from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_bm25_generations_available_now,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "feed")
+    docs.repartition(4).write.parquet(src)
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_append = text_mod.bm25_index_append
+    state = {"calls": 0}
+
+    def flaky_append(df, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 2:
+            # Let the merge do real damage inside the clone first.
+            df2 = df.limit(3)
+            real_append(df2, path, **kw)
+            raise RuntimeError("injected crash: merge died mid-batch")
+        return real_append(df, path, **kw)
+
+    monkeypatch.setattr(text_mod, "bm25_index_append", flaky_append)
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_bm25_generations_available_now(
+            spark, src, docs.schema, root, n_buckets=16, checkpoint=ckpt
+        )
+    # Pointer intact and serving a COMPLETE (if stale) index.
+    stale = _gen_probe(spark, root)
+    assert len(stale) > 0
+
+    monkeypatch.setattr(text_mod, "bm25_index_append", real_append)
+    run_streaming_bm25_generations_available_now(
+        spark, src, docs.schema, root, n_buckets=16, checkpoint=ckpt
+    )
+    full = str(tmp_path / "full")
+    bm25_index_persist(docs, full, n_buckets=16)
+    want = sorted(
+        map(tuple, bm25_probe_persisted(spark, full, _qs(spark), k=10).collect())
+    )
+    assert _gen_probe(spark, root) == want
+
+
+def test_gen_applier_publish_before_marker_window_skips(spark, tmp_path):
+    """The window the bare IVF-PQ runner can only surface as a
+    duplicate-vec_id refusal: merge published, marker write lost.  The
+    replayed batch id equals the current generation's _gen_tag and is
+    skipped — no error, no new generation, probes unchanged."""
+    from mbai_gdb_spark.streaming.search import generation_index_batch_applier
+    from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
+
+    docs = _docs(spark)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "root")
+    applier = generation_index_batch_applier(
+        root,
+        build_fn=lambda df, p: bm25_index_persist(df, p, n_buckets=16),
+        append_fn=lambda df, p: bm25_index_append(df, p),
+    )
+    applier(b0, 0)
+    applier(b1, 1)
+    before = _gen_probe(spark, root)
+    gens = G.list_generations(root)
+
+    os.remove(os.path.join(root, "_applied_batch"))  # the lost marker
+    applier(b1, 1)  # replay: must skip via _gen_tag, not re-merge
+    assert G.list_generations(root) == gens
+    assert _gen_probe(spark, root) == before
+    with open(os.path.join(root, "_applied_batch")) as f:
+        assert f.read().strip() == "1"  # marker restored
+
+    # A genuinely NEW batch id with new docs still merges normally.
+    b2 = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    applier(b2, 2)
+    assert len(G.list_generations(root)) == len(gens) + 1
+
+
+def test_gen_stream_ivfpq_equals_bootstrap_plus_append(spark, tmp_path):
+    from mbai_gdb_spark.ops.similarity import (
+        ivfpq_append,
+        ivfpq_persist,
+        ivfpq_probe_persisted,
+    )
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_ivfpq_generations_available_now,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    # One deterministic 2-file feed: evens first (bootstrap), odds second.
+    src = str(tmp_path / "feed")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    import glob
+    import shutil
+    import time
+
+    os.makedirs(src)
+    now = time.time()
+    for i, (df, nm) in enumerate([(base, "00_base"), (delta, "01_delta")]):
+        stage = str(tmp_path / f"stage_{nm}")
+        df.coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{nm}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (now + i, now + i))
+        shutil.rmtree(stage)
+
+    root = str(tmp_path / "root")
+    run_streaming_ivfpq_generations_available_now(
+        spark, src, emb.schema, root, centroid_stride=50, code_stride=7
+    )
+    want_path = str(tmp_path / "want")
+    ivfpq_persist(base, want_path, centroid_stride=50, code_stride=7)
+    ivfpq_append(delta, want_path)
+
+    qv = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        map(
+            tuple,
+            G.ivfpq_gen_probe(spark, root, qv, k=3, n_probe=2).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_probe_persisted(spark, want_path, qv, k=3, n_probe=2).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
