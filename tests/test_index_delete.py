@@ -279,3 +279,69 @@ def test_ivfpq_delete_guards(spark, tmp_path):
         ).count()
         > 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: random append/delete interleavings through generations
+# ---------------------------------------------------------------------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_generation_mutation_sequences_equal_rebuild(spark, tmp_path_factory, data):
+    """ANY interleaving of appends and deletes published through the
+    generation machinery ends at an index whose probe is bit-identical
+    to a one-shot build over the final surviving corpus — the algebraic
+    closure of append ≡ rebuild and delete ≡ rebuild-without under
+    composition (each property was proven pairwise; this pins the
+    composition, where meta-scalar drift or a stale-tag bug would
+    accumulate)."""
+    from mbai_gdb_spark import indexgen as G
+    from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
+
+    pool = _corpus(data.draw(st.integers(0, 10_000), label="seed"), n=60)
+    tmp = tmp_path_factory.mktemp("genseq")
+    root = str(tmp / "root")
+
+    # Bootstrap generation: a third of the pool.
+    live = {r[0]: r for r in pool[:20]}
+    fresh = list(pool[20:])
+    G.bm25_gen_build(
+        _docs_df(spark, list(live.values())), root, n_buckets=8
+    )
+
+    n_ops = data.draw(st.integers(2, 4), label="n_ops")
+    for _ in range(n_ops):
+        can_delete = len(live) > 3
+        op = data.draw(
+            st.sampled_from(["append", "delete"] if can_delete and fresh else
+                            (["append"] if fresh else ["delete"])),
+            label="op",
+        )
+        if op == "append":
+            k = data.draw(st.integers(1, min(8, len(fresh))), label="k_app")
+            batch, fresh = fresh[:k], fresh[k:]
+            live.update({r[0]: r for r in batch})
+            G.bm25_gen_append(_docs_df(spark, batch), root)
+        else:
+            ids = sorted(live)
+            k = data.draw(st.integers(1, min(5, len(ids) - 3)), label="k_del")
+            victims = [live.pop(i) for i in ids[:k]]
+            G.bm25_gen_delete(_docs_df(spark, victims), root)
+
+    qs = spark.createDataFrame(_QS, "query_id string, qtext string")
+    got = sorted(
+        map(tuple, G.bm25_gen_probe(spark, root, qs, k=10).collect())
+    )
+    rebuild = str(tmp / "rebuild")
+    bm25_index_persist(
+        _docs_df(spark, list(live.values())), rebuild, n_buckets=8
+    )
+    want = sorted(
+        map(tuple, bm25_probe_persisted(spark, rebuild, qs, k=10).collect())
+    )
+    assert got == want
