@@ -52,7 +52,14 @@ from pyspark.sql import DataFrame
 
 _GENS = "_generations"
 _CURRENT = "_current"
-_GEN_RE = re.compile(r"gen-(\d{6})")
+# 6+ digits: %06d grows past 999999 naturally, and a pattern demanding
+# exactly six would make gen-1000000 invisible to the listing — every
+# later mutation would then retry the same name forever (review find).
+_GEN_RE = re.compile(r"gen-(\d{6,})")
+
+
+def _gen_num(name: str) -> int:
+    return int(_GEN_RE.fullmatch(name).group(1))
 
 
 def _gens_dir(root: str) -> str:
@@ -79,7 +86,19 @@ def current_generation(root: str) -> str | None:
 def _publish(root: str, name: str) -> None:
     """Atomically swap the pointer: write a temp file in the same
     directory, fsync, rename over ``_current`` — the one-rename publish
-    that makes a generation live (os.replace is atomic on POSIX)."""
+    that makes a generation live (os.replace is atomic on POSIX).
+
+    Durability scope: the swap is atomic against PROCESS crashes; the
+    generation's parquet bytes themselves may still sit in the page
+    cache, so a POWER loss immediately after publish could leave a
+    durable pointer naming a generation with unflushed files.  Set
+    ``SPARK_GRAFT_DURABLE_PUBLISH=1`` to pay an ``os.sync()`` before
+    every swap (flushes all dirty pages — the local-filesystem price of
+    power-loss safety).  On an object store the issue vanishes: a PUT
+    is durable before it returns, which is one more reason the manifest
+    variant of this design needs no sync step."""
+    if os.environ.get("SPARK_GRAFT_DURABLE_PUBLISH") == "1":
+        os.sync()
     ptr = os.path.join(root, _CURRENT)
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
@@ -90,11 +109,15 @@ def _publish(root: str, name: str) -> None:
 
 
 def list_generations(root: str) -> list[str]:
-    """All generation directory names (published or partial), ordered."""
+    """All generation directory names (published or partial), in
+    NUMERIC order — zero-padding makes the two orders agree up to
+    gen-999999, but only the numeric one survives the 7th digit."""
     d = _gens_dir(root)
     if not os.path.isdir(d):
         return []
-    return sorted(n for n in os.listdir(d) if _GEN_RE.fullmatch(n))
+    return sorted(
+        (n for n in os.listdir(d) if _GEN_RE.fullmatch(n)), key=_gen_num
+    )
 
 
 def _new_gen_dir(root: str) -> tuple[str, str]:
@@ -103,9 +126,7 @@ def _new_gen_dir(root: str) -> tuple[str, str]:
     never reused (a probe must never see a half-written tree under a
     name it already resolved)."""
     gens = list_generations(root)
-    nxt = 1 + max(
-        (int(_GEN_RE.fullmatch(n).group(1)) for n in gens), default=0
-    )
+    nxt = 1 + max((_gen_num(n) for n in gens), default=0)
     name = f"gen-{nxt:06d}"
     path = os.path.join(_gens_dir(root), name)
     os.makedirs(path)
@@ -175,8 +196,8 @@ def prune_generations(root: str, keep: int = 2) -> list[str]:
     gens = list_generations(root)
     if cur is None or cur not in gens:
         return []
-    keep_set = set(gens[gens.index(cur):][:1])  # always the current
-    older = [n for n in gens if n < cur]
+    keep_set = {cur}  # always the current
+    older = [n for n in gens if _gen_num(n) < _gen_num(cur)]
     keep_set.update(older[-max(keep - 1, 0):] if keep > 1 else [])
     removed = []
     for n in gens:
@@ -292,27 +313,28 @@ def gen_compact(
         raise ValueError(
             f"gen_compact: no published generation at {root}"
         )
-    done: list = []
-
-    def _mutate(p: str) -> None:
-        done.extend(compact_partitioned(spark, p, partition_col, max_files))
-        if not done:
-            raise _NothingToCompact()
-
-    try:
-        generation_mutate(root, _mutate)
-    except _NothingToCompact:
-        # Remove the unpublished no-op clone: nothing was fragmented.
-        gens = list_generations(root)
-        cur_name = current_generation_name(root)
-        for n in gens:
-            if n > (cur_name or ""):
-                shutil.rmtree(
-                    os.path.join(_gens_dir(root), n), ignore_errors=True
-                )
+    # Cheap no-op pre-check on the CURRENT generation (same file count
+    # compact_partitioned itself does): an unfragmented index must not
+    # pay an O(#files) clone per tick just to discover there is nothing
+    # to do (review find).
+    prefix = f"{partition_col}="
+    fragmented = any(
+        sum(
+            1
+            for f in os.listdir(os.path.join(cur, nm))
+            if f.endswith(".parquet")
+        )
+        > max_files
+        for nm in os.listdir(cur)
+        if nm.startswith(prefix)
+    )
+    if not fragmented:
         return []
+    done: list = []
+    generation_mutate(
+        root,
+        lambda p: done.extend(
+            compact_partitioned(spark, p, partition_col, max_files)
+        ),
+    )
     return done
-
-
-class _NothingToCompact(Exception):
-    """Internal: unwinds gen_compact's clone when no dir was fragmented."""

@@ -264,7 +264,10 @@ def compact_partitioned(
     import shutil
     from urllib.parse import unquote
 
-    check_compaction_residue(path)
+    # Refuse crashed-compaction residue AND in-flight deletes: compacting
+    # a half-filtered layout would launder the mixed state into clean-
+    # looking single files.
+    check_serving_safe(path)
     prefix = f"{partition_col}="
     raw_frag: list[str] = []  # directory-name form (Spark-escaped)
     for nm in sorted(os.listdir(path)):

@@ -1537,8 +1537,13 @@ def ivfpq_append(
     broadcast-join map-only pipeline the builder uses, over the DELTA
     only; the guard scans |assigned lists| partitions; the write
     touches the same.  Cost is |delta|, never the index."""
+    from mbai_gdb_spark.io import check_serving_safe
     from mbai_gdb_spark.ops.lineage import truncate
 
+    # Same gate as the probes: never insert into a layout holding
+    # crashed-maintenance evidence (the guard would read a missing or
+    # half-filtered list and the merge would compound the damage).
+    check_serving_safe(path)
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(path + "/_centroids").select(
         F.col("centroid_id").alias(id_col), F.col(vec_col)

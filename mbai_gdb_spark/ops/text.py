@@ -803,6 +803,14 @@ def bm25_index_append(
     import os
     import shutil
 
+    from mbai_gdb_spark.io import check_serving_safe
+
+    # Appends must not merge into a layout holding crashed-maintenance
+    # evidence (compaction residue / in-flight delete): the dup guard
+    # would read a layout with a partition dir missing or half-filtered,
+    # and the merge would compound damage the probes correctly refuse.
+    # A full rebuild (mode overwrite) is the documented recovery.
+    check_serving_safe(path)
     spark = docs.sparkSession
     meta = spark.read.parquet(path + "/_meta").first()
     # Replay idempotence: a caller-supplied tag rides INSIDE _meta, so

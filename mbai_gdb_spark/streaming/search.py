@@ -235,7 +235,9 @@ def _read_gen_tag(gen_path: str) -> str | None:
         return f.read().strip() or None
 
 
-def generation_index_batch_applier(root: str, build_fn, append_fn):
+def generation_index_batch_applier(
+    root: str, build_fn, append_fn, keep_generations: int | None = 3
+):
     """The generation-managed foreachBatch shape — the SELF-HEALING
     upgrade of :func:`_ledgered_applier`: every micro-batch merge runs
     inside an unpublished hardlink clone (mbai_gdb_spark.indexgen) and
@@ -253,7 +255,13 @@ def generation_index_batch_applier(root: str, build_fn, append_fn):
 
     ``build_fn(df, path)`` / ``append_fn(df, path)`` write/merge a bare
     layout at ``path``; probes go through the pointer
-    (indexgen.bm25_gen_probe / ivfpq_gen_probe)."""
+    (indexgen.bm25_gen_probe / ivfpq_gen_probe).
+
+    ``keep_generations`` bounds history: after each recorded batch,
+    generations older than the newest N (and crashed partials) are
+    pruned — without it a long drain leaks one full index tree per
+    micro-batch.  Keep it ≥ 2 so an in-flight probe's generation
+    outlives the batch that superseded it; None disables pruning."""
     from mbai_gdb_spark import indexgen as G
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -283,6 +291,8 @@ def generation_index_batch_applier(root: str, build_fn, append_fn):
         os.makedirs(root, exist_ok=True)
         with open(marker, "w") as f:  # LAST: fast-path dedup only
             f.write(str(batch_id))
+        if keep_generations and G.current_generation_name(root):
+            G.prune_generations(root, keep=keep_generations)
 
     return apply_batch
 
@@ -297,6 +307,7 @@ def run_streaming_bm25_generations_available_now(
     max_files_per_trigger: int = 1,
     checkpoint: str | None = None,
     compact_every: int | None = None,
+    keep_generations: int | None = 3,
 ) -> None:
     """The generation-managed twin of
     :func:`run_streaming_bm25_index_available_now`: each micro-batch
@@ -305,7 +316,8 @@ def run_streaming_bm25_generations_available_now(
     complete index, and a mid-merge crash costs NOTHING but the batch's
     retry — restart the drain and it heals from the last published
     generation.  ``compact_every=N`` runs gen_compact (windowless
-    compaction) after every Nth recorded batch."""
+    compaction) after every Nth recorded batch; ``keep_generations``
+    prunes history so a long drain doesn't leak one tree per batch."""
     from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
 
     applier = generation_index_batch_applier(
@@ -315,6 +327,7 @@ def run_streaming_bm25_generations_available_now(
         ),
         # No layout-level tag: _gen_tag is the one replay mechanism.
         append_fn=lambda df, p: bm25_index_append(df, p),
+        keep_generations=keep_generations,
     )
     if compact_every:
         applier = _with_gen_compaction_tick(applier, root, "bucket", compact_every)
@@ -334,13 +347,15 @@ def run_streaming_ivfpq_generations_available_now(
     max_files_per_trigger: int = 1,
     checkpoint: str | None = None,
     compact_every: int | None = None,
+    keep_generations: int | None = 3,
 ) -> None:
     """Generation-managed IVF-PQ streaming ingest: the first non-empty
     batch bootstraps the frozen quantizers as generation 1; every later
     batch publishes a pure-insert generation.  Crash anywhere = serve
     the previous generation, retry heals — including the
     publish-before-marker window the bare runner can only surface as a
-    duplicate-vec_id refusal (the ``_gen_tag`` skip covers it here)."""
+    duplicate-vec_id refusal (the ``_gen_tag`` skip covers it here).
+    ``keep_generations`` bounds history exactly as in the BM25 twin."""
     from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
 
     applier = generation_index_batch_applier(
@@ -353,6 +368,7 @@ def run_streaming_ivfpq_generations_available_now(
             vectorized=vectorized,
         ),
         append_fn=lambda df, p: ivfpq_append(df, p, vectorized=vectorized),
+        keep_generations=keep_generations,
     )
     if compact_every:
         applier = _with_gen_compaction_tick(

@@ -127,3 +127,103 @@ def test_gen_append_tag_replay_publishes_identical_generation(spark, tmp_path):
         meta_after["n_docs"],
         meta_after["total_toks"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Adversarial review findings (round-10 second pass)
+# ---------------------------------------------------------------------------
+
+
+def test_appends_refuse_crashed_maintenance_residue(spark, tmp_path):
+    """Appends must not merge into a layout holding crashed-compaction
+    residue or an in-flight delete — the dup guard would read a missing
+    or half-filtered partition dir and the merge would compound damage
+    every probe correctly refuses."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
+    from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
+
+    docs = _docs(spark)
+    path = str(tmp_path / "idx")
+    bm25_index_persist(docs.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8)
+    os.makedirs(os.path.join(path, "_compact_old_bucket=3"))
+    with pytest.raises(RuntimeError, match="crashed-compaction residue"):
+        bm25_index_append(docs.filter(F.col("doc_id") % 2 == 1), path)
+    os.rmdir(os.path.join(path, "_compact_old_bucket=3"))
+    with open(os.path.join(path, "_delete_inflight"), "w"):
+        pass
+    with pytest.raises(RuntimeError, match="IN-FLIGHT physical delete"):
+        bm25_index_append(docs.filter(F.col("doc_id") % 2 == 1), path)
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    vidx = str(tmp_path / "vidx")
+    ivfpq_persist(emb.filter(F.col("vec_id") % 2 == 0), vidx, vectorized=False)
+    with open(os.path.join(vidx, "_delete_inflight"), "w"):
+        pass
+    with pytest.raises(RuntimeError, match="IN-FLIGHT physical delete"):
+        ivfpq_append(emb.filter(F.col("vec_id") % 2 == 1), vidx, vectorized=False)
+
+
+def test_compaction_refuses_inflight_delete(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.io import compact_partitioned
+
+    path = str(tmp_path / "data")
+    df = spark.range(20).withColumn("bucket", (F.col("id") % 2).cast("int"))
+    df.repartition(2).write.partitionBy("bucket").parquet(path)
+    df.repartition(2).write.mode("append").partitionBy("bucket").parquet(path)
+    with open(os.path.join(path, "_delete_inflight"), "w"):
+        pass
+    with pytest.raises(RuntimeError, match="IN-FLIGHT physical delete"):
+        compact_partitioned(spark, path, "bucket")
+
+
+def test_generation_numbering_survives_the_seventh_digit(spark, tmp_path):
+    """gen-999999 → gen-1000000 must list, order, mutate, and prune
+    numerically (a 6-digit-exact pattern made the 7-digit dir invisible
+    and wedged every later mutation on FileExistsError)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    root = str(tmp_path / "root")
+    G.bm25_gen_build(docs.filter(F.col("doc_id") % 2 == 0), root, n_buckets=8)
+    gens_dir = os.path.join(root, "_generations")
+    os.rename(
+        os.path.join(gens_dir, "gen-000001"), os.path.join(gens_dir, "gen-999999")
+    )
+    with open(os.path.join(root, "_current"), "w") as f:
+        f.write("gen-999999")
+
+    g = G.bm25_gen_append(docs.filter(F.col("doc_id") % 2 == 1), root)
+    assert os.path.basename(g) == "gen-1000000"
+    assert G.list_generations(root) == ["gen-999999", "gen-1000000"]
+    assert G.current_generation_name(root) == "gen-1000000"
+    # One more mutation on top of the 7-digit current, then prune.
+    G.bm25_gen_delete(docs.filter(F.col("doc_id") % 10 == 3), root)
+    assert G.current_generation_name(root) == "gen-1000001"
+    assert G.prune_generations(root, keep=1) == ["gen-999999", "gen-1000000"]
+    qs = spark.createDataFrame([("q", "the")], "query_id string, qtext string")
+    assert G.bm25_gen_probe(spark, root, qs, k=3).count() > 0
+
+
+def test_gen_stream_prunes_history(spark, tmp_path):
+    """A long drain must not leak one generation tree per micro-batch:
+    the runners prune to keep_generations as they go."""
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_bm25_generations_available_now,
+    )
+
+    docs = _docs(spark)
+    src = str(tmp_path / "feed")
+    docs.repartition(6).write.parquet(src)
+    root = str(tmp_path / "root")
+    run_streaming_bm25_generations_available_now(
+        spark, src, docs.schema, root, n_buckets=8, keep_generations=2
+    )
+    assert len(G.list_generations(root)) <= 2
+    qs = spark.createDataFrame([("q", "the")], "query_id string, qtext string")
+    assert G.bm25_gen_probe(spark, root, qs, k=3).count() > 0
