@@ -262,7 +262,15 @@ def _merge_into_full_battery(extra: dict) -> None:
                 loaded = json.load(f)
             if isinstance(loaded, dict):
                 prev = loaded
-        prev.update(extra)
+        for k, v in extra.items():
+            # Accumulate the round's isolated records per query name —
+            # a later --isolate-only of OTHER queries must not erase an
+            # earlier one's evidence (re-measuring the same name still
+            # replaces that name's entry).
+            if k == "isolated" and isinstance(prev.get(k), dict):
+                prev[k] = {**prev[k], **v}
+            else:
+                prev[k] = v
         with open(path, "w") as f:
             json.dump(prev, f, indent=1)
             f.write("\n")
@@ -502,8 +510,12 @@ def main() -> None:
         isolated = _run_isolated(isolate_names, isolate_runs, sf_dir)
         # Persist like the with-battery --isolate path does: merge into
         # the round's BENCH_full so the record survives the driver's
-        # later plain run (the carry logic preserves it).
-        _merge_into_full_battery({"isolated": isolated})
+        # later plain run (the carry logic preserves it).  Only when
+        # something was actually measured — a --isolate-runs 0
+        # validation pass must stay side-effect-free (it used to clobber
+        # the round's genuine record with empty lists).
+        if any(rec["cold"] or rec["warm"] for rec in isolated.values()):
+            _merge_into_full_battery({"isolated": isolated})
         print(
             json.dumps(
                 {

@@ -227,3 +227,65 @@ def test_gen_stream_prunes_history(spark, tmp_path):
     assert len(G.list_generations(root)) <= 2
     qs = spark.createDataFrame([("q", "the")], "query_id string, qtext string")
     assert G.bm25_gen_probe(spark, root, qs, k=3).count() > 0
+
+
+def test_isolate_only_zero_runs_is_side_effect_free(tmp_path, monkeypatch):
+    """--isolate-runs 0 is the validation-only pass (test_advice_r9
+    drives it against the repo): it must never touch the round's
+    BENCH_full record (a persist added this round briefly made it
+    clobber the genuine isolated evidence with empty lists)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = str(tmp_path / "full.json")
+    seeded = {"queries": {"a": 1.0}, "isolated": {"a": {"cold": [1.0], "warm": [0.5]}}}
+    with open(p, "w") as f:
+        json.dump(seeded, f)
+    proc = subprocess.run(
+        [
+            _sys.executable,
+            os.path.join(repo, "bench.py"),
+            "--isolate-only",
+            "a1_pricing_summary",
+            "--isolate-runs",
+            "0",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "SPARK_GRAFT_BENCH_FULL": p},
+    )
+    assert proc.returncode == 0, proc.stderr[-500:]
+    with open(p) as f:
+        assert json.load(f) == seeded
+
+
+def test_merge_into_full_battery_accumulates_isolated_per_name(
+    tmp_path, monkeypatch
+):
+    """Two --isolate-only runs of DIFFERENT queries must both survive in
+    the round's record (per-name merge), while re-measuring a name
+    replaces that name's entry."""
+    import importlib.util
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_merge_ut", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    p = str(tmp_path / "full.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", p)
+
+    bench._merge_into_full_battery({"isolated": {"a": {"cold": [1], "warm": [2]}}})
+    bench._merge_into_full_battery({"isolated": {"b": {"cold": [3], "warm": [4]}}})
+    bench._merge_into_full_battery({"isolated": {"a": {"cold": [9], "warm": [8]}}})
+    with open(p) as f:
+        out = json.load(f)
+    assert out["isolated"] == {
+        "a": {"cold": [9], "warm": [8]},
+        "b": {"cold": [3], "warm": [4]},
+    }
