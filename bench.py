@@ -183,31 +183,58 @@ def _bench_nba_pipeline(spark, n_games: int) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _full_battery_path(repo: str, for_merge: bool = False) -> str:
+    """Resolve the round's BENCH_full_r{N}.json target ONCE, shared by
+    the plain-battery persist and the --isolate/--compaction-probe
+    merges so the two can never disagree (advice-r10: deriving the
+    round as max(BENCH_r*)+1 in both places let a merge that ran AFTER
+    the driver wrote the current round's BENCH_rN.json skip ahead to
+    BENCH_full_r{N+1}.json, detaching the evidence from its battery).
+
+    Plain runs target max(BENCH_r*) + 1 — a full battery always runs
+    before the driver records that round's BENCH_r file, so the
+    derivation is stable for them.  MERGES instead prefer the newest
+    EXISTING full battery whenever its round is >= max(BENCH_r*):
+    isolate/compaction evidence always belongs with the battery that
+    measured the same HEAD, even if the driver's BENCH_r record (or
+    the next round's start) has already moved the max forward.
+    $SPARK_GRAFT_BENCH_FULL overrides everything."""
+    import glob
+
+    env = os.environ.get("SPARK_GRAFT_BENCH_FULL")
+    if env:
+        return env
+    bench_rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    nxt = max(bench_rounds, default=0) + 1
+    if for_merge:
+        fulls = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo, "BENCH_full_r*.json"))
+            if (m := re.search(r"BENCH_full_r(\d+)\.json$", p))
+        ]
+        newest = max(fulls, default=0)
+        if newest >= max(bench_rounds, default=0):
+            return os.path.join(repo, f"BENCH_full_r{newest:02d}.json")
+    return os.path.join(repo, f"BENCH_full_r{nxt:02d}.json")
+
+
 def _persist_full_battery(out: dict) -> None:
     """Write the COMPLETE battery JSON to BENCH_full_r{N}.json in the
     repo.  The driver's BENCH_r{N}.json artifact preserves only a 2 KB
     tail of stdout, which loses the battery head and makes
     round-over-round comparison impossible past ~18 entries (a round-6
     verdict finding) — this file is the machine-readable record
-    ``tools/bench_compare.py`` diffs instead.  The round number is
-    inferred as max(existing BENCH_r{N}) + 1: at the time either the
-    driver or the builder runs the round-N battery, the driver has
-    written artifacts only up to round N-1.  Override the destination
-    with $SPARK_GRAFT_BENCH_FULL; failures to write never fail the
-    bench (the stdout line is the contract)."""
-    import glob
-
+    ``tools/bench_compare.py`` diffs instead.  Target resolution is
+    shared with the merge path (:func:`_full_battery_path`).  Override
+    the destination with $SPARK_GRAFT_BENCH_FULL; failures to write
+    never fail the bench (the stdout line is the contract)."""
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        rnd = max(rounds, default=0) + 1
-        path = os.environ.get("SPARK_GRAFT_BENCH_FULL") or os.path.join(
-            repo, f"BENCH_full_r{rnd:02d}.json"
-        )
+        path = _full_battery_path(repo)
         # Preserve the round's isolated record across overwrites: the
         # builder runs `--isolate` mid-round, the driver's own plain
         # run then rewrites this file — without the carry the isolated
@@ -243,19 +270,9 @@ def _merge_into_full_battery(extra: dict) -> None:
     (e.g. the --compaction-probe record) without disturbing an existing
     battery; creates a keys-only stub if no battery ran yet (the
     driver's plain run later merges over it via the carry logic)."""
-    import glob
-
     repo = os.path.dirname(os.path.abspath(__file__))
     try:
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
-            if (m := re.search(r"BENCH_r(\d+)\.json$", p))
-        ]
-        rnd = max(rounds, default=0) + 1
-        path = os.environ.get("SPARK_GRAFT_BENCH_FULL") or os.path.join(
-            repo, f"BENCH_full_r{rnd:02d}.json"
-        )
+        path = _full_battery_path(repo, for_merge=True)
         prev: dict = {}
         if os.path.exists(path):
             with open(path) as f:

@@ -94,10 +94,15 @@ def _publish(root: str, name: str) -> None:
     durable pointer naming a generation with unflushed files.  Set
     ``SPARK_GRAFT_DURABLE_PUBLISH=1`` to pay an ``os.sync()`` before
     every swap (flushes all dirty pages — the local-filesystem price of
-    power-loss safety).  On an object store the issue vanishes: a PUT
-    is durable before it returns, which is one more reason the manifest
-    variant of this design needs no sync step."""
-    if os.environ.get("SPARK_GRAFT_DURABLE_PUBLISH") == "1":
+    power-loss safety) PLUS an fsync of the root directory after the
+    rename: the rename itself lives in the directory's metadata, so
+    without the directory fsync a power loss could lose the swap while
+    a subsequent prune's unlinks persist — a durable ``_current``
+    naming a deleted generation.  On an object store the issue
+    vanishes: a PUT is durable before it returns, which is one more
+    reason the manifest variant of this design needs no sync step."""
+    durable = os.environ.get("SPARK_GRAFT_DURABLE_PUBLISH") == "1"
+    if durable:
         os.sync()
     ptr = os.path.join(root, _CURRENT)
     tmp = ptr + ".tmp"
@@ -106,6 +111,14 @@ def _publish(root: str, name: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, ptr)
+    if durable:
+        # Make the rename itself durable BEFORE any caller prunes old
+        # generations: fsync the directory holding the pointer entry.
+        dfd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
 
 def list_generations(root: str) -> list[str]:
@@ -303,9 +316,10 @@ def gen_compact(
     the bare ``io.compact_partitioned`` swap window: the rewrite happens
     inside an unpublished clone, so there is NO instant at which a probe
     can observe a missing or partial partition directory.  Publishes
-    only when at least one directory was compacted (a no-op tick leaves
-    the pointer alone and removes the empty clone).  Returns the
-    compacted partition values."""
+    only when at least one directory needs compacting — a no-op tick
+    returns before any clone is created, leaving the pointer and the
+    generation tree untouched.  Returns the compacted partition
+    values."""
     from mbai_gdb_spark.io import compact_partitioned
 
     cur = current_generation(root)
@@ -326,7 +340,9 @@ def gen_compact(
         )
         > max_files
         for nm in os.listdir(cur)
-        if nm.startswith(prefix)
+        # isdir guard: a stray FILE with the partition prefix (e.g. a
+        # crashed writer's temp artifact) must not crash the tick.
+        if nm.startswith(prefix) and os.path.isdir(os.path.join(cur, nm))
     )
     if not fragmented:
         return []

@@ -1743,10 +1743,21 @@ def ivfpq_probe_persisted(
 
     check_serving_safe(path)
     if not any(n.startswith("centroid_id=") for n in os.listdir(path)):
+        # Typed empty result: the QUERY id type comes from the queries
+        # frame, but the CORPUS id type comes from the persisted layout
+        # itself — the `_centroids` side-car's centroid_id column was
+        # aliased from the corpus id at build time, so the empty and
+        # non-empty schemas agree even when query and corpus id types
+        # differ (the same drift the BM25 path fixed via _meta.id_type).
         qid_ddl = queries.schema[id_col].dataType.simpleString()
+        cid_ddl = (
+            spark.read.parquet(path + "/_centroids")
+            .schema["centroid_id"]
+            .dataType.simpleString()
+        )
         return spark.createDataFrame(
             [],
-            f"`{query_id_col}` {qid_ddl}, `{id_col}` {qid_ddl},"
+            f"`{query_id_col}` {qid_ddl}, `{id_col}` {cid_ddl},"
             " adc_dist double, rank int",
         )
     centroids = spark.read.parquet(path + "/_centroids").select(
