@@ -169,11 +169,19 @@ def generation_build(root: str, build_fn: Callable[[str], None]) -> str:
     writes a complete index tree into a fresh generation directory, and
     the pointer swaps only after it returns.  A crashed build leaves an
     unpublished partial and — if a previous generation existed — the
-    pointer still serving it.  Returns the new generation's path."""
+    pointer still serving it.  Returns the new generation's path.
+
+    The single-writer contract is ENFORCED, not just documented: an
+    intent lock on the root (``io._writer_lock``) makes a second
+    concurrent writer fail loudly with :class:`io.ConcurrentWriteError`
+    instead of interleaving generation numbering with the first."""
+    from mbai_gdb_spark.io import _writer_lock
+
     os.makedirs(_gens_dir(root), exist_ok=True)
-    name, path = _new_gen_dir(root)
-    build_fn(path)
-    _publish(root, name)
+    with _writer_lock(root):
+        name, path = _new_gen_dir(root)
+        build_fn(path)
+        _publish(root, name)
     return path
 
 
@@ -185,17 +193,21 @@ def generation_mutate(root: str, mutate_fn: Callable[[str], None]) -> str:
     ``_compact_old_*``) can only ever exist inside an UNPUBLISHED
     generation, so probes through the pointer never see it — they keep
     serving the previous generation's exact results.  Returns the new
-    generation's path."""
-    cur = current_generation(root)
-    if cur is None:
-        raise ValueError(
-            f"generation_mutate: no published generation at {root} — "
-            "build one first (generation_build)"
-        )
-    name, path = _new_gen_dir(root)
-    _clone_tree_hardlinks(cur, path)
-    mutate_fn(path)
-    _publish(root, name)
+    generation's path.  Single-writer enforced via the root intent lock
+    (see :func:`generation_build`); probes stay lock-free."""
+    from mbai_gdb_spark.io import _writer_lock
+
+    with _writer_lock(root):
+        cur = current_generation(root)
+        if cur is None:
+            raise ValueError(
+                f"generation_mutate: no published generation at {root} — "
+                "build one first (generation_build)"
+            )
+        name, path = _new_gen_dir(root)
+        _clone_tree_hardlinks(cur, path)
+        mutate_fn(path)
+        _publish(root, name)
     return path
 
 
@@ -307,6 +319,36 @@ def ivfpq_gen_probe(spark, root: str, queries: DataFrame, **kw) -> DataFrame:
     from mbai_gdb_spark.ops.similarity import ivfpq_probe_persisted
 
     return ivfpq_probe_persisted(spark, _require_current(root), queries, **kw)
+
+
+def ivf_gen_build(corpus: DataFrame, root: str, **kw) -> str:
+    """Publish generation 1 of a plain (raw-vector) IVF index
+    (ops.similarity.ivf_persist kwargs pass through)."""
+    from mbai_gdb_spark.ops.similarity import ivf_persist
+
+    return generation_build(root, lambda p: ivf_persist(corpus, p, **kw))
+
+
+def ivf_gen_append(vectors: DataFrame, root: str, **kw) -> str:
+    """Frozen-centroid insert published as a new generation."""
+    from mbai_gdb_spark.ops.similarity import ivf_append
+
+    return generation_mutate(root, lambda p: ivf_append(vectors, p, **kw))
+
+
+def ivf_gen_delete(vectors: DataFrame, root: str, **kw) -> str:
+    """Physical delete (by vector, value-verified) published as a new
+    generation."""
+    from mbai_gdb_spark.ops.similarity import ivf_delete
+
+    return generation_mutate(root, lambda p: ivf_delete(vectors, p, **kw))
+
+
+def ivf_gen_probe(spark, root: str, queries: DataFrame, **kw) -> DataFrame:
+    """ivf_probe_persisted through the pointer — the serving path."""
+    from mbai_gdb_spark.ops.similarity import ivf_probe_persisted
+
+    return ivf_probe_persisted(spark, _require_current(root), queries, **kw)
 
 
 def gen_compact(

