@@ -396,3 +396,42 @@ def gen_compact(
         ),
     )
     return done
+
+
+def lsh_gen_build(buckets: DataFrame, root: str, **kw) -> str:
+    """Publish generation 1 of a bucketed LSH near-dup index
+    (ops.dedup.lsh_index_persist_bucketed kwargs pass through)."""
+    from mbai_gdb_spark.ops.dedup import lsh_index_persist_bucketed
+
+    return generation_build(
+        root, lambda p: lsh_index_persist_bucketed(buckets, p, **kw)
+    )
+
+
+def lsh_gen_append(buckets: DataFrame, root: str, **kw) -> str:
+    """O(delta) bucket-row insert published as a new generation: the
+    clone shares every existing file by hardlink; only the batch's new
+    part files and the rewritten ``_meta`` are new bytes."""
+    from mbai_gdb_spark.ops.dedup import lsh_index_append_bucketed
+
+    return generation_mutate(
+        root, lambda p: lsh_index_append_bucketed(buckets, p, **kw)
+    )
+
+
+def lsh_gen_delete(buckets: DataFrame, root: str, **kw) -> str:
+    """Physical delete (by document, banding-verified) published as a
+    new generation: only the touched partition directories are
+    rewritten filtered inside the clone."""
+    from mbai_gdb_spark.ops.dedup import lsh_index_delete_bucketed
+
+    return generation_mutate(
+        root, lambda p: lsh_index_delete_bucketed(buckets, p, **kw)
+    )
+
+
+def lsh_gen_probe(spark, root: str, probe_buckets: DataFrame, **kw) -> DataFrame:
+    """lsh_probe_bucketed through the pointer — the serving path."""
+    from mbai_gdb_spark.ops.dedup import lsh_probe_bucketed
+
+    return lsh_probe_bucketed(spark, probe_buckets, _require_current(root), **kw)

@@ -640,3 +640,442 @@ def lsh_probe_incremental(
         .select("id_a", "id_b")
     )
     return cross.unionAll(within).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Bucketed LSH index lifecycle: build / O(delta) append / physical delete /
+# partition-pruned probe — generation-managed via mbai_gdb_spark.indexgen
+# ---------------------------------------------------------------------------
+
+
+def lsh_partition_bucket(
+    band_col: Column, bucket_col: Column, n_buckets: int
+) -> Column:
+    """Deterministic (band, bucket) → partition-bucket id: pmod of the
+    char-polynomial rolling hash over ``band_bucket`` — the same
+    engine-portable hashing convention the BM25 layout buckets terms
+    with (ops.text._term_bucket).  Partitioning the persisted LSH index
+    by this value (instead of by ``band``, the legacy
+    :func:`lsh_index_persist` layout) is what makes BOTH maintenance
+    and serving sublinear in the index: a document's rows live in at
+    most n_bands partition directories, and a probe batch's candidate
+    buckets name exactly the directories it must read."""
+    key = F.concat_ws("_", band_col.cast("string"), bucket_col)
+    return F.pmod(char_poly_id(key), F.lit(n_buckets)).cast("int")
+
+
+def _write_lsh_meta(spark, path: str, **kw) -> None:
+    """The one writer of the bucketed-LSH ``_meta`` side-car: layout
+    parameters (n_bands pins the banding scheme; n_buckets the
+    partitioning), the replay tag, and the id column's Spark DDL type
+    (so an emptied index still probes to a correctly-typed result).
+    Its presence marks a COMPLETE layout — every mutation removes it
+    first and rewrites it last, the same crash-evidence protocol the
+    BM25 layout uses (ops.text._write_bm25_meta)."""
+    meta = spark.createDataFrame(
+        [
+            (
+                int(kw["n_bands"]),
+                int(kw["n_buckets"]),
+                kw.get("last_tag"),
+                kw.get("id_type"),
+            )
+        ],
+        "n_bands int, n_buckets int, last_tag string, id_type string",
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(path + "/_meta")
+
+
+def _lsh_meta_field(meta, name: str, default=None):
+    return meta[name] if name in meta.__fields__ else default
+
+
+def _lsh_validate_buckets(
+    buckets: DataFrame, id_col: str, expect_bands: int | None
+) -> tuple[int, int]:
+    """Enforce the structural invariant the delete verification's
+    completeness proof rests on: every document carries exactly ONE
+    bucket row per band, and every document carries the SAME number of
+    bands.  Returns (n_docs, n_bands); (0, 0) for an empty frame."""
+    stats = (
+        buckets.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.count_distinct(F.col("band")).alias("cb"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+            F.min((F.col("c") == F.col("cb")).cast("int")).alias("one_per_band"),
+        )
+        .first()
+    )
+    n_docs = int(stats["n_docs"] or 0)
+    if n_docs == 0:
+        return 0, 0
+    if stats["lo"] != stats["hi"] or int(stats["one_per_band"]) != 1:
+        raise ValueError(
+            "bucketed LSH: every document must carry exactly one bucket "
+            "row per band and all documents the same band count — the "
+            "frame is not a complete banding (mixed rows_per_band or "
+            "duplicated ids?)"
+        )
+    n_bands = int(stats["hi"])
+    if expect_bands is not None and n_bands != expect_bands:
+        raise ValueError(
+            f"bucketed LSH: delta carries {n_bands} bands but the index "
+            f"was built with {expect_bands} — banding parameters are "
+            "frozen at build time (rebuild to change them)"
+        )
+    return n_docs, n_bands
+
+
+def lsh_index_persist_bucketed(
+    buckets: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> None:
+    """Write the LSH banded-bucket index as a parquet layout PARTITIONED
+    BY partition-bucket (``pbkt`` = hash(band, bucket) mod n_buckets) —
+    the near-dup counterpart of the persisted BM25 layout
+    (ops.text.bm25_index_persist), upgrading the legacy band-partitioned
+    :func:`lsh_index_persist` to a SERVABLE index with a full lifecycle:
+
+    - a probe batch reads only the partition directories its own
+      candidate buckets hash to (partition pruning; at most
+      |batch buckets| of n_buckets directories — the legacy layout's
+      band partitioning prunes nothing, since every batch touches every
+      band);
+    - :func:`lsh_index_append_bucketed` is a pure O(delta) insert;
+    - :func:`lsh_index_delete_bucketed` rewrites only the ≤ n_bands
+      directories a deleted document's rows live in.
+
+    Input is the (id, band, bucket) frame of
+    :func:`lsh_buckets_from_signature` / :func:`lsh_bucket_table`.  The
+    layout stores NO derived corpus statistics — bucket membership is a
+    per-document fact — so appends never rewrite existing files and
+    probe results after any mutation sequence are exactly those of a
+    rebuild over the surviving corpus (property-tested).  Banding
+    parameters are pinned in a ``_meta`` side-car; an empty corpus is
+    refused (it would pin no banding scheme to validate deltas
+    against)."""
+    from mbai_gdb_spark.io import write_partitioned
+
+    spark = buckets.sparkSession
+    n_docs, n_bands = _lsh_validate_buckets(buckets, id_col, None)
+    if n_docs == 0:
+        raise ValueError(
+            "lsh_index_persist_bucketed: empty corpus — an empty build "
+            "pins no banding scheme; build from at least one document"
+        )
+    rows = buckets.select(F.col(id_col), "band", "bucket").withColumn(
+        "pbkt", lsh_partition_bucket(F.col("band"), F.col("bucket"), n_buckets)
+    )
+    write_partitioned(rows, path, ["pbkt"])
+    _write_lsh_meta(
+        spark,
+        path,
+        n_bands=n_bands,
+        n_buckets=n_buckets,
+        last_tag=None,
+        id_type=buckets.schema[id_col].dataType.simpleString(),
+    )
+
+
+def lsh_index_append_bucketed(
+    new_buckets: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    tag: str | None = None,
+) -> None:
+    """Incrementally merge a NEW batch's bucket rows into a persisted
+    :func:`lsh_index_persist_bucketed` layout — O(delta): the merge is
+    a pure INSERT of new part files into the ≤ |delta buckets|
+    partition directories the batch hashes to; no existing file is
+    rewritten (the layout stores no corpus statistics to refresh).
+    Probes after the append are exactly those of a rebuild over the
+    union corpus (property-tested).
+
+    Appended ids must be NEW (append, not upsert).  The duplicate guard
+    scans only the touched directories — complete for exact re-adds
+    (identical text rebands identically, so all of a re-added doc's
+    rows live in touched directories); a doc re-added with DIFFERENT
+    text is an update: use :func:`lsh_index_delete_bucketed` + append,
+    or the fused update.
+
+    ``tag`` gives replay idempotence for exactly-once pipelines, stored
+    inside ``_meta`` atomically with the completeness marker (same
+    contract as ops.text.bm25_index_append).  Crash evidence: ``_meta``
+    is removed before the insert and rewritten after — a failure
+    anywhere leaves a layout probes loudly refuse; under a
+    generation-managed root (indexgen.lsh_gen_append) a crashed append
+    is simply an unpublished generation."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import check_serving_safe
+
+    check_serving_safe(path)
+    spark = new_buckets.sparkSession
+    meta = spark.read.parquet(path + "/_meta").first()
+    if tag is not None and _lsh_meta_field(meta, "last_tag") == tag:
+        return  # replay: this exact merge is already reflected
+    n_bands = int(meta["n_bands"])
+    n_buckets = int(meta["n_buckets"])
+    d_docs, _ = _lsh_validate_buckets(new_buckets, id_col, n_bands)
+    if d_docs == 0:
+        return  # empty delta: nothing to merge
+    delta_rows = _ckpt(
+        new_buckets.select(F.col(id_col), "band", "bucket").withColumn(
+            "pbkt",
+            lsh_partition_bucket(F.col("band"), F.col("bucket"), n_buckets),
+        )
+    )
+    touched = sorted(
+        {r["pbkt"] for r in delta_rows.select("pbkt").distinct().collect()}
+    )
+    existing_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("pbkt").isin(touched))
+        .select(id_col)
+    )
+    dup = existing_ids.join(
+        delta_rows.select(id_col).distinct(), id_col, "leftsemi"
+    ).limit(1)
+    if dup.count() > 0:
+        raise ValueError(
+            "lsh_index_append_bucketed: delta contains ids already in "
+            "the index — append is insert-only; delete + append (or the "
+            "fused update) for changed documents"
+        )
+    shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
+    delta_rows.write.mode("append").partitionBy("pbkt").parquet(path)
+    _write_lsh_meta(
+        spark,
+        path,
+        n_bands=n_bands,
+        n_buckets=n_buckets,
+        last_tag=tag,
+        id_type=_lsh_meta_field(meta, "id_type"),
+    )
+
+
+def lsh_index_delete_bucketed(
+    del_buckets: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    tag: str | None = None,
+) -> None:
+    """Physically DELETE documents from a persisted
+    :func:`lsh_index_persist_bucketed` layout — the takedown/dedup-
+    verdict path, O(touched directories) instead of a rebuild.
+
+    Delete-by-DOCUMENT: the caller passes the documents' recomputed
+    bucket rows (same banding as indexed).  Those rows name exactly the
+    ≤ |delta| × n_bands partition directories the documents live in, so
+    identification needs no index scan — and the delete is VERIFIED
+    before any mutation: within the touched directories, the stored
+    rows of the deleted ids must equal the recomputed rows exactly
+    (band-for-band, bucket-for-bucket).  Build and append enforce that
+    every indexed document carries exactly ``n_bands`` rows, and the
+    recomputed delta carries exactly ``n_bands`` rows per id, so a full
+    match proves NO row of a deleted document survives outside the
+    touched set — the delete is exact, and a document passed with
+    different text than indexed (different buckets) refuses loudly
+    instead of leaving orphan rows.
+
+    Exactness contract (property-tested): probes after the delete are
+    identical to an index built over the corpus without the deleted
+    documents.  Crash story: same protocol as the BM25 delete —
+    ``_meta`` removed first, a ``_delete_inflight`` sentinel across the
+    directory swaps, ``_meta`` rewritten last; under a
+    generation-managed root a crashed delete is an unpublished
+    generation."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import DELETE_SENTINEL, check_serving_safe
+
+    check_serving_safe(path)
+    spark = del_buckets.sparkSession
+    meta = spark.read.parquet(path + "/_meta").first()
+    if tag is not None and _lsh_meta_field(meta, "last_tag") == tag:
+        return  # replay: this exact delete is already reflected
+    n_bands = int(meta["n_bands"])
+    n_buckets = int(meta["n_buckets"])
+    d_docs, _ = _lsh_validate_buckets(del_buckets, id_col, n_bands)
+    if d_docs == 0:
+        return  # empty delta: nothing to delete
+    delta_rows = _ckpt(
+        del_buckets.select(F.col(id_col), "band", "bucket").withColumn(
+            "pbkt",
+            lsh_partition_bucket(F.col("band"), F.col("bucket"), n_buckets),
+        )
+    )
+    touched = sorted(
+        {r["pbkt"] for r in delta_rows.select("pbkt").distinct().collect()}
+    )
+    has_data = any(n.startswith("pbkt=") for n in os.listdir(path))
+    if not has_data:
+        raise ValueError(
+            "lsh_index_delete_bucketed: index holds no rows — the "
+            "delta's documents are not in it"
+        )
+    stored = (
+        spark.read.parquet(path)
+        .filter(F.col("pbkt").isin(touched))
+        .join(
+            F.broadcast(delta_rows.select(id_col).distinct()),
+            id_col,
+            "leftsemi",
+        )
+        .select(id_col, "band", F.col("bucket").alias("__sb__"))
+    )
+    mismatch = (
+        stored.join(
+            delta_rows.select(id_col, "band", F.col("bucket").alias("__db__")),
+            [id_col, "band"],
+            "full_outer",
+        )
+        .filter(
+            F.col("__sb__").isNull()
+            | F.col("__db__").isNull()
+            | (F.col("__sb__") != F.col("__db__"))
+        )
+        .limit(1)
+    )
+    if mismatch.count() > 0:
+        raise ValueError(
+            "lsh_index_delete_bucketed: delta does not match the indexed "
+            "documents exactly (band/bucket mismatch) — delete-by-"
+            "document requires the documents' EXACT indexed banding; a "
+            "doc absent from the index, or passed with different text, "
+            "refuses loudly instead of leaving orphan rows"
+        )
+    # Materialize the filtered survivors BEFORE mutating anything.
+    staging = os.path.join(path, "_delete_staging")
+    keep = (
+        spark.read.parquet(path)
+        .filter(F.col("pbkt").isin(touched))
+        .join(
+            F.broadcast(delta_rows.select(id_col).distinct()),
+            id_col,
+            "left_anti",
+        )
+    )
+    (
+        keep.repartition(max(len(touched), 1), F.col("pbkt"))
+        .write.mode("overwrite")
+        .partitionBy("pbkt")
+        .parquet(staging)
+    )
+    shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
+    sentinel = os.path.join(path, DELETE_SENTINEL)
+    with open(sentinel, "w"):
+        pass
+    for b in touched:
+        src = os.path.join(staging, f"pbkt={b}")
+        dst = os.path.join(path, f"pbkt={b}")
+        aside = os.path.join(path, f"_compact_old_pbkt={b}")
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, aside)  # atomic: old bytes preserved, hidden
+        if os.path.isdir(src):
+            os.replace(src, dst)  # atomic: filtered replacement in
+        # A directory whose every row belonged to deleted docs has no
+        # staged dir: it simply goes away (probes tolerate missing dirs).
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(sentinel)
+    _write_lsh_meta(
+        spark,
+        path,
+        n_bands=n_bands,
+        n_buckets=n_buckets,
+        last_tag=tag,
+        id_type=_lsh_meta_field(meta, "id_type"),
+    )
+
+
+def lsh_probe_bucketed(
+    spark,
+    probe_buckets: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs of a NEW batch against a persisted
+    :func:`lsh_index_persist_bucketed` layout, plus within the batch
+    itself: (id_a, id_b) distinct, id_a < id_b — the serving-path
+    sibling of :func:`lsh_probe_incremental`, but PARTITION-PRUNED: the
+    batch's own bucket rows name the ≤ |batch buckets| directories that
+    can possibly hold a collision, and only those are read (the pruned
+    directory list is a bounded driver scalar ≤ n_buckets, folded into
+    the scan as a partition filter — unprobed directories are never
+    touched, the same physical standard the BM25 and IVF probes meet).
+
+    ``max_bucket_size`` caps pair generation on the UNION bucket size
+    (index + batch members), mirroring pairs_from_buckets' df-cut on
+    the union corpus — so incrementality loses no precision against a
+    full-corpus LSH run restricted to batch-touching pairs (tested).
+    An index whose every row was deleted probes to the typed empty
+    result (id types from ``_meta``)."""
+    import os
+
+    from mbai_gdb_spark.io import check_serving_safe
+
+    check_serving_safe(path)
+    meta = spark.read.parquet(path + "/_meta").first()
+    n_bands = int(meta["n_bands"])
+    n_buckets = int(meta["n_buckets"])
+    _lsh_validate_buckets(probe_buckets, id_col, n_bands)
+    batch = _ckpt(
+        probe_buckets.select(F.col(id_col), "band", "bucket").withColumn(
+            "pbkt",
+            lsh_partition_bucket(F.col("band"), F.col("bucket"), n_buckets),
+        )
+    )
+    id_ddl = _lsh_meta_field(meta, "id_type") or "bigint"
+    if not any(n.startswith("pbkt=") for n in os.listdir(path)):
+        idx = spark.createDataFrame(
+            [], f"`__old__` {id_ddl}, band int, bucket string"
+        )
+    else:
+        pbkts = sorted(
+            {r["pbkt"] for r in batch.select("pbkt").distinct().collect()}
+        )
+        idx = (
+            spark.read.parquet(path)
+            .filter(F.col("pbkt").isin(pbkts))
+            .select(F.col(id_col).alias("__old__"), "band", "bucket")
+        )
+    new_b = batch.select(id_col, "band", "bucket")
+    if max_bucket_size is not None:
+        sizes = (
+            idx.select("band", "bucket")
+            .unionAll(new_b.select("band", "bucket"))
+            .groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz__"))
+            .filter(F.col("__bsz__") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        idx = idx.join(sizes, ["band", "bucket"], "left_semi")
+        new_b = new_b.join(sizes, ["band", "bucket"], "left_semi")
+    cross = (
+        new_b.join(idx, ["band", "bucket"])
+        .select(
+            F.least(F.col(id_col), F.col("__old__")).alias("id_a"),
+            F.greatest(F.col(id_col), F.col("__old__")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    a = new_b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = new_b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    within = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return cross.unionAll(within).distinct()
