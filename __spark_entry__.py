@@ -31,91 +31,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 158 oracle-bearing queries, so the 50-slot window ROTATES each
+# 162 oracle-bearing queries, so the 50-slot window ROTATES each
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
-# ROTATION COMPLETE since r7; after r9 EVERY registry query held a
-# driver row (distribution post-r9: 50xr09, 49xr08, 49xr07, 7xr06).
-# From here, heads lead with new/changed queries and then refresh the
-# OLDEST certification tier.
+# ROTATION COMPLETE since r7; after r10 every pre-r10 registry query
+# held a driver row no older than r07 (distribution post-r10: 50xr10,
+# 49xr09, 49xr08, 10xr07, plus the late-r10 sim_ivf_deleted_top5 not
+# yet certified). From here, heads lead with new/changed queries and
+# then refresh the OLDEST certification tier.
 #
-# Round-10 head (exactly 50): the flagship anchor; the three new r10
-# queries (`search_bm25_deleted` + `sim_ivfpq_deleted_top5` — the full
-# generation-managed build→append→delete→pointer-probe lifecycle for
-# both index layouts — and `search_phrase_persisted`, phrase retrieval
-# served from the positional index; never driver-certified); the SEVEN
-# queries whose latest driver row is r06, the oldest tier (exactly the
-# candidates tools/rotation_status.py named at round start:
-# `w12_hourly_time_buckets`, `text_dup_spans`, `text_clf_score`,
-# `text_bpe_encode`, `text_chunk_windows`, `w18_ohlc_bars`,
-# `w19_time_weighted_value`); then 39 freshness refreshes drawn
-# alphabetically from the 49 queries at the r07 tier (the 10 left at
-# their green r07 rows for the r11 head: `sketch_kmv_distinct`,
-# `text_bpe_token_count`, `text_fingerprint`, `text_profile`,
-# `text_repetition`, `text_top_ngrams`, `text_unicode_profile`,
-# `tpch_scalar_suite`, `u1_union_trading_nations`,
-# `w10_latest_event_per_user`).
-_HEAD_R10 = [
+# Round-11 head (exactly 50): the flagship anchor; the FOUR
+# never-driver-certified queries — `sim_ivf_deleted_top5` (the plain-IVF
+# generation-managed build→append→delete→pointer-probe lifecycle, added
+# late in r10's window) and the three r11 additions (`dedup_lsh_deleted`,
+# the bucketed-LSH index lifecycle; `search_bm25_updated` and
+# `sim_ivf_updated_top5`, the FUSED update ops — delete+append as one
+# mutation, one published generation); then the complete r07 tier (the
+# 10 queries whose latest driver row is r07, exactly the candidates
+# tools/rotation_status.py named at round start); then 35 freshness
+# refreshes drawn alphabetically from the 49 queries at the r08 tier
+# (the 14 left at their green r08 rows for the r12 head:
+# `sketch_decimal_quantiles`, `sketch_heavy_hitters`, `text_mlm_mask`,
+# `text_quality_tiers`, `u2_set_ops_customers`, `w13_ranking_family`,
+# `w14_cohort_weekly_retention`, `w15_gap_fill`, `w16_rolling_7d`,
+# `w17_scd2_user_value`, `w1_next_event_chain`, `w5_sessionize_events`,
+# `w7_priority_ordered_chain`, `w8_running_total_reset`).
+_HEAD_R11 = [
     # standing anchor
     "flagship_session_attribution",
-    # never driver-checked: the r10 additions
-    "search_bm25_deleted",
-    "sim_ivfpq_deleted_top5",
-    "search_phrase_persisted",
-    # the oldest certification tier (r06) — all seven
-    "text_bpe_encode",
-    "text_chunk_windows",
-    "text_clf_score",
-    "text_dup_spans",
-    "w12_hourly_time_buckets",
-    "w18_ohlc_bars",
-    "w19_time_weighted_value",
-    # freshness refreshes: latest driver row r07 (39 of 49)
-    "a10_rollup_revenue",
-    "a11_quantity_percentiles",
-    "a5_nation_customer_rollup",
-    "a7_distinct_segments",
-    "cdc_apply_changelog",
-    "decontam_eval_overlap",
-    "dedup_embedding_cosine",
-    "dedup_exact_documents",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "export_safetensors_manifest",
-    "f_array_ops",
-    "f_datetime_orders",
-    "f_json_event_props",
-    "f_string_part_features",
-    "graph_bfs_trade_hops",
-    "j10_motif_customer_supplier_nation",
-    "j1_region_revenue",
-    "j3_purchases_in_sessions",
-    "j5_local_supplier_revenue",
-    "j6_customer_order_counts",
-    "j7_asof_click_to_view",
-    "j8_customers_without_orders",
-    "j9_customers_with_urgent_orders",
-    "mm_binary_metadata",
-    "nba_action_next_chain",
-    "nba_export_edge_index",
-    "nba_player_dimension",
-    "nba_possessions",
-    "nba_rebound_attribution",
-    "nba_score_chain",
-    "nba_season_next_game",
-    "nba_team_graph",
-    "o3_top10_customers_by_revenue",
-    "pack_sequences",
-    "q18_large_orders",
-    "sample_stratified_documents",
-    "sim_lsh_neighbors",
+    # never driver-checked: late-r10 + the r11 additions
+    "sim_ivf_deleted_top5",
+    "dedup_lsh_deleted",
+    "search_bm25_updated",
+    "sim_ivf_updated_top5",
+    # the oldest certification tier (r07) — all ten
+    "sketch_kmv_distinct",
+    "text_bpe_token_count",
+    "text_fingerprint",
+    "text_profile",
+    "text_repetition",
+    "text_top_ngrams",
+    "text_unicode_profile",
+    "tpch_scalar_suite",
+    "u1_union_trading_nations",
+    "w10_latest_event_per_user",
+    # freshness refreshes: latest driver row r08 (35 of 49, alphabetical)
+    "a12_cube_revenue",
+    "a13_pivot_order_matrix",
+    "a14_corr_qty_price",
+    "a15_mode_order_priority",
+    "a16_revenue_share",
+    "a1_pricing_summary",
+    "a2_order_span_per_customer",
+    "a4_conditional_event_sums",
+    "curate_corpus",
+    "decontam_bloom",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh",
+    "emb_pq_codes",
+    "emb_random_projection",
+    "funnel_view_click_purchase",
+    "graph_kcore_profile",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "io_merge_idempotent",
+    "j12_concurrent_sessions",
+    "j13_bloom_smj_revenue",
+    "j3_lineitem_ship_window",
+    "mm_decode_audio",
+    "mm_decode_image",
+    "nba_lineup_plus_minus",
+    "nba_player_stints",
+    "search_bm25_persisted",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "search_tfidf_topk",
+    "shuffle_shards",
+    "sim_ivf_top5",
+    "sim_matmul_top5",
+    "sim_pq_adc_top5",
+    "sketch_cms_token_freq",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: QUERIES[k] for k in _HEAD_R10 if k in QUERIES}
+    head = {k: QUERIES[k] for k in _HEAD_R11 if k in QUERIES}
     tail = {k: v for k, v in QUERIES.items() if k not in head}
     return {**head, **tail}
 

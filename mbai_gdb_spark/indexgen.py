@@ -435,3 +435,59 @@ def lsh_gen_probe(spark, root: str, probe_buckets: DataFrame, **kw) -> DataFrame
     from mbai_gdb_spark.ops.dedup import lsh_probe_bucketed
 
     return lsh_probe_bucketed(spark, probe_buckets, _require_current(root), **kw)
+
+
+# ---------------------------------------------------------------------------
+# Fused updates: delete(old) + append(new) as ONE mutation — one bucket
+# rewrite per touched directory, ONE published generation per update
+# ---------------------------------------------------------------------------
+
+
+def bm25_gen_update(
+    old_docs: DataFrame, new_docs: DataFrame, root: str, **kw
+) -> str:
+    """Fused document update published as a single new generation
+    (ops.text.bm25_index_update inside one generation_mutate): each
+    touched bucket is rewritten once, and exactly one generation is
+    published per update — vs two for composed gen_delete + gen_append."""
+    from mbai_gdb_spark.ops.text import bm25_index_update
+
+    return generation_mutate(
+        root, lambda p: bm25_index_update(old_docs, new_docs, p, **kw)
+    )
+
+
+def ivf_gen_update(
+    old_vectors: DataFrame, new_vectors: DataFrame, root: str, **kw
+) -> str:
+    """Fused raw-vector update (value-verified old side) published as a
+    single new generation."""
+    from mbai_gdb_spark.ops.similarity import ivf_update
+
+    return generation_mutate(
+        root, lambda p: ivf_update(old_vectors, new_vectors, p, **kw)
+    )
+
+
+def ivfpq_gen_update(
+    old_vectors: DataFrame, new_vectors: DataFrame, root: str, **kw
+) -> str:
+    """Fused code update under frozen quantizers published as a single
+    new generation."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_update
+
+    return generation_mutate(
+        root, lambda p: ivfpq_update(old_vectors, new_vectors, p, **kw)
+    )
+
+
+def lsh_gen_update(
+    old_buckets: DataFrame, new_buckets: DataFrame, root: str, **kw
+) -> str:
+    """Fused banding update (banding-verified old side) published as a
+    single new generation."""
+    from mbai_gdb_spark.ops.dedup import lsh_index_update_bucketed
+
+    return generation_mutate(
+        root, lambda p: lsh_index_update_bucketed(old_buckets, new_buckets, p, **kw)
+    )

@@ -1079,3 +1079,159 @@ def lsh_probe_bucketed(
         .select("id_a", "id_b")
     )
     return cross.unionAll(within).distinct()
+
+
+def lsh_index_update_bucketed(
+    old_buckets: DataFrame,
+    new_buckets: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    tag: str | None = None,
+) -> None:
+    """FUSED in-place update of documents in a persisted
+    :func:`lsh_index_persist_bucketed` layout: semantically delete(old
+    banding) + append(new banding), executed as ONE mutation — each
+    touched partition directory is rewritten exactly once with
+    (survivors ∪ the new bucket rows), and ``_meta`` commits once.
+    Under a generation-managed root (indexgen.lsh_gen_update) that is
+    ONE published generation per update.
+
+    Contract: ``old_buckets`` is the documents' EXACT indexed banding
+    (verified stored-vs-recomputed before any mutation, the delete's
+    proof), ``new_buckets`` the SAME id set rebanded from the new text
+    (id-set equality enforced; membership changes go through append /
+    delete).  Exactness (property-tested): probes after the update are
+    identical to an index built over the corpus with the new texts, and
+    to delete(old)+append(new)."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import DELETE_SENTINEL, check_serving_safe
+
+    check_serving_safe(path)
+    spark = old_buckets.sparkSession
+    meta = spark.read.parquet(path + "/_meta").first()
+    if tag is not None and _lsh_meta_field(meta, "last_tag") == tag:
+        return  # replay: this exact update is already reflected
+    n_bands = int(meta["n_bands"])
+    n_buckets = int(meta["n_buckets"])
+    u_docs, _ = _lsh_validate_buckets(old_buckets, id_col, n_bands)
+    if u_docs == 0:
+        return  # empty update set: nothing to do
+    _lsh_validate_buckets(new_buckets, id_col, n_bands)
+    id_mismatch = (
+        old_buckets.select(F.col(id_col).alias("__o__"))
+        .distinct()
+        .join(
+            new_buckets.select(F.col(id_col).alias("__n__")).distinct(),
+            F.col("__o__") == F.col("__n__"),
+            "full_outer",
+        )
+        .filter(F.col("__o__").isNull() | F.col("__n__").isNull())
+        .limit(1)
+    )
+    if id_mismatch.count() > 0:
+        raise ValueError(
+            "lsh_index_update_bucketed: old_buckets and new_buckets must "
+            "carry the SAME id set (update, not upsert) — use append / "
+            "delete for membership changes"
+        )
+    old_rows = _ckpt(
+        old_buckets.select(F.col(id_col), "band", "bucket").withColumn(
+            "pbkt",
+            lsh_partition_bucket(F.col("band"), F.col("bucket"), n_buckets),
+        )
+    )
+    new_rows = _ckpt(
+        new_buckets.select(F.col(id_col), "band", "bucket").withColumn(
+            "pbkt",
+            lsh_partition_bucket(F.col("band"), F.col("bucket"), n_buckets),
+        )
+    )
+    touched = sorted(
+        {
+            r["pbkt"]
+            for r in old_rows.select("pbkt")
+            .unionAll(new_rows.select("pbkt"))
+            .distinct()
+            .collect()
+        }
+    )
+    has_data = any(n.startswith("pbkt=") for n in os.listdir(path))
+    if not has_data:
+        raise ValueError(
+            "lsh_index_update_bucketed: index holds no rows — the "
+            "update's documents are not in it"
+        )
+    stored = (
+        spark.read.parquet(path)
+        .filter(F.col("pbkt").isin(touched))
+        .join(
+            F.broadcast(old_rows.select(id_col).distinct()),
+            id_col,
+            "leftsemi",
+        )
+        .select(id_col, "band", F.col("bucket").alias("__sb__"))
+    )
+    mismatch = (
+        stored.join(
+            old_rows.select(id_col, "band", F.col("bucket").alias("__db__")),
+            [id_col, "band"],
+            "full_outer",
+        )
+        .filter(
+            F.col("__sb__").isNull()
+            | F.col("__db__").isNull()
+            | (F.col("__sb__") != F.col("__db__"))
+        )
+        .limit(1)
+    )
+    if mismatch.count() > 0:
+        raise ValueError(
+            "lsh_index_update_bucketed: old_buckets does not match the "
+            "indexed banding exactly — the update requires the EXACT "
+            "indexed banding as its old side; refusing loudly instead "
+            "of leaving orphan rows"
+        )
+    staging = os.path.join(path, "_delete_staging")
+    survivors = (
+        spark.read.parquet(path)
+        .filter(F.col("pbkt").isin(touched))
+        .join(
+            F.broadcast(old_rows.select(id_col).distinct()),
+            id_col,
+            "left_anti",
+        )
+        .select(id_col, "band", "bucket", "pbkt")
+    )
+    (
+        survivors.unionAll(new_rows.select(id_col, "band", "bucket", "pbkt"))
+        .repartition(max(len(touched), 1), F.col("pbkt"))
+        .write.mode("overwrite")
+        .partitionBy("pbkt")
+        .parquet(staging)
+    )
+    shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
+    sentinel = os.path.join(path, DELETE_SENTINEL)
+    with open(sentinel, "w"):
+        pass
+    for b in touched:
+        src = os.path.join(staging, f"pbkt={b}")
+        dst = os.path.join(path, f"pbkt={b}")
+        aside = os.path.join(path, f"_compact_old_pbkt={b}")
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, aside)  # atomic: old bytes preserved, hidden
+        if os.path.isdir(src):
+            os.replace(src, dst)  # atomic: rewritten replacement in
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(sentinel)
+    _write_lsh_meta(
+        spark,
+        path,
+        n_bands=n_bands,
+        n_buckets=n_buckets,
+        last_tag=tag,
+        id_type=_lsh_meta_field(meta, "id_type"),
+    )

