@@ -1,0 +1,319 @@
+"""Object-store MANIFEST backend for generation-managed indexes.
+
+The hardlink backend (:mod:`mbai_gdb_spark.indexgen`) publishes each
+index generation as a directory tree cloned by hardlinks — the right
+local-filesystem design, but object stores (S3/GCS/ABFS) have neither
+hardlinks nor atomic directory renames.  What they DO have is an
+atomic, durable single-object PUT — so the production-portable design
+is Iceberg's: data files are IMMUTABLE objects written once, a
+generation is a small MANIFEST object listing the files that compose
+each partition directory, and publishing is one pointer PUT.  This
+module implements that model, runnable on a local filesystem so the
+whole crash-injection suite can exercise it (tests/test_indexman.py):
+
+- ``<root>/_objects/obj-NNNNNNNN`` — the immutable data-file pool.
+  Objects are never rewritten and names are never reused (max+1
+  numbering over everything present, including orphans from crashed
+  ingests — the same rule generation numbering follows).
+- ``<root>/_manifests/man-NNNNNN.json`` — one JSON manifest per
+  generation: ``{"files": {relative/path: object-name}}``.
+- ``<root>/_current`` — the pointer, swapped by tmp+rename (the local
+  stand-in for the atomic PUT; on a real object store the PUT is
+  durable when it returns, so no sync step exists at all — the
+  durability discussion in :func:`indexgen._publish` vanishes here by
+  construction, which is the reason the verdict's design note calls
+  the manifest variant the 100 TB endgame).
+
+Mutations run the UNCHANGED bare-layout operators
+(``bm25_index_append`` / ``..._delete`` / ``..._update``, the IVF and
+LSH families) against a staging tree materialized from the current
+manifest, then ingest only files whose bytes are NEW: a staged file
+that is still the hardlink of its source object (same inode) keeps its
+object reference without any copy — so an O(delta) append ingests
+O(delta) objects, exactly the property the hardlink backend gets from
+clones.  This works because every bare-layout mutation is add-file or
+replace-directory, never write-into-file (the invariant
+:func:`indexgen._clone_tree_hardlinks` already rests on, pinned by the
+byte-immutability sha1 tests).
+
+Crash story — the pointer swap is the ONLY commit point:
+- crash inside the mutation: a partial staging tree, no new objects,
+  no new manifest — the pointer serves the previous generation;
+- crash during object ingestion or before the manifest/pointer write:
+  orphan objects (or an unreferenced manifest) that
+  :func:`prune_manifests` garbage-collects — the pointer still serves
+  the previous generation;
+- probes resolve the pointer to a manifest and read an immutable VIEW
+  tree materialized once per manifest (hardlinks into the pool,
+  published by atomic directory rename) — a crashed view build leaves
+  a temp directory, never a half-visible view.
+
+Single writer per root, enforced with the same ``io._writer_lock``
+intent lock the hardlink backend uses; probes are lock-free.
+
+Reference parity note: the reference engine (lorenzoliuzzo/MBAI-gdb)
+has no index lifecycle at all — storage is delegated to Neo4j
+(src/manager.py:26-52).  This module exists for the object-store leg
+of the 100 TB serving story.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from collections.abc import Callable
+
+_OBJECTS = "_objects"
+_MANIFESTS = "_manifests"
+_CURRENT = "_current"
+_OBJ_RE = re.compile(r"obj-(\d{8,})")
+_MAN_RE = re.compile(r"man-(\d{6,})\.json")
+
+
+def _objects_dir(root: str) -> str:
+    return os.path.join(root, _OBJECTS)
+
+
+def _manifests_dir(root: str) -> str:
+    return os.path.join(root, _MANIFESTS)
+
+
+def _num(rx: re.Pattern, name: str) -> int:
+    return int(rx.fullmatch(name).group(1))
+
+
+def _next_name(d: str, rx: re.Pattern, fmt: str) -> str:
+    names = [n for n in os.listdir(d)] if os.path.isdir(d) else []
+    nxt = 1 + max((_num(rx, n) for n in names if rx.fullmatch(n)), default=0)
+    return fmt % nxt
+
+
+def current_manifest_name(root: str) -> str | None:
+    """The manifest ``_current`` points at, or None for a never-published
+    root."""
+    ptr = os.path.join(root, _CURRENT)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        name = f.read().strip()
+    return name or None
+
+
+def read_manifest(root: str, name: str) -> dict:
+    with open(os.path.join(_manifests_dir(root), name)) as f:
+        return json.load(f)
+
+
+def list_manifests(root: str) -> list[str]:
+    d = _manifests_dir(root)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        (n for n in os.listdir(d) if _MAN_RE.fullmatch(n)),
+        key=lambda n: _num(_MAN_RE, n),
+    )
+
+
+def _publish(root: str, name: str) -> None:
+    """The atomic-PUT stand-in: tmp+fsync+rename of the pointer file.
+    On a real object store this is a single PUT and the operation is
+    durable when it returns — no directory fsync, no os.sync."""
+    ptr = os.path.join(root, _CURRENT)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(name)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, ptr)
+
+
+def _write_manifest(root: str, files: dict[str, str]) -> str:
+    d = _manifests_dir(root)
+    os.makedirs(d, exist_ok=True)
+    name = _next_name(d, _MAN_RE, "man-%06d.json")
+    path = os.path.join(d, name)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"files": files}, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return name
+
+
+def _ingest_tree(root: str, tree: str, prev_files: dict[str, str]) -> dict[str, str]:
+    """Move each file of ``tree`` into the object pool, REUSING the
+    previous generation's object for any staged file that is still its
+    hardlink (same inode) — unchanged data is never re-ingested, so the
+    object-count growth of a mutation is exactly its delta (tested).
+    New bytes are moved (atomic same-FS rename) under never-reused
+    object names.  Returns the relpath → object-name map."""
+    obj_dir = _objects_dir(root)
+    os.makedirs(obj_dir, exist_ok=True)
+    # inode → existing object name (for unchanged-file reuse)
+    prev_ino: dict[int, str] = {}
+    for rel, obj in prev_files.items():
+        op = os.path.join(obj_dir, obj)
+        try:
+            prev_ino[os.stat(op).st_ino] = obj
+        except OSError:
+            continue
+    # one listdir for the whole ingest, then a local counter — an
+    # O(pool) scan per file would make big ingests quadratic
+    nxt = 1 + max(
+        (_num(_OBJ_RE, n) for n in os.listdir(obj_dir) if _OBJ_RE.fullmatch(n)),
+        default=0,
+    )
+    files: dict[str, str] = {}
+    for cur, _dirs, names in os.walk(tree):
+        for f in names:
+            src = os.path.join(cur, f)
+            rel = os.path.relpath(src, tree)
+            ino = os.stat(src).st_ino
+            reuse = prev_ino.get(ino)
+            if reuse is not None:
+                files[rel] = reuse
+                continue
+            obj = "obj-%08d" % nxt
+            nxt += 1
+            os.replace(src, os.path.join(obj_dir, obj))
+            files[rel] = obj
+    return files
+
+
+def _materialize(root: str, files: dict[str, str], dst: str) -> None:
+    """Hardlink the manifest's objects into ``dst`` under their
+    relative paths — the local-FS stand-in for remote GETs.  Falls back
+    to a copy where the filesystem refuses links."""
+    obj_dir = _objects_dir(root)
+    for rel, obj in files.items():
+        out = os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        src = os.path.join(obj_dir, obj)
+        try:
+            os.link(src, out)
+        except OSError:
+            shutil.copy2(src, out)
+
+
+def manifest_build(root: str, build_fn: Callable[[str], None]) -> str:
+    """Build and publish the first (or a replacement full) generation:
+    ``build_fn`` writes a complete index tree into a staging directory;
+    its files are then ingested as immutable objects, a manifest is
+    written, and the pointer swaps.  A crash anywhere before the swap
+    leaves the pointer untouched (orphans are GC'd by
+    :func:`prune_manifests`).  Returns the manifest name."""
+    from mbai_gdb_spark.io import _writer_lock
+
+    os.makedirs(root, exist_ok=True)
+    with _writer_lock(root):
+        staging = os.path.join(root, f"_staging-{os.getpid()}")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        try:
+            build_fn(staging)
+            files = _ingest_tree(root, staging, {})
+            name = _write_manifest(root, files)
+            _publish(root, name)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    return name
+
+
+def manifest_mutate(root: str, mutate_fn: Callable[[str], None]) -> str:
+    """Run a bare-layout mutation against a staging tree materialized
+    from the current manifest, ingest only the NEW bytes, publish a new
+    manifest.  The pointer swap is the single commit point: a crash
+    anywhere earlier leaves the previous generation serving (crash-
+    injection tested).  Returns the new manifest name."""
+    from mbai_gdb_spark.io import _writer_lock
+
+    with _writer_lock(root):
+        cur = current_manifest_name(root)
+        if cur is None:
+            raise ValueError(
+                f"manifest_mutate: no published manifest at {root} — "
+                "build one first (manifest_build)"
+            )
+        prev_files = read_manifest(root, cur)["files"]
+        staging = os.path.join(root, f"_staging-{os.getpid()}")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        try:
+            _materialize(root, prev_files, staging)
+            mutate_fn(staging)
+            files = _ingest_tree(root, staging, prev_files)
+            name = _write_manifest(root, files)
+            _publish(root, name)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+    return name
+
+
+def manifest_view(root: str) -> str:
+    """Absolute path of an immutable, probe-ready VIEW of the current
+    generation — the tree named by the current manifest, materialized
+    once per manifest under ``<root>/_views/<manifest>/`` and published
+    by atomic directory rename (a crashed view build leaves only a temp
+    directory).  Views hardlink immutable objects, so concurrent probes
+    and later mutations never disturb them; on a real object store this
+    layer is instead a manifest-aware reader (pass the manifest's file
+    list straight to ``spark.read.parquet(*files)``)."""
+    cur = current_manifest_name(root)
+    if cur is None:
+        raise ValueError(f"no published manifest at {root} — nothing to probe")
+    view = os.path.join(root, "_views", cur[: -len(".json")])
+    if os.path.isdir(view):
+        return view
+    files = read_manifest(root, cur)["files"]
+    tmp = view + f".tmp-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    _materialize(root, files, tmp)
+    os.makedirs(os.path.dirname(view), exist_ok=True)
+    try:
+        os.replace(tmp, view)  # atomic: a view is complete or absent
+    except OSError:
+        # lost a race to a concurrent prober that published the same
+        # (identical, immutable) view — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.isdir(view):
+            raise
+    return view
+
+
+def prune_manifests(root: str, keep: int = 2) -> dict:
+    """Retire old generations and garbage-collect the pool: keep the
+    current manifest plus the ``keep - 1`` most recent others, remove
+    the rest (and their views), then delete every object no surviving
+    manifest references — including orphans from crashed ingests.
+    Returns {"manifests": [...removed...], "objects": n_removed}."""
+    cur = current_manifest_name(root)
+    mans = list_manifests(root)
+    if cur is None or cur not in mans:
+        return {"manifests": [], "objects": 0}
+    keep_set = {cur}
+    older = [n for n in mans if _num(_MAN_RE, n) < _num(_MAN_RE, cur)]
+    keep_set.update(older[-max(keep - 1, 0):] if keep > 1 else [])
+    removed = []
+    for n in mans:
+        if n in keep_set:
+            continue
+        os.remove(os.path.join(_manifests_dir(root), n))
+        shutil.rmtree(
+            os.path.join(root, "_views", n[: -len(".json")]),
+            ignore_errors=True,
+        )
+        removed.append(n)
+    referenced = set()
+    for n in keep_set:
+        referenced.update(read_manifest(root, n)["files"].values())
+    obj_dir = _objects_dir(root)
+    n_obj = 0
+    if os.path.isdir(obj_dir):
+        for o in os.listdir(obj_dir):
+            if _OBJ_RE.fullmatch(o) and o not in referenced:
+                os.remove(os.path.join(obj_dir, o))
+                n_obj += 1
+    return {"manifests": removed, "objects": n_obj}

@@ -1,0 +1,238 @@
+"""Object-store manifest backend (round-11 stretch, verdict ask #7):
+the same lifecycle + crash-injection contract the hardlink backend
+passes, over immutable objects + JSON manifests + a single-pointer
+commit — runnable on local FS.
+
+- build → append → delete → update through manifest_mutate produce
+  probes bit-identical to the hardlink backend / a bare rebuild;
+- the pointer swap is the only commit point: a crash inside the
+  mutation, or between ingest and publish, leaves the previous
+  generation serving and a retry converges;
+- unchanged files are NEVER re-ingested (object growth per append is
+  exactly its delta) and published objects are byte-immutable across
+  every later mutation (sha1-pinned);
+- prune_manifests retires history and GCs unreferenced + orphan
+  objects without disturbing the current view.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+import pytest
+
+from mbai_gdb_spark import indexman as M
+from mbai_gdb_spark.ops.text import (
+    bm25_index_append,
+    bm25_index_delete,
+    bm25_index_persist,
+    bm25_index_update,
+    bm25_probe_persisted,
+)
+
+_WORDS = (
+    "zebra cat dog river moon data model stream event quality table scan "
+    "sort merge batch night rain snow graph index"
+).split()
+
+
+def _corpus(seed: int, n: int = 24):
+    rng = random.Random(seed)
+    return [
+        (i, " ".join(rng.choices(_WORDS, k=rng.randint(4, 10))))
+        for i in range(n)
+    ]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_QS = [("q1", "zebra river"), ("q2", "data stream quality"), ("q3", "moon")]
+
+
+def _probe(spark, root):
+    qs = spark.createDataFrame(_QS, "query_id string, qtext string")
+    return sorted(
+        map(
+            tuple,
+            bm25_probe_persisted(spark, M.manifest_view(root), qs, k=10).collect(),
+        )
+    )
+
+
+def _pool_sha1s(root):
+    d = os.path.join(root, "_objects")
+    out = {}
+    for o in os.listdir(d):
+        with open(os.path.join(d, o), "rb") as f:
+            out[o] = hashlib.sha1(f.read()).hexdigest()
+    return out
+
+
+def test_full_lifecycle_matches_bare_rebuild(spark, tmp_path):
+    rows = _corpus(1)
+    adds = _corpus(2, n=8)
+    adds = [(100 + i, t) for i, (_, t) in enumerate(adds)]
+    dels = [rows[3], rows[9]]
+    upd_old = [rows[5]]
+    upd_new = [(rows[5][0], "entirely new words for the updated doc")]
+
+    root = str(tmp_path / "man_root")
+    M.manifest_build(
+        root, lambda p: bm25_index_persist(_docs(spark, rows), p, n_buckets=8)
+    )
+    M.manifest_mutate(root, lambda p: bm25_index_append(_docs(spark, adds), p))
+    M.manifest_mutate(root, lambda p: bm25_index_delete(_docs(spark, dels), p))
+    M.manifest_mutate(
+        root,
+        lambda p: bm25_index_update(
+            _docs(spark, upd_old), _docs(spark, upd_new), p
+        ),
+    )
+    got = _probe(spark, root)
+
+    final = [
+        r
+        for r in rows + adds
+        if r not in dels and r[0] != upd_old[0][0]
+    ] + upd_new
+    bare = str(tmp_path / "bare")
+    bm25_index_persist(_docs(spark, final), bare, n_buckets=8)
+    qs = spark.createDataFrame(_QS, "query_id string, qtext string")
+    want = sorted(map(tuple, bm25_probe_persisted(spark, bare, qs, k=10).collect()))
+    assert got == want
+    assert len(M.list_manifests(root)) == 4
+
+
+def test_crash_inside_mutation_serves_previous_and_retry_converges(
+    spark, tmp_path
+):
+    rows = _corpus(5)
+    root = str(tmp_path / "man_root")
+    M.manifest_build(
+        root, lambda p: bm25_index_persist(_docs(spark, rows), p, n_buckets=8)
+    )
+    before = _probe(spark, root)
+    before_ptr = M.current_manifest_name(root)
+    n_objects = len(os.listdir(os.path.join(root, "_objects")))
+
+    adds = [(200, "fresh zebra river content"), (201, "moon data stream")]
+
+    def crashing(p):
+        bm25_index_append(_docs(spark, adds), p)
+        raise RuntimeError("injected crash after the bare op, before ingest")
+
+    with pytest.raises(RuntimeError, match="injected"):
+        M.manifest_mutate(root, crashing)
+    # commit point never reached: pointer, probe, and POOL all unchanged
+    assert M.current_manifest_name(root) == before_ptr
+    assert _probe(spark, root) == before
+    assert len(os.listdir(os.path.join(root, "_objects"))) == n_objects
+
+    # retry converges to the exact batch result
+    M.manifest_mutate(root, lambda p: bm25_index_append(_docs(spark, adds), p))
+    bare = str(tmp_path / "bare")
+    bm25_index_persist(_docs(spark, rows + adds), bare, n_buckets=8)
+    qs = spark.createDataFrame(_QS, "query_id string, qtext string")
+    assert _probe(spark, root) == sorted(
+        map(tuple, bm25_probe_persisted(spark, bare, qs, k=10).collect())
+    )
+
+
+def test_crash_between_ingest_and_publish_leaves_orphans_gcd(spark, tmp_path):
+    """Simulate a crash AFTER objects were ingested but BEFORE the
+    pointer swap: the previous generation keeps serving, and
+    prune_manifests garbage-collects the orphan objects."""
+    rows = _corpus(7)
+    root = str(tmp_path / "man_root")
+    M.manifest_build(
+        root, lambda p: bm25_index_persist(_docs(spark, rows), p, n_buckets=8)
+    )
+    before = _probe(spark, root)
+    before_ptr = M.current_manifest_name(root)
+
+    # Inject orphans exactly as a crashed ingest leaves them: objects in
+    # the pool that no manifest references.
+    pool = os.path.join(root, "_objects")
+    n_before = len(os.listdir(pool))
+    for i in range(3):
+        with open(os.path.join(pool, "obj-%08d" % (900000 + i)), "wb") as f:
+            f.write(b"orphan bytes from a crashed ingest %d" % i)
+    assert M.current_manifest_name(root) == before_ptr
+    assert _probe(spark, root) == before
+
+    res = M.prune_manifests(root, keep=2)
+    assert res["objects"] == 3  # exactly the orphans
+    assert len(os.listdir(pool)) == n_before
+    assert _probe(spark, root) == before
+
+
+def test_append_ingests_only_the_delta(spark, tmp_path):
+    """Unchanged files keep their object references: an O(delta) append
+    grows the pool by its own new files only, and every previously
+    published object is byte-identical after all mutations."""
+    rows = _corpus(9)
+    root = str(tmp_path / "man_root")
+    M.manifest_build(
+        root, lambda p: bm25_index_persist(_docs(spark, rows), p, n_buckets=8)
+    )
+    man1 = M.read_manifest(root, M.current_manifest_name(root))["files"]
+    sha_before = _pool_sha1s(root)
+
+    adds = [(300, "zebra zebra moon"), (301, "table scan index")]
+    M.manifest_mutate(root, lambda p: bm25_index_append(_docs(spark, adds), p))
+    man2 = M.read_manifest(root, M.current_manifest_name(root))["files"]
+
+    # every gen-1 posting file is REUSED by reference in gen-2 (only
+    # _meta is rewritten by an append, plus the delta's new part files)
+    reused = set(man1.values()) & set(man2.values())
+    posting_objs_1 = {
+        obj for rel, obj in man1.items() if rel.startswith("bucket=")
+    }
+    assert posting_objs_1 <= reused
+    # pool is append-only and previously published bytes never change
+    sha_after = _pool_sha1s(root)
+    for o, h in sha_before.items():
+        assert sha_after[o] == h
+
+
+def test_prune_keeps_current_serving(spark, tmp_path):
+    rows = _corpus(11)
+    root = str(tmp_path / "man_root")
+    M.manifest_build(
+        root, lambda p: bm25_index_persist(_docs(spark, rows), p, n_buckets=8)
+    )
+    for k in range(3):
+        adds = [(400 + k, f"round {k} zebra data")]
+        M.manifest_mutate(
+            root, lambda p, a=adds: bm25_index_append(_docs(spark, a), p)
+        )
+    served = _probe(spark, root)
+    res = M.prune_manifests(root, keep=2)
+    assert len(res["manifests"]) == 2  # 4 manifests → keep current + 1
+    assert res["objects"] > 0  # retired generations' exclusive files
+    assert _probe(spark, root) == served
+    assert len(M.list_manifests(root)) == 2
+
+
+def test_second_writer_refused(spark, tmp_path):
+    """The single-writer intent lock guards manifest mutations exactly
+    as it guards hardlink generations."""
+    from mbai_gdb_spark.io import ConcurrentWriteError, _writer_lock
+
+    rows = _corpus(13, n=8)
+    root = str(tmp_path / "man_root")
+    M.manifest_build(
+        root, lambda p: bm25_index_persist(_docs(spark, rows), p, n_buckets=8)
+    )
+    with _writer_lock(root):
+        with pytest.raises(ConcurrentWriteError):
+            M.manifest_mutate(
+                root,
+                lambda p: bm25_index_append(
+                    _docs(spark, [(500, "x y z")]), p
+                ),
+            )
