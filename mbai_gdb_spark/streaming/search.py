@@ -516,3 +516,53 @@ def run_streaming_ivfpq_index_available_now(
         max_files_per_trigger,
         checkpoint,
     )
+
+
+def run_streaming_lsh_generations_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    root: str,
+    bucketer,
+    n_buckets: int = 32,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+    compact_every: int | None = None,
+    keep_generations: int | None = 3,
+) -> None:
+    """Generation-managed streaming ingest for the bucketed LSH
+    near-dup index (the round-11 layout): the first non-empty batch
+    publishes generation 1 (pinning the banding scheme in ``_meta``);
+    every later batch is a pure O(delta) insert published as a new
+    generation.  Crash anywhere = serve the previous generation, retry
+    heals — the same ``_gen_tag`` exactly-once contract as the BM25 and
+    IVF-PQ twins, including the publish-before-marker window.
+
+    ``bucketer(docs_batch) -> (id, band, bucket)`` maps the streamed
+    document batch to its banding (e.g. the minhash pipeline of
+    queries_north._doc_lsh_buckets) — kept a parameter because banding
+    choices (n_hashes, rows_per_band, tokenization) are corpus policy,
+    while this runner owns only the lifecycle.  A batch whose every
+    document tokenizes to nothing appends as an empty delta (no-op);
+    if the FIRST batch is all-token-less the build refuses loudly
+    (an empty build pins no banding scheme — same guard as the bare
+    layout).  ``compact_every=N`` runs the windowless gen_compact over
+    the ``pbkt`` directories after every Nth recorded batch."""
+    from mbai_gdb_spark.ops.dedup import (
+        lsh_index_append_bucketed,
+        lsh_index_persist_bucketed,
+    )
+
+    applier = generation_index_batch_applier(
+        root,
+        build_fn=lambda df, p: lsh_index_persist_bucketed(
+            bucketer(df), p, n_buckets=n_buckets
+        ),
+        append_fn=lambda df, p: lsh_index_append_bucketed(bucketer(df), p),
+        keep_generations=keep_generations,
+    )
+    if compact_every:
+        applier = _with_gen_compaction_tick(applier, root, "pbkt", compact_every)
+    _run_available_now(
+        spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
+    )

@@ -210,3 +210,141 @@ def test_gen_stream_ivfpq_equals_bootstrap_plus_append(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Bucketed LSH twin (round 11)
+# ---------------------------------------------------------------------------
+
+
+def _bucketer():
+    from mbai_gdb_spark.ops.dedup import (
+        char_poly_id,
+        lsh_buckets_from_signature,
+        minhash_signature_array,
+    )
+    from mbai_gdb_spark.ops.text import tokens
+
+    def to_buckets(docs):
+        with_sig = (
+            docs.select(
+                "doc_id", F.array_distinct(tokens("text")).alias("__toks__")
+            )
+            .filter(F.size("__toks__") > 0)
+            .select(
+                "doc_id",
+                minhash_signature_array(
+                    F.transform(F.col("__toks__"), lambda t: char_poly_id(t)),
+                    n_hashes=16,
+                ).alias("signature"),
+            )
+        )
+        return lsh_buckets_from_signature(with_sig, "doc_id", "signature", 4)
+
+    return to_buckets
+
+
+def _lsh_pairs(spark, root, probe_docs):
+    return sorted(
+        (r.id_a, r.id_b)
+        for r in G.lsh_gen_probe(
+            spark, root, _bucketer()(probe_docs), max_bucket_size=50
+        ).collect()
+    )
+
+
+def test_lsh_gen_stream_equals_batch_build(spark, tmp_path):
+    from mbai_gdb_spark.ops.dedup import (
+        lsh_index_persist_bucketed,
+        lsh_probe_bucketed,
+    )
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_lsh_generations_available_now,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    src = str(tmp_path / "feed")
+    corpus.repartition(4).write.parquet(src)
+    root = str(tmp_path / "root")
+    run_streaming_lsh_generations_available_now(
+        spark, src, corpus.schema, root, _bucketer(), n_buckets=16,
+        compact_every=2,
+    )
+
+    full = str(tmp_path / "full")
+    lsh_index_persist_bucketed(_bucketer()(corpus), full, n_buckets=16)
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_probe_bucketed(
+            spark, _bucketer()(probe), full, max_bucket_size=50
+        ).collect()
+    )
+    assert _lsh_pairs(spark, root, probe) == want and len(want) > 0
+
+    # Index rows bit-identical through clone+append+compaction ticks.
+    cols = ["doc_id", "band", "bucket", "pbkt"]
+    got_rows = sorted(
+        map(
+            tuple,
+            spark.read.parquet(G.current_generation(root)).select(cols).collect(),
+        )
+    )
+    want_rows = sorted(map(tuple, spark.read.parquet(full).select(cols).collect()))
+    assert got_rows == want_rows
+
+
+def test_lsh_gen_stream_crashed_merge_self_heals(spark, tmp_path, monkeypatch):
+    import mbai_gdb_spark.ops.dedup as dedup_mod
+    from mbai_gdb_spark.ops.dedup import (
+        lsh_index_persist_bucketed,
+        lsh_probe_bucketed,
+    )
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_lsh_generations_available_now,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    src = str(tmp_path / "feed")
+    corpus.repartition(4).write.parquet(src)
+    root = str(tmp_path / "root")
+    ckpt = str(tmp_path / "ckpt")
+
+    real_append = dedup_mod.lsh_index_append_bucketed
+    state = {"calls": 0}
+
+    def flaky_append(buckets, path, **kw):
+        state["calls"] += 1
+        if state["calls"] == 2:
+            # real damage inside the clone first, then the crash
+            real_append(buckets.limit(4), path, **kw)
+            raise RuntimeError("injected crash: merge died mid-batch")
+        return real_append(buckets, path, **kw)
+
+    monkeypatch.setattr(dedup_mod, "lsh_index_append_bucketed", flaky_append)
+    with pytest.raises(Exception, match="injected crash"):
+        run_streaming_lsh_generations_available_now(
+            spark, src, corpus.schema, root, _bucketer(), n_buckets=16,
+            checkpoint=ckpt,
+        )
+    # Pointer intact and serving a COMPLETE (if stale) generation.
+    assert G.current_generation(root) is not None
+    _lsh_pairs(spark, root, probe)  # must not raise
+
+    monkeypatch.setattr(dedup_mod, "lsh_index_append_bucketed", real_append)
+    run_streaming_lsh_generations_available_now(
+        spark, src, corpus.schema, root, _bucketer(), n_buckets=16,
+        checkpoint=ckpt,
+    )
+    full = str(tmp_path / "full")
+    lsh_index_persist_bucketed(_bucketer()(corpus), full, n_buckets=16)
+    want = sorted(
+        (r.id_a, r.id_b)
+        for r in lsh_probe_bucketed(
+            spark, _bucketer()(probe), full, max_bucket_size=50
+        ).collect()
+    )
+    assert _lsh_pairs(spark, root, probe) == want
