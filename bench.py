@@ -125,6 +125,13 @@ HEADLINE = [
     "search_bm25_deleted",
     "sim_ivfpq_deleted_top5",
     "search_phrase_persisted",
+    # Round-11 additions: the plain-IVF lifecycle (late r10), the
+    # bucketed-LSH lifecycle, and the FUSED updates (cold = build +
+    # mutations + probe, warm = pointer-served probe only)
+    "sim_ivf_deleted_top5",
+    "dedup_lsh_deleted",
+    "search_bm25_updated",
+    "sim_ivf_updated_top5",
 ]
 
 

@@ -836,20 +836,25 @@ def lsh_index_append_bucketed(
     touched = sorted(
         {r["pbkt"] for r in delta_rows.select("pbkt").distinct().collect()}
     )
-    existing_ids = (
-        spark.read.parquet(path)
-        .filter(F.col("pbkt").isin(touched))
-        .select(id_col)
-    )
-    dup = existing_ids.join(
-        delta_rows.select(id_col).distinct(), id_col, "leftsemi"
-    ).limit(1)
-    if dup.count() > 0:
-        raise ValueError(
-            "lsh_index_append_bucketed: delta contains ids already in "
-            "the index — append is insert-only; delete + append (or the "
-            "fused update) for changed documents"
+    # An index whose every row was deleted holds _meta but zero pbkt
+    # dirs — nothing to guard against, and read.parquet would fail to
+    # infer a schema (underscore side-cars are hidden from the scan).
+    has_data = any(n.startswith("pbkt=") for n in os.listdir(path))
+    if has_data:
+        existing_ids = (
+            spark.read.parquet(path)
+            .filter(F.col("pbkt").isin(touched))
+            .select(id_col)
         )
+        dup = existing_ids.join(
+            delta_rows.select(id_col).distinct(), id_col, "leftsemi"
+        ).limit(1)
+        if dup.count() > 0:
+            raise ValueError(
+                "lsh_index_append_bucketed: delta contains ids already in "
+                "the index — append is insert-only; delete + append (or the "
+                "fused update) for changed documents"
+            )
     shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
     delta_rows.write.mode("append").partitionBy("pbkt").parquet(path)
     _write_lsh_meta(

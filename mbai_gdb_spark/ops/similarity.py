@@ -1022,6 +1022,11 @@ def ivf_update(
             .collect()
         }
     )
+    if not any(n.startswith("centroid_id=") for n in os.listdir(path)):
+        raise ValueError(
+            "ivf_update: index holds no vectors — the update's vectors "
+            "are not in it"
+        )
     # Stored-vs-passed EXACT verification of the OLD side (the plain
     # layout stores raw vectors, so full value equality is free).
     delta_vals = truncate(
@@ -2163,6 +2168,11 @@ def ivfpq_update(
             .collect()
         }
     )
+    if not any(n.startswith("centroid_id=") for n in os.listdir(path)):
+        raise ValueError(
+            "ivfpq_update: index holds no vectors — the update's vectors "
+            "are not in it"
+        )
     stored_ids = (
         spark.read.parquet(path)
         .filter(F.col("centroid_id").isin(touched))

@@ -250,10 +250,7 @@ def test_delete_refuses_wrong_text_and_absent_ids(spark, tmp_path):
         lsh_index_delete_bucketed(
             _buckets(spark, [(777, "never indexed words")]), path
         )
-    # the refused deletes mutated nothing
-    assert _pairs(
-        lsh_probe_bucketed(spark, _buckets(spark, [(800, corpus[0][1])]), path)
-    ) == [(0, 800)] or True  # structural check below is the real assert
+    # the refused deletes mutated nothing: probe ≡ untouched fresh index
     fresh = str(tmp_path / "fresh7")
     lsh_index_persist_bucketed(_buckets(spark, corpus), fresh, n_buckets=8)
     pb = _buckets(spark, _rows(24, 300, 3) + [(800, corpus[0][1])])
