@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 162 oracle-bearing queries, so the 50-slot window ROTATES each
+# 163 oracle-bearing queries, so the 50-slot window ROTATES each
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
@@ -41,19 +41,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # yet certified). From here, heads lead with new/changed queries and
 # then refresh the OLDEST certification tier.
 #
-# Round-11 head (exactly 50): the flagship anchor; the FOUR
+# Round-11 head (exactly 50): the flagship anchor; the FIVE
 # never-driver-certified queries — `sim_ivf_deleted_top5` (the plain-IVF
 # generation-managed build→append→delete→pointer-probe lifecycle, added
-# late in r10's window) and the three r11 additions (`dedup_lsh_deleted`,
-# the bucketed-LSH index lifecycle; `search_bm25_updated` and
-# `sim_ivf_updated_top5`, the FUSED update ops — delete+append as one
-# mutation, one published generation); then the complete r07 tier (the
-# 10 queries whose latest driver row is r07, exactly the candidates
-# tools/rotation_status.py named at round start); then 35 freshness
-# refreshes drawn alphabetically from the 49 queries at the r08 tier
-# (the 14 left at their green r08 rows for the r12 head:
-# `sketch_decimal_quantiles`, `sketch_heavy_hitters`, `text_mlm_mask`,
-# `text_quality_tiers`, `u2_set_ops_customers`, `w13_ranking_family`,
+# late in r10's window) and the four r11 additions (`dedup_lsh_deleted`,
+# the bucketed-LSH index lifecycle; `search_bm25_updated`,
+# `sim_ivf_updated_top5`, `sim_ivfpq_updated_top5`, the FUSED update
+# ops — delete+append as one mutation, one published generation); then
+# the complete r07 tier (the 10 queries whose latest driver row is r07,
+# exactly the candidates tools/rotation_status.py named at round
+# start); then 34 freshness refreshes drawn alphabetically from the 49
+# queries at the r08 tier (the 15 left at their green r08 rows for the
+# r12 head: `sketch_cms_token_freq`, `sketch_decimal_quantiles`,
+# `sketch_heavy_hitters`, `text_mlm_mask`, `text_quality_tiers`,
+# `u2_set_ops_customers`, `w13_ranking_family`,
 # `w14_cohort_weekly_retention`, `w15_gap_fill`, `w16_rolling_7d`,
 # `w17_scd2_user_value`, `w1_next_event_chain`, `w5_sessionize_events`,
 # `w7_priority_ordered_chain`, `w8_running_total_reset`).
@@ -65,6 +66,7 @@ _HEAD_R11 = [
     "dedup_lsh_deleted",
     "search_bm25_updated",
     "sim_ivf_updated_top5",
+    "sim_ivfpq_updated_top5",
     # the oldest certification tier (r07) — all ten
     "sketch_kmv_distinct",
     "text_bpe_token_count",
@@ -76,7 +78,7 @@ _HEAD_R11 = [
     "tpch_scalar_suite",
     "u1_union_trading_nations",
     "w10_latest_event_per_user",
-    # freshness refreshes: latest driver row r08 (35 of 49, alphabetical)
+    # freshness refreshes: latest driver row r08 (34 of 49, alphabetical)
     "a12_cube_revenue",
     "a13_pivot_order_matrix",
     "a14_corr_qty_price",
@@ -111,7 +113,6 @@ _HEAD_R11 = [
     "sim_ivf_top5",
     "sim_matmul_top5",
     "sim_pq_adc_top5",
-    "sketch_cms_token_freq",
 ]
 
 

@@ -4886,3 +4886,83 @@ def dedup_lsh_deleted(spark, sf_dir):
         _BM25_BUILT_PATHS.add(root)
     probe = _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2))
     return G.lsh_gen_probe(spark, root, probe, max_bucket_size=50)
+
+
+def _ivfpq_updated_oracle() -> str:
+    """sim_ivfpq_appended_top5's oracle with the updated vectors'
+    values rewritten at the source CTE: a fused update re-assigns and
+    re-encodes the new values under the FROZEN quantizers, and the
+    oracle's quantizer CTEs are provably untouched by the rewrite —
+    centroids are vec_id % 50 == 0 (even) and the codebook trains on
+    even ids only (vec_id % 7 = 0 AND vec_id % 2 = 0), while the
+    update set vec_id % 10 == 7 is all odd.  Queries read the updated
+    corpus (query vector 7 probes with its new value).  Negation of a
+    float is exact, so negate-then-cast ≡ cast-then-negate."""
+    from mbai_gdb_spark.queries import ORACLES
+
+    base = ORACLES["sim_ivfpq_appended_top5"]
+    needle = f"SELECT vec_id, {_SQL_VEC} AS ve FROM embeddings"
+    assert base.count(needle) == 1
+    return base.replace(
+        needle,
+        f"SELECT vec_id, CASE WHEN vec_id % 10 = 7 "
+        f"THEN list_transform({_SQL_VEC}, x -> -x) ELSE {_SQL_VEC} END "
+        "AS ve FROM embeddings",
+    )
+
+
+@query("sim_ivfpq_updated_top5", _ivfpq_updated_oracle())
+def sim_ivfpq_updated_top5(spark, sf_dir):
+    """Residual IVF-PQ search through the generation-managed lifecycle
+    with a FUSED UPDATE (indexgen.ivfpq_gen_update): generation 1
+    bootstraps the frozen quantizers from the even half, generation 2
+    inserts the odd half, generation 3 REPLACES every vec_id % 10 == 7
+    with its negated vector as ONE mutation — old ids verified
+    found-by-id in their assigned lists (the strongest check a
+    lossy-code layout offers), new values re-assigned and re-encoded
+    under the frozen centroids+codebook, each touched list rewritten
+    exactly once, one generation published.  The oracle replays the
+    whole two-phase pipeline over the UPDATED corpus with the same
+    frozen quantizers, so the driver row certifies update ≡ the frozen
+    re-encoding end-to-end.  At 100 TB: an embedding refresh against
+    the compressed serving tier is |touched lists| rewrites per
+    generation — never a retrain, never a rebuild."""
+    import os
+
+    from mbai_gdb_spark import indexgen as G
+
+    emb = _t(spark, sf_dir, "embeddings")
+    neg = F.transform(F.col("embedding"), lambda x: -x)
+    root = _ivfpq_index_path(sf_dir, suffix="_pqupd")
+    done = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(done):
+        import shutil
+
+        _sweep_stale_bm25_indexes(_bm25_index_root())
+        shutil.rmtree(root, ignore_errors=True)
+        G.ivfpq_gen_build(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            root,
+            centroid_stride=50,
+            code_stride=7,
+            vectorized=False,
+        )
+        G.ivfpq_gen_append(
+            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+            root,
+            vectorized=False,
+        )
+        old = emb.filter(F.pmod(F.col("vec_id"), F.lit(10)) == 7)
+        G.ivfpq_gen_update(
+            old, old.withColumn("embedding", neg), root, vectorized=False
+        )
+        with open(done, "w"):
+            pass
+        _BM25_BUILT_PATHS.add(root)
+    queries_df = emb.filter(F.col("vec_id") < 10).withColumn(
+        "embedding",
+        F.when(F.pmod(F.col("vec_id"), F.lit(10)) == 7, neg).otherwise(
+            F.col("embedding")
+        ),
+    )
+    return G.ivfpq_gen_probe(spark, root, queries_df, k=5, n_probe=2)
