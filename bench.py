@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_lsh_deleted",
     "search_bm25_updated",
     "sim_ivf_updated_top5",
+    "sim_ivfpq_updated_top5",
 ]
 
 

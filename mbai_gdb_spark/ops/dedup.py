@@ -773,7 +773,13 @@ def lsh_index_persist_bucketed(
     rows = buckets.select(F.col(id_col), "band", "bucket").withColumn(
         "pbkt", lsh_partition_bucket(F.col("band"), F.col("bucket"), n_buckets)
     )
-    write_partitioned(rows, path, ["pbkt"])
+    # sort_cols engages write_partitioned's repartition-by-partition-col
+    # path: ONE file per pbkt directory.  Without it, every input
+    # partition sprays a file into every directory it touches (up to
+    # |input partitions| × n_buckets tiny files per build) — measured in
+    # tools/lsh_maintenance_experiment.py as a probe wall that tracked
+    # FILE COUNT, not data size.
+    write_partitioned(rows, path, ["pbkt"], sort_cols=["band", "bucket"])
     _write_lsh_meta(
         spark,
         path,
@@ -856,7 +862,15 @@ def lsh_index_append_bucketed(
                 "fused update) for changed documents"
             )
     shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
-    delta_rows.write.mode("append").partitionBy("pbkt").parquet(path)
+    # One new file per touched directory per append (not |input
+    # partitions| × |touched| sprayed fragments — see the build's note);
+    # the remaining one-file-per-append debt is gen_compact's job.
+    (
+        delta_rows.repartition(max(len(touched), 1), F.col("pbkt"))
+        .write.mode("append")
+        .partitionBy("pbkt")
+        .parquet(path)
+    )
     _write_lsh_meta(
         spark,
         path,
