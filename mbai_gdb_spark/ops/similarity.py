@@ -636,7 +636,9 @@ def ivf_persist(
     assign_fn = ivf_assign_vectorized if vectorized_assign else ivf_assign
     assignment = assign_fn(corpus, cent_for_assign, id_col, vec_col)
     lists = corpus.join(assignment, id_col)
-    write_partitioned(lists, path, ["centroid_id"])
+    # One file per inverted-list directory (see ops.text's note on the
+    # file-spray fix; probes scan whole lists, so fewer+bigger files).
+    write_partitioned(lists, path, ["centroid_id"], sort_cols=[id_col])
     centroids.select("centroid_id", F.col(vec_col)).coalesce(1).write.mode(
         "overwrite"
     ).parquet(path + "/_centroids")
@@ -816,7 +818,12 @@ def ivf_append(
                 "a fused update) for changed vectors"
             )
     rows = new_vectors.join(assignment, id_col)
-    rows.write.mode("append").partitionBy("centroid_id").parquet(path)
+    (
+        rows.repartition(max(len(touched), 1), F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
 
 
 def ivf_delete(
@@ -1843,7 +1850,8 @@ def ivfpq_persist(
     )
     enc = pq_encode_vectorized if vectorized else pq_encode
     codes = enc(res, cb, id_col, "residual", m_sub, sub_dim).join(assignment, id_col)
-    write_partitioned(codes, path, ["centroid_id"])
+    # One file per list directory (see ops.text's file-spray note).
+    write_partitioned(codes, path, ["centroid_id"], sort_cols=[id_col, "sub_id"])
     centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col)
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
@@ -1950,7 +1958,12 @@ def ivfpq_append(
     res = ivf_residuals(new_vectors, centroids, assignment, id_col, vec_col)
     enc = pq_encode_vectorized if vectorized else pq_encode
     codes = enc(res, cb, id_col, "residual", m_sub, sub_dim).join(assignment, id_col)
-    codes.write.mode("append").partitionBy("centroid_id").parquet(path)
+    (
+        codes.repartition(max(len(touched), 1), F.col("centroid_id"))
+        .write.mode("append")
+        .partitionBy("centroid_id")
+        .parquet(path)
+    )
 
 
 def ivfpq_delete(

@@ -672,7 +672,13 @@ def bm25_index_persist(
     )
     from mbai_gdb_spark.io import write_partitioned
 
-    write_partitioned(rows, path, ["bucket"])
+    # sort_cols engages write_partitioned's repartition path: ONE file
+    # per bucket directory (and term-clustered row groups for the
+    # probe's term scans).  Without it every input partition sprays a
+    # file into every bucket it touches — measured as a probe wall that
+    # tracked FILE COUNT in tools/lsh_maintenance_experiment.py (the
+    # same layout shape; fixed across all three persisted families).
+    write_partitioned(rows, path, ["bucket"], sort_cols=["term", id_col])
     spark = docs.sparkSession
     _write_bm25_meta(
         spark,
@@ -882,7 +888,15 @@ def bm25_index_append(
         # under stale corpus scalars.  The dup-guard read above is
         # fully materialized (count) before any write starts.
         shutil.rmtree(os.path.join(path, "_meta"), ignore_errors=True)
-        delta_rows.write.mode("append").partitionBy("bucket").parquet(path)
+        # One new file per touched bucket per merge (not |input
+        # partitions| x |touched| fragments); compaction still owns the
+        # one-file-per-append debt.
+        (
+            delta_rows.repartition(max(len(touched), 1), F.col("bucket"))
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
     else:
         # Meta-only merge (token-less delta): same crash-evidence — no
         # window where old meta survives alongside any partial state.
