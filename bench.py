@@ -255,15 +255,16 @@ def _persist_full_battery(out: dict) -> None:
                 if isinstance(prev, dict):
                     for key in ("isolated", "compaction"):
                         if key not in out and key in prev:
-                            out = {
-                                **out,
-                                key: prev[key],
-                                f"{key}_note": (
-                                    "carried from this round's earlier "
-                                    "flagged run (this run had no such "
-                                    "flag)"
-                                ),
-                            }
+                            # Carry the evidence AND any verdict note the
+                            # builder attached to it — a generic carry
+                            # stamp must not clobber an existing note.
+                            note = prev.get(
+                                f"{key}_note",
+                                "carried from this round's earlier "
+                                "flagged run (this run had no such "
+                                "flag)",
+                            )
+                            out = {**out, key: prev[key], f"{key}_note": note}
             except (OSError, ValueError):
                 pass
         with open(path, "w") as f:
