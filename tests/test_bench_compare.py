@@ -144,3 +144,33 @@ def test_persist_full_battery_carries_isolated(tmp_path, monkeypatch):
     bench._persist_full_battery({"metric": "x", "queries": {}, "isolated": iso2})
     out = json.load(open(p))
     assert out["isolated"] == iso2 and "isolated_note" not in out
+
+
+def test_persist_full_battery_preserves_builder_note(tmp_path, monkeypatch):
+    """A builder-attached `isolated_note` (the drift VERDICT, not just
+    the numbers) must survive the driver's plain-run rewrite — the
+    generic carry stamp only fills in when no note exists (r11 find:
+    the carry clobbered the mm_decode_jpeg_progressive noise verdict)."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_note_ut", os.path.join(repo, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    p = str(tmp_path / "full.json")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", p)
+
+    iso = {"a": {"cold": [1.0], "warm": [0.5]}}
+    with open(p, "w") as f:
+        json.dump(
+            {"queries": {}, "isolated": iso, "isolated_note": "noise verdict"},
+            f,
+        )
+    bench._persist_full_battery({"metric": "x", "queries": {"a": 1.0}})
+    out = json.load(open(p))
+    assert out["isolated"] == iso
+    assert out["isolated_note"] == "noise verdict"  # NOT the carry stamp
