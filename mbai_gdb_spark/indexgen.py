@@ -215,8 +215,20 @@ def prune_generations(root: str, keep: int = 2) -> list[str]:
     """Remove old and crashed generations, keeping the current one plus
     the ``keep - 1`` most recent others (history for in-flight probes /
     manual rollback).  Unpublished partials NEWER than current are
-    crashed mutations and are removed too — single writer per root, so
-    nothing else can be mid-build.  Returns the removed names."""
+    crashed mutations and are removed too.  Returns the removed names.
+
+    Runs under the root's writer intent lock (advice find): "partials
+    newer than current are crashed" is only true while no writer is
+    mid-mutation — raced against an in-flight ``generation_mutate`` it
+    would rmtree the clone being mutated out from under it.  The lock
+    serializes prune with mutations; probes stay lock-free."""
+    from mbai_gdb_spark.io import _writer_lock
+
+    with _writer_lock(root):
+        return _prune_generations_locked(root, keep)
+
+
+def _prune_generations_locked(root: str, keep: int) -> list[str]:
     cur = current_generation_name(root)
     gens = list_generations(root)
     if cur is None or cur not in gens:
@@ -491,3 +503,78 @@ def lsh_gen_update(
     return generation_mutate(
         root, lambda p: lsh_index_update_bucketed(old_buckets, new_buckets, p, **kw)
     )
+
+
+# ---------------------------------------------------------------------------
+# Takedown orchestration: one driver call enforcing a removal request
+# across every index family that serves the affected content
+# ---------------------------------------------------------------------------
+
+_TAKEDOWN_DELETE: dict[str, Callable] = {}
+
+
+def _register_takedown_kinds() -> dict[str, Callable]:
+    if not _TAKEDOWN_DELETE:
+        _TAKEDOWN_DELETE.update(
+            bm25=bm25_gen_delete,
+            lsh=lsh_gen_delete,
+            ivf=ivf_gen_delete,
+            ivfpq=ivfpq_gen_delete,
+        )
+    return _TAKEDOWN_DELETE
+
+
+def takedown_documents(
+    requests: list[tuple],
+) -> list[dict]:
+    """Enforce one takedown request across EVERY index family that
+    serves the affected content — the operation a 100 TB operator
+    actually runs when a verdict / DMCA / PII report lands: the doc
+    must stop being retrievable (BM25), stop surfacing as a near-dup
+    candidate (LSH), and stop being a neighbor (IVF / IVF-PQ), all
+    without a rebuild.
+
+    ``requests``: ``(kind, delete_frame, root)`` or ``(kind,
+    delete_frame, root, kwargs)`` per index, ``kind`` ∈ {"bm25", "lsh",
+    "ivf", "ivfpq"}.  Each ``delete_frame`` carries the content the
+    family's verified physical delete demands (documents / bucket rows
+    / raw vectors), and each index publishes ONE generation via its
+    fused ``*_gen_delete`` — touched directories rewritten once, the
+    pointer swap per root atomic, crash = that root serves its previous
+    generation.
+
+    Atomicity contract: PER INDEX, not cross-index — the roots are
+    independent pointer-published trees (on an object store,
+    independent manifest pointers), so there is no cheap all-or-nothing
+    commit across them and this function does not fake one.  Entries
+    apply IN ORDER; on failure the raised error propagates with
+    ``applied`` so far visible in the returned list of the retry
+    orchestrator (earlier roots are PUBLISHED and correct — a takedown
+    applied twice would refuse on the already-deleted ids, so retries
+    re-run only the entries after the failure point).  Returns one
+    ``{"kind", "root", "generation"}`` record per applied entry.
+    """
+    kinds = _register_takedown_kinds()
+    applied: list[dict] = []
+    for req in requests:
+        kind, frame, root = req[0], req[1], req[2]
+        kw = req[3] if len(req) > 3 else {}
+        fn = kinds.get(kind)
+        if fn is None:
+            raise ValueError(
+                f"takedown_documents: unknown index kind {kind!r} "
+                f"(expected one of {sorted(kinds)})"
+            )
+        try:
+            path = fn(frame, root, **kw)
+        except Exception as exc:
+            raise RuntimeError(
+                f"takedown_documents: {kind} delete at {root} failed after "
+                f"{len(applied)} of {len(requests)} indexes were published "
+                f"({[a['root'] for a in applied]}); those are complete and "
+                "correct — retry the remaining entries only"
+            ) from exc
+        applied.append(
+            {"kind": kind, "root": root, "generation": os.path.basename(path)}
+        )
+    return applied

@@ -63,6 +63,7 @@ import json
 import os
 import re
 import shutil
+import warnings
 from collections.abc import Callable
 
 _OBJECTS = "_objects"
@@ -129,27 +130,58 @@ def _publish(root: str, name: str) -> None:
     os.replace(tmp, ptr)
 
 
-def _write_manifest(root: str, files: dict[str, str]) -> str:
+def _write_manifest(
+    root: str, files: dict[str, str], stats: dict | None = None
+) -> str:
     d = _manifests_dir(root)
     os.makedirs(d, exist_ok=True)
     name = _next_name(d, _MAN_RE, "man-%06d.json")
     path = os.path.join(d, name)
     tmp = path + ".tmp"
+    doc = {"files": files}
+    if stats is not None:
+        doc["stats"] = stats
     with open(tmp, "w") as f:
-        json.dump({"files": files}, f, sort_keys=True)
+        json.dump(doc, f, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
     return name
 
 
-def _ingest_tree(root: str, tree: str, prev_files: dict[str, str]) -> dict[str, str]:
+def _sweep_staging(root: str) -> list[str]:
+    """Remove ALL ``_staging-*`` residue under ``root``.  Callers hold
+    the writer lock, and the lock enforces single writer per root — so
+    any staging directory present when a writer starts (or a prune
+    runs) is residue of a CRASHED mutation, regardless of which pid's
+    name it carries (an advice find: pid-named residue from a dead
+    process was never swept by a later process with a different pid,
+    leaking the full materialized index size per crash).  Returns the
+    removed names."""
+    removed = []
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return removed
+    for nm in names:
+        if nm.startswith("_staging-"):
+            shutil.rmtree(os.path.join(root, nm), ignore_errors=True)
+            removed.append(nm)
+    return removed
+
+
+def _ingest_tree(
+    root: str, tree: str, prev_files: dict[str, str]
+) -> tuple[dict[str, str], dict[str, int]]:
     """Move each file of ``tree`` into the object pool, REUSING the
     previous generation's object for any staged file that is still its
     hardlink (same inode) — unchanged data is never re-ingested, so the
     object-count growth of a mutation is exactly its delta (tested).
     New bytes are moved (atomic same-FS rename) under never-reused
-    object names.  Returns the relpath → object-name map."""
+    object names.  Returns the relpath → object-name map plus
+    ``{"reused": n, "ingested": n}`` counts (recorded in the manifest's
+    ``stats`` so a defeated reuse path — e.g. a copy-fallback
+    materialization breaking inode identity — is visible, not silent)."""
     obj_dir = _objects_dir(root)
     os.makedirs(obj_dir, exist_ok=True)
     # inode → existing object name (for unchanged-file reuse)
@@ -167,6 +199,7 @@ def _ingest_tree(root: str, tree: str, prev_files: dict[str, str]) -> dict[str, 
         default=0,
     )
     files: dict[str, str] = {}
+    stats = {"reused": 0, "ingested": 0}
     for cur, _dirs, names in os.walk(tree):
         for f in names:
             src = os.path.join(cur, f)
@@ -175,19 +208,28 @@ def _ingest_tree(root: str, tree: str, prev_files: dict[str, str]) -> dict[str, 
             reuse = prev_ino.get(ino)
             if reuse is not None:
                 files[rel] = reuse
+                stats["reused"] += 1
                 continue
             obj = "obj-%08d" % nxt
             nxt += 1
             os.replace(src, os.path.join(obj_dir, obj))
             files[rel] = obj
-    return files
+            stats["ingested"] += 1
+    return files, stats
 
 
-def _materialize(root: str, files: dict[str, str], dst: str) -> None:
+def _materialize(root: str, files: dict[str, str], dst: str) -> int:
     """Hardlink the manifest's objects into ``dst`` under their
     relative paths — the local-FS stand-in for remote GETs.  Falls back
-    to a copy where the filesystem refuses links."""
+    to a copy where the filesystem refuses links, and RETURNS the
+    fallback count: a copied file loses inode identity with its source
+    object, so :func:`_ingest_tree` cannot reuse it and the next
+    mutation re-ingests it as a new object — O(index) pool growth per
+    mutation instead of O(delta).  Callers surface the count (manifest
+    ``stats`` + a warning) so that degradation is observable (advice
+    find), instead of a silent 1000× ingest amplification at scale."""
     obj_dir = _objects_dir(root)
+    n_copy = 0
     for rel, obj in files.items():
         out = os.path.join(dst, rel)
         os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -196,6 +238,8 @@ def _materialize(root: str, files: dict[str, str], dst: str) -> None:
             os.link(src, out)
         except OSError:
             shutil.copy2(src, out)
+            n_copy += 1
+    return n_copy
 
 
 def manifest_build(root: str, build_fn: Callable[[str], None]) -> str:
@@ -209,13 +253,13 @@ def manifest_build(root: str, build_fn: Callable[[str], None]) -> str:
 
     os.makedirs(root, exist_ok=True)
     with _writer_lock(root):
+        _sweep_staging(root)  # residue of ANY crashed writer (we hold the lock)
         staging = os.path.join(root, f"_staging-{os.getpid()}")
-        shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging)
         try:
             build_fn(staging)
-            files = _ingest_tree(root, staging, {})
-            name = _write_manifest(root, files)
+            files, stats = _ingest_tree(root, staging, {})
+            name = _write_manifest(root, files, stats)
             _publish(root, name)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -238,14 +282,25 @@ def manifest_mutate(root: str, mutate_fn: Callable[[str], None]) -> str:
                 "build one first (manifest_build)"
             )
         prev_files = read_manifest(root, cur)["files"]
+        _sweep_staging(root)  # residue of ANY crashed writer (we hold the lock)
         staging = os.path.join(root, f"_staging-{os.getpid()}")
-        shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging)
         try:
-            _materialize(root, prev_files, staging)
+            n_copy = _materialize(root, prev_files, staging)
             mutate_fn(staging)
-            files = _ingest_tree(root, staging, prev_files)
-            name = _write_manifest(root, files)
+            files, stats = _ingest_tree(root, staging, prev_files)
+            stats["copy_fallback"] = n_copy
+            if n_copy:
+                warnings.warn(
+                    f"indexman.manifest_mutate({root}): {n_copy} staged "
+                    "file(s) materialized by COPY (hardlink refused) — "
+                    "inode reuse is defeated for them and this mutation "
+                    "re-ingested unchanged bytes as new objects; see the "
+                    "manifest's stats.copy_fallback",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            name = _write_manifest(root, files, stats)
             _publish(root, name)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
@@ -283,12 +338,81 @@ def manifest_view(root: str) -> str:
     return view
 
 
+# ---------------------------------------------------------------------------
+# Layout wrappers: BM25 under the manifest backend — the same serving
+# surface indexgen's bm25_gen_* exposes over hardlink generations, so a
+# caller can swap backends without touching the bare-layout operators.
+# ---------------------------------------------------------------------------
+
+
+def bm25_man_build(docs, root: str, **kw) -> str:
+    """Publish manifest 1 of a BM25 index (ops.text.bm25_index_persist
+    kwargs pass through).  Returns the manifest name."""
+    from mbai_gdb_spark.ops.text import bm25_index_persist
+
+    return manifest_build(root, lambda p: bm25_index_persist(docs, p, **kw))
+
+
+def bm25_man_append(docs, root: str, **kw) -> str:
+    """O(delta) append published as a new manifest: unchanged posting
+    files keep their object references by inode identity — only the
+    delta's new part files and the rewritten ``_meta`` ingest."""
+    from mbai_gdb_spark.ops.text import bm25_index_append
+
+    return manifest_mutate(root, lambda p: bm25_index_append(docs, p, **kw))
+
+
+def bm25_man_delete(docs, root: str, **kw) -> str:
+    """Physical delete published as a new manifest (touched buckets
+    rewritten in staging; untouched objects keep their references)."""
+    from mbai_gdb_spark.ops.text import bm25_index_delete
+
+    return manifest_mutate(root, lambda p: bm25_index_delete(docs, p, **kw))
+
+
+def bm25_man_update(old_docs, new_docs, root: str, **kw) -> str:
+    """FUSED document update (delete(old)+append(new) as ONE mutation,
+    ops.text.bm25_index_update) published as a single new manifest —
+    each touched bucket rewritten once, one pointer PUT."""
+    from mbai_gdb_spark.ops.text import bm25_index_update
+
+    return manifest_mutate(
+        root, lambda p: bm25_index_update(old_docs, new_docs, p, **kw)
+    )
+
+
+def bm25_man_probe(spark, root: str, queries_df, **kw):
+    """bm25_probe_persisted over the current manifest's immutable view
+    — the serving path (on a real object store: a manifest-aware reader
+    passing the file list straight to the parquet scan)."""
+    from mbai_gdb_spark.ops.text import bm25_probe_persisted
+
+    return bm25_probe_persisted(spark, manifest_view(root), queries_df, **kw)
+
+
 def prune_manifests(root: str, keep: int = 2) -> dict:
     """Retire old generations and garbage-collect the pool: keep the
     current manifest plus the ``keep - 1`` most recent others, remove
     the rest (and their views), then delete every object no surviving
-    manifest references — including orphans from crashed ingests.
-    Returns {"manifests": [...removed...], "objects": n_removed}."""
+    manifest references — including orphans from crashed ingests (and
+    crashed writers' ``_staging-*`` residue).
+    Returns {"manifests": [...removed...], "objects": n_removed}.
+
+    Runs under the root's writer intent lock (advice find): GC decides
+    liveness from the manifest listing + pointer, so racing an
+    in-flight ``manifest_mutate`` (manifest written, pointer not yet
+    swapped) would collect the about-to-be-published manifest and its
+    objects — ``_current`` would then name a deleted manifest.  The
+    lock serializes prune with mutations; probes stay lock-free (they
+    read via views that hardlink immutable objects)."""
+    from mbai_gdb_spark.io import _writer_lock
+
+    with _writer_lock(root):
+        return _prune_manifests_locked(root, keep)
+
+
+def _prune_manifests_locked(root: str, keep: int) -> dict:
+    _sweep_staging(root)
     cur = current_manifest_name(root)
     mans = list_manifests(root)
     if cur is None or cur not in mans:

@@ -795,6 +795,7 @@ def lsh_index_append_bucketed(
     path: str,
     id_col: str = "doc_id",
     tag: str | None = None,
+    full_guard: bool = False,
 ) -> None:
     """Incrementally merge a NEW batch's bucket rows into a persisted
     :func:`lsh_index_persist_bucketed` layout — O(delta): the merge is
@@ -804,12 +805,19 @@ def lsh_index_append_bucketed(
     Probes after the append are exactly those of a rebuild over the
     union corpus (property-tested).
 
-    Appended ids must be NEW (append, not upsert).  The duplicate guard
-    scans only the touched directories — complete for exact re-adds
-    (identical text rebands identically, so all of a re-added doc's
-    rows live in touched directories); a doc re-added with DIFFERENT
-    text is an update: use :func:`lsh_index_delete_bucketed` + append,
-    or the fused update.
+    Appended ids must be NEW (append, not upsert).  The default
+    duplicate guard scans only the touched directories — complete for
+    exact re-adds (identical text rebands identically, so all of a
+    re-added doc's rows live in touched directories); a doc re-added
+    with DIFFERENT text rebands to OTHER directories, slips the touched
+    scan, and silently breaks the one-row-per-(band, doc) invariant —
+    the corruption only surfaces later when a delete/update's
+    banding-exactness verification refuses (advice find).  Callers that
+    cannot guarantee insert-only deltas pass ``full_guard=True`` to
+    check the batch's ids against the WHOLE index (one full id-column
+    scan — O(index) but column-pruned to the id column; the touched
+    scan stays the O(delta) default for pipelines that own their
+    insert-only contract, e.g. the streaming drain's monotone batches).
 
     ``tag`` gives replay idempotence for exactly-once pipelines, stored
     inside ``_meta`` atomically with the completeness marker (same
@@ -847,11 +855,10 @@ def lsh_index_append_bucketed(
     # infer a schema (underscore side-cars are hidden from the scan).
     has_data = any(n.startswith("pbkt=") for n in os.listdir(path))
     if has_data:
-        existing_ids = (
-            spark.read.parquet(path)
-            .filter(F.col("pbkt").isin(touched))
-            .select(id_col)
-        )
+        existing_ids = spark.read.parquet(path)
+        if not full_guard:
+            existing_ids = existing_ids.filter(F.col("pbkt").isin(touched))
+        existing_ids = existing_ids.select(id_col)
         dup = existing_ids.join(
             delta_rows.select(id_col).distinct(), id_col, "leftsemi"
         ).limit(1)
