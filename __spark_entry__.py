@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The evaluation driver records correctness rows for (at most) the
 # first 50 entries of queries() in iteration order; the registry holds
-# 163 oracle-bearing queries, so the 50-slot window ROTATES each
+# 165 oracle-bearing queries, so the 50-slot window ROTATES each
 # round until every query has a driver CORRECTNESS row in some round's
 # file. Overflow queries keep full oracles and are re-verified locally
 # every round by tools/check_parity.py over the ENTIRE registry.
@@ -41,83 +41,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # yet certified). From here, heads lead with new/changed queries and
 # then refresh the OLDEST certification tier.
 #
-# Round-11 head (exactly 50): the flagship anchor; the FIVE
-# never-driver-certified queries — `sim_ivf_deleted_top5` (the plain-IVF
-# generation-managed build→append→delete→pointer-probe lifecycle, added
-# late in r10's window) and the four r11 additions (`dedup_lsh_deleted`,
-# the bucketed-LSH index lifecycle; `search_bm25_updated`,
-# `sim_ivf_updated_top5`, `sim_ivfpq_updated_top5`, the FUSED update
-# ops — delete+append as one mutation, one published generation); then
-# the complete r07 tier (the 10 queries whose latest driver row is r07,
-# exactly the candidates tools/rotation_status.py named at round
-# start); then 34 freshness refreshes drawn alphabetically from the 49
-# queries at the r08 tier (the 15 left at their green r08 rows for the
-# r12 head: `sketch_cms_token_freq`, `sketch_decimal_quantiles`,
-# `sketch_heavy_hitters`, `text_mlm_mask`, `text_quality_tiers`,
-# `u2_set_ops_customers`, `w13_ranking_family`,
-# `w14_cohort_weekly_retention`, `w15_gap_fill`, `w16_rolling_7d`,
-# `w17_scd2_user_value`, `w1_next_event_chain`, `w5_sessionize_events`,
-# `w7_priority_ordered_chain`, `w8_running_total_reset`).
-_HEAD_R11 = [
+# Round-12 head (exactly 50): the flagship anchor; the TWO new r12
+# queries — `takedown_multi_index` (one takedown_documents call
+# enforcing a removal request across all four index families, proved
+# against the union of rebuild-without-docs oracles) and
+# `search_bm25_updated_manifest` (the fused-update lifecycle served
+# through the object-store MANIFEST backend, certifying backend
+# equivalence end-to-end — the r11 verdict's #2 ask); then the complete
+# r08 tier (the 15 queries whose latest driver row is r08, exactly the
+# set the r11 manifest comment and tools/rotation_status.py named);
+# then 32 freshness refreshes drawn alphabetically from the 49 queries
+# at the r09 tier (the 17 left at their green r09 rows for the r13
+# head: q22_dormant_capital, q2_min_cost_supplier,
+# q3_unshipped_revenue, q7_nation_trade_volume, q8_market_share,
+# q9_product_profit, sample_negatives, sample_weighted_docs,
+# search_bm25_appended, search_phrase_bm25, sim_cosine_top5,
+# sim_ivfpq_appended_top5, sim_ivfpq_residual_top5, sim_ivfpq_top5,
+# sketch_hll_distinct, text_bigram_surprise, text_bpe_merges).
+_HEAD_R12 = [
     # standing anchor
     "flagship_session_attribution",
-    # never driver-checked: late-r10 + the r11 additions
-    "sim_ivf_deleted_top5",
-    "dedup_lsh_deleted",
-    "search_bm25_updated",
-    "sim_ivf_updated_top5",
-    "sim_ivfpq_updated_top5",
-    # the oldest certification tier (r07) — all ten
-    "sketch_kmv_distinct",
-    "text_bpe_token_count",
-    "text_fingerprint",
-    "text_profile",
-    "text_repetition",
-    "text_top_ngrams",
-    "text_unicode_profile",
-    "tpch_scalar_suite",
-    "u1_union_trading_nations",
-    "w10_latest_event_per_user",
-    # freshness refreshes: latest driver row r08 (34 of 49, alphabetical)
-    "a12_cube_revenue",
-    "a13_pivot_order_matrix",
-    "a14_corr_qty_price",
-    "a15_mode_order_priority",
-    "a16_revenue_share",
-    "a1_pricing_summary",
-    "a2_order_span_per_customer",
-    "a4_conditional_event_sums",
-    "curate_corpus",
-    "decontam_bloom",
-    "dedup_minhash_clusters",
-    "dedup_minhash_lsh",
-    "emb_pq_codes",
-    "emb_random_projection",
-    "funnel_view_click_purchase",
-    "graph_kcore_profile",
-    "graph_pagerank_trade",
-    "graph_triangle_count",
-    "io_merge_idempotent",
-    "j12_concurrent_sessions",
-    "j13_bloom_smj_revenue",
-    "j3_lineitem_ship_window",
-    "mm_decode_audio",
-    "mm_decode_image",
-    "nba_lineup_plus_minus",
-    "nba_player_stints",
-    "search_bm25_persisted",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "search_tfidf_topk",
-    "shuffle_shards",
-    "sim_ivf_top5",
-    "sim_matmul_top5",
-    "sim_pq_adc_top5",
+    # never driver-checked: the r12 additions
+    "takedown_multi_index",
+    "search_bm25_updated_manifest",
+    # the oldest certification tier (r08) — all fifteen
+    "sketch_cms_token_freq",
+    "sketch_decimal_quantiles",
+    "sketch_heavy_hitters",
+    "text_mlm_mask",
+    "text_quality_tiers",
+    "u2_set_ops_customers",
+    "w13_ranking_family",
+    "w14_cohort_weekly_retention",
+    "w15_gap_fill",
+    "w16_rolling_7d",
+    "w17_scd2_user_value",
+    "w1_next_event_chain",
+    "w5_sessionize_events",
+    "w7_priority_ordered_chain",
+    "w8_running_total_reset",
+    # freshness refreshes: latest driver row r09 (32 of 49, alphabetical)
+    "a12_pivot_event_counts",
+    "a13_order_count_distribution",
+    "a17_month_over_month",
+    "dedup_lsh_hot_clusters",
+    "dedup_semantic",
+    "dedup_typo_pairs",
+    "dq_orders_constraints",
+    "emb_centroid_classify",
+    "emb_class_centroids",
+    "emb_quantize_int8",
+    "io_incremental_rollup",
+    "io_table_stats",
+    "io_zorder_profile",
+    "j13_bloom_pruned_revenue",
+    "mix_source_weights",
+    "mm_decode_gif",
+    "mm_decode_jpeg",
+    "mm_decode_jpeg_progressive",
+    "mm_gif_frame_sample",
+    "mm_resize_roundtrip",
+    "nba_cross_period_next",
+    "nba_period_chain",
+    "nba_score_next_chain",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_late_shipment_priority",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_below_avg_quantity",
+    "q19_bracketed_revenue",
+    "q20_excess_suppliers",
+    "q21_sole_problem_supplier",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: QUERIES[k] for k in _HEAD_R11 if k in QUERIES}
+    head = {k: QUERIES[k] for k in _HEAD_R12 if k in QUERIES}
     tail = {k: v for k, v in QUERIES.items() if k not in head}
     return {**head, **tail}
 

@@ -133,6 +133,12 @@ HEADLINE = [
     "search_bm25_updated",
     "sim_ivf_updated_top5",
     "sim_ivfpq_updated_top5",
+    # Round-12 additions: the fused-update lifecycle served through the
+    # object-store manifest backend, and the four-family takedown (cold
+    # = stand up 4 indexes + one takedown_documents call + 4 probes;
+    # warm = the 4 pointer-served probes only)
+    "search_bm25_updated_manifest",
+    "takedown_multi_index",
 ]
 
 
@@ -472,6 +478,74 @@ def _run_isolated(names: list[str], runs: int, sf_dir: str) -> dict:
     return out
 
 
+def _previous_full_battery(repo: str) -> dict | None:
+    """The newest BENCH_full_r*.json that is NOT this round's target —
+    the like-for-like comparison base the auto-isolation gate uses."""
+    import glob
+
+    target = os.path.abspath(_full_battery_path(repo))
+    cands = []
+    for p in glob.glob(os.path.join(repo, "BENCH_full_r*.json")):
+        m = re.search(r"BENCH_full_r(\d+)\.json$", p)
+        if m and os.path.abspath(p) != target:
+            cands.append((int(m.group(1)), p))
+    if not cands:
+        return None
+    try:
+        with open(max(cands)[1]) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _auto_isolate_movers(
+    timings: dict[str, float],
+    sf_dir: str,
+    threshold: float = 1.3,
+    floor: float = 0.5,
+    cap: int = 6,
+    runs: int = 3,
+) -> tuple[dict, dict]:
+    """Drift defense (r11 verdict ask #4): two same-HEAD batteries
+    disagreed 0.99x vs 1.14x in r11 — session-level JVM/machine drift
+    larger than the deltas being adjudicated.  So the battery now
+    SELF-DEFENDS: every query whose warm time moved >``threshold``x vs
+    the previous round's battery (and is above the ``floor`` seconds
+    noise band on at least one side) is automatically re-measured
+    through the existing fresh-subprocess --isolate path before the
+    numbers land in BENCH_full — a verdict can then read the isolated
+    cold/warm samples next to the in-battery number and tell drift from
+    regression without a manual A/B.  The worst ``cap`` movers run (a
+    whole-session drift would otherwise isolate half the battery; the
+    recorded ratios still name every mover).  Returns
+    ({name: ratio}, {name: {"cold": [...], "warm": [...]}})."""
+    if os.environ.get("SPARK_GRAFT_NO_AUTOISOLATE") == "1":
+        return {}, {}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prev = _previous_full_battery(repo)
+    if not prev:
+        return {}, {}
+    prev_q = prev.get("queries", {})
+    ratios: dict[str, float] = {}
+    for name, cur in timings.items():
+        pv = prev_q.get(name)
+        if not pv or pv <= 0 or max(pv, cur) < floor:
+            continue
+        r = cur / pv
+        if r > threshold:
+            ratios[name] = round(r, 2)
+    movers = sorted(ratios, key=ratios.get, reverse=True)[:cap]
+    if not movers:
+        return ratios, {}
+    print(
+        f"bench: auto-isolating {len(movers)} >"
+        f"{threshold}x mover(s) vs previous battery: "
+        + ", ".join(f"{n} ({ratios[n]}x)" for n in movers),
+        file=sys.stderr,
+    )
+    return ratios, _run_isolated(movers, runs, sf_dir)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -668,6 +742,13 @@ def main() -> None:
             "decontam_bloom",
             "search_tfidf_topk",
             "io_merge_idempotent",
+            # lifecycle family at 10x data (r11 verdict ask #3): cold =
+            # the full multi-generation lifecycle (build + mutations +
+            # probe), warm = the pointer-served probe — the wall ratio
+            # below compares the WARM (serving) path across scales
+            "search_bm25_updated",
+            "sim_ivfpq_updated_top5",
+            "dedup_lsh_deleted",
         ]
         sf1_cold: dict[str, float] = {}
         sf1_warm: dict[str, float] = {}
@@ -706,6 +787,17 @@ def main() -> None:
     }
     if sf1_section is not None:
         out["sf1"] = sf1_section
+    # Drift defense: >1.3x movers vs the previous round's battery get
+    # an automatic fresh-subprocess re-measure recorded alongside the
+    # in-battery number (see _auto_isolate_movers).  The explicit
+    # --isolate list, when given, takes precedence over the auto gate.
+    mover_ratios, auto_isolated = (
+        ({}, {}) if isolate_names else _auto_isolate_movers(timings, sf_dir)
+    )
+    if mover_ratios:
+        out["auto_isolated_movers"] = mover_ratios
+    if auto_isolated:
+        out["isolated"] = auto_isolated
     if isolate_names:
         # After the battery: the same names re-measured in fresh
         # subprocesses, so future verdicts can separate battery
