@@ -510,16 +510,24 @@ def lsh_gen_update(
 # across every index family that serves the affected content
 # ---------------------------------------------------------------------------
 
-_TAKEDOWN_DELETE: dict[str, Callable] = {}
+_TAKEDOWN_DELETE: dict[tuple[str, str], Callable] = {}
 
 
-def _register_takedown_kinds() -> dict[str, Callable]:
+def _register_takedown_kinds() -> dict[tuple[str, str], Callable]:
     if not _TAKEDOWN_DELETE:
+        from mbai_gdb_spark import indexman as M
+
         _TAKEDOWN_DELETE.update(
-            bm25=bm25_gen_delete,
-            lsh=lsh_gen_delete,
-            ivf=ivf_gen_delete,
-            ivfpq=ivfpq_gen_delete,
+            {
+                ("bm25", "generation"): bm25_gen_delete,
+                ("lsh", "generation"): lsh_gen_delete,
+                ("ivf", "generation"): ivf_gen_delete,
+                ("ivfpq", "generation"): ivfpq_gen_delete,
+                ("bm25", "manifest"): M.bm25_man_delete,
+                ("lsh", "manifest"): M.lsh_man_delete,
+                ("ivf", "manifest"): M.ivf_man_delete,
+                ("ivfpq", "manifest"): M.ivfpq_man_delete,
+            }
         )
     return _TAKEDOWN_DELETE
 
@@ -541,7 +549,12 @@ def takedown_documents(
     / raw vectors), and each index publishes ONE generation via its
     fused ``*_gen_delete`` — touched directories rewritten once, the
     pointer swap per root atomic, crash = that root serves its previous
-    generation.
+    generation.  ``kwargs`` may carry ``backend="manifest"`` to route
+    that entry through the object-store manifest backend
+    (:mod:`mbai_gdb_spark.indexman` — same verified delete, commit is
+    one manifest-pointer PUT instead of a hardlink-generation swap);
+    default backend is ``"generation"``, and a single request may mix
+    backends per index.
 
     Atomicity contract: PER INDEX, not cross-index — the roots are
     independent pointer-published trees (on an object store,
@@ -558,15 +571,18 @@ def takedown_documents(
     applied: list[dict] = []
     for req in requests:
         kind, frame, root = req[0], req[1], req[2]
-        kw = req[3] if len(req) > 3 else {}
-        fn = kinds.get(kind)
+        kw = dict(req[3]) if len(req) > 3 else {}
+        backend = kw.pop("backend", "generation")
+        fn = kinds.get((kind, backend))
         if fn is None:
             raise ValueError(
-                f"takedown_documents: unknown index kind {kind!r} "
-                f"(expected one of {sorted(kinds)})"
+                f"takedown_documents: unknown index kind {kind!r} / "
+                f"backend {backend!r} (expected kinds "
+                f"{sorted({k for k, _ in kinds})}, backends "
+                f"{sorted({b for _, b in kinds})})"
             )
         try:
-            path = fn(frame, root, **kw)
+            published = fn(frame, root, **kw)
         except Exception as exc:
             raise RuntimeError(
                 f"takedown_documents: {kind} delete at {root} failed after "
@@ -575,6 +591,13 @@ def takedown_documents(
                 "correct — retry the remaining entries only"
             ) from exc
         applied.append(
-            {"kind": kind, "root": root, "generation": os.path.basename(path)}
+            {
+                "kind": kind,
+                "backend": backend,
+                "root": root,
+                # generation wrappers return the generation PATH; the
+                # manifest wrappers return the manifest NAME
+                "generation": os.path.basename(published),
+            }
         )
     return applied

@@ -390,6 +390,123 @@ def bm25_man_probe(spark, root: str, queries_df, **kw):
     return bm25_probe_persisted(spark, manifest_view(root), queries_df, **kw)
 
 
+def ivf_man_build(corpus, root: str, **kw) -> str:
+    """Manifest 1 of a plain (raw-vector) IVF index."""
+    from mbai_gdb_spark.ops.similarity import ivf_persist
+
+    return manifest_build(root, lambda p: ivf_persist(corpus, p, **kw))
+
+
+def ivf_man_append(vectors, root: str, **kw) -> str:
+    """Frozen-centroid insert published as a new manifest."""
+    from mbai_gdb_spark.ops.similarity import ivf_append
+
+    return manifest_mutate(root, lambda p: ivf_append(vectors, p, **kw))
+
+
+def ivf_man_delete(vectors, root: str, **kw) -> str:
+    """Physical delete (stored-value-verified) as a new manifest."""
+    from mbai_gdb_spark.ops.similarity import ivf_delete
+
+    return manifest_mutate(root, lambda p: ivf_delete(vectors, p, **kw))
+
+
+def ivf_man_update(old_vectors, new_vectors, root: str, **kw) -> str:
+    """Fused raw-vector update as a single new manifest."""
+    from mbai_gdb_spark.ops.similarity import ivf_update
+
+    return manifest_mutate(
+        root, lambda p: ivf_update(old_vectors, new_vectors, p, **kw)
+    )
+
+
+def ivf_man_probe(spark, root: str, queries, **kw):
+    from mbai_gdb_spark.ops.similarity import ivf_probe_persisted
+
+    return ivf_probe_persisted(spark, manifest_view(root), queries, **kw)
+
+
+def ivfpq_man_build(corpus, root: str, **kw) -> str:
+    """Manifest 1 of a residual IVF-PQ index."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_persist
+
+    return manifest_build(root, lambda p: ivfpq_persist(corpus, p, **kw))
+
+
+def ivfpq_man_append(vectors, root: str, **kw) -> str:
+    """Frozen-quantizer insert published as a new manifest."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_append
+
+    return manifest_mutate(root, lambda p: ivfpq_append(vectors, p, **kw))
+
+
+def ivfpq_man_delete(vectors, root: str, **kw) -> str:
+    """Physical delete (found-by-id in assigned lists) as a new
+    manifest."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_delete
+
+    return manifest_mutate(root, lambda p: ivfpq_delete(vectors, p, **kw))
+
+
+def ivfpq_man_update(old_vectors, new_vectors, root: str, **kw) -> str:
+    """Fused code update under frozen quantizers as a single new
+    manifest."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_update
+
+    return manifest_mutate(
+        root, lambda p: ivfpq_update(old_vectors, new_vectors, p, **kw)
+    )
+
+
+def ivfpq_man_probe(spark, root: str, queries, **kw):
+    from mbai_gdb_spark.ops.similarity import ivfpq_probe_persisted
+
+    return ivfpq_probe_persisted(spark, manifest_view(root), queries, **kw)
+
+
+def lsh_man_build(buckets, root: str, **kw) -> str:
+    """Manifest 1 of a bucketed LSH near-dup index."""
+    from mbai_gdb_spark.ops.dedup import lsh_index_persist_bucketed
+
+    return manifest_build(
+        root, lambda p: lsh_index_persist_bucketed(buckets, p, **kw)
+    )
+
+
+def lsh_man_append(buckets, root: str, **kw) -> str:
+    """O(delta) bucket-row insert published as a new manifest."""
+    from mbai_gdb_spark.ops.dedup import lsh_index_append_bucketed
+
+    return manifest_mutate(
+        root, lambda p: lsh_index_append_bucketed(buckets, p, **kw)
+    )
+
+
+def lsh_man_delete(buckets, root: str, **kw) -> str:
+    """Physical delete (banding-verified) as a new manifest."""
+    from mbai_gdb_spark.ops.dedup import lsh_index_delete_bucketed
+
+    return manifest_mutate(
+        root, lambda p: lsh_index_delete_bucketed(buckets, p, **kw)
+    )
+
+
+def lsh_man_update(old_buckets, new_buckets, root: str, **kw) -> str:
+    """Fused banding update as a single new manifest."""
+    from mbai_gdb_spark.ops.dedup import lsh_index_update_bucketed
+
+    return manifest_mutate(
+        root,
+        lambda p: lsh_index_update_bucketed(old_buckets, new_buckets, p, **kw),
+    )
+
+
+def lsh_man_probe(spark, root: str, probe_buckets, **kw):
+    from mbai_gdb_spark.ops.dedup import lsh_probe_bucketed
+
+    return lsh_probe_bucketed(spark, probe_buckets, manifest_view(root), **kw)
+
+
 def prune_manifests(root: str, keep: int = 2) -> dict:
     """Retire old generations and garbage-collect the pool: keep the
     current manifest plus the ``keep - 1`` most recent others, remove

@@ -6,20 +6,35 @@ the deleted docs, decisively.
 Protocol (all timed as FULL lifecycles, publish included):
 - build the bucketed LSH index over the sf1 ``documents`` table as
   generation 1 (banding: the registry pipeline — array MinHash, 16
-  permutations, 4 rows/band);
-- ``delete``: lsh_gen_delete of every doc_id % 10 == 7 — hardlink
-  clone + touched-directory rewrites + pointer swap;
+  permutations, 4 rows/band; n_buckets=256 — at 50k+ docs the
+  registry's 32-dir demo layout makes EVERY delete touch every
+  directory, hiding the touched-dir asymptote the design exists for);
+- ``delete_small``: lsh_gen_delete of a takedown-sized slice
+  (doc_id % 997 == 7, ~0.1% of the corpus) — the regime a real
+  verdict/DMCA/PII request lives in;
+- ``delete_bulk``: lsh_gen_delete of every remaining doc_id % 10 == 7
+  (~10% — a dedup-verdict-sized purge, whose banding spray touches
+  most directories, so it SHOULD cost rebuild-order time);
 - ``rebuild``: generation_build of a fresh index over the corpus MINUS
-  the same docs (what an operator without incremental delete must run);
-- a pointer-served probe (doc_id % 10 == 3 batch) before/after the
-  delete for serving-latency context, plus a result-equivalence check
-  between the deleted index and the rebuild (same pairs served).
+  both slices (what an operator without incremental delete must run
+  for ANY removal, however small);
+- a pointer-served probe (doc_id % 10 == 3 batch, minus deleted)
+  before/after for serving-latency context, plus a result-equivalence
+  check: probes of the twice-deleted index equal the rebuild's.
+Touched-directory counts are recorded per delete — the cost MODEL
+(touched dirs / total dirs), not just the wall.
 
 Merges ``{"lsh_delete_vs_rebuild_sf1": {...}}`` into the round's
 BENCH_full file and prints one JSON line.
 
-Run: python tools/lifecycle_sf1_experiment.py [sf_dir]
-(default .localdata/sf1; works at any sf tier for A/B-ing scales).
+Run: python tools/lifecycle_sf1_experiment.py [sf_dir] [reps]
+(default .localdata/sf1, reps=1; works at any sf tier for A/B-ing
+scales).  ``reps`` > 1 replicates the document table in-plan with
+key-offset ids and a per-replica text token (the gen_sf1 recipe) —
+the cheap way to put REAL-shaped documents at 10x the tier's size
+under the rebuild without another dataset on disk; the takedown-sized
+slice stays ~51 docs, so the ratio isolates the asymptote: rebuild
+tracks the corpus, the takedown tracks touched directories.
 """
 
 from __future__ import annotations
@@ -52,20 +67,54 @@ def main() -> None:
     spark = get_spark("lifecycle-sf1")
     spark.sparkContext.setLogLevel("ERROR")
 
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    n_buckets = 256
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if reps > 1:
+        stride = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        docs = docs.sparkSession.range(reps).select(
+            F.col("id").alias("__rep__")
+        ).crossJoin(docs).select(
+            (F.col("doc_id") + F.col("__rep__") * stride).alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit(" rep"), F.col("__rep__").cast("string")
+            ).alias("text"),
+        )
+        docs = docs.repartition(32).localCheckpoint()
     n_docs = docs.count()
-    take = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 7)
-    survivors = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 7)
+    small = docs.filter(F.pmod(F.col("doc_id"), F.lit(997)) == 7)
+    bulk = docs.filter(
+        (F.pmod(F.col("doc_id"), F.lit(10)) == 7)
+        & (F.pmod(F.col("doc_id"), F.lit(997)) != 7)
+    )
+    survivors = docs.filter(
+        (F.pmod(F.col("doc_id"), F.lit(10)) != 7)
+        & (F.pmod(F.col("doc_id"), F.lit(997)) != 7)
+    )
     probe_batch = _doc_lsh_buckets(
-        docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
+        survivors.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 3)
     ).localCheckpoint()
+
+    def touched_dirs(frame) -> int:
+        from mbai_gdb_spark.ops.dedup import lsh_partition_bucket
+
+        return (
+            _doc_lsh_buckets(frame)
+            .select(
+                lsh_partition_bucket(
+                    F.col("band"), F.col("bucket"), n_buckets
+                ).alias("pbkt")
+            )
+            .distinct()
+            .count()
+        )
 
     work = tempfile.mkdtemp(prefix="mbai_lifecycle_sf1_")
     root = os.path.join(work, "inc")
     rebuilt = os.path.join(work, "rebuilt")
     try:
         t0 = time.perf_counter()
-        G.lsh_gen_build(_doc_lsh_buckets(docs), root, n_buckets=32)
+        G.lsh_gen_build(_doc_lsh_buckets(docs), root, n_buckets=n_buckets)
         build_secs = round(time.perf_counter() - t0, 3)
 
         def probe(r):
@@ -83,8 +132,14 @@ def main() -> None:
         _, probe_before = probe(root)
 
         t0 = time.perf_counter()
-        G.lsh_gen_delete(_doc_lsh_buckets(take), root)
-        delete_secs = round(time.perf_counter() - t0, 3)
+        G.lsh_gen_delete(_doc_lsh_buckets(small), root)
+        delete_small_secs = round(time.perf_counter() - t0, 3)
+        small_dirs = touched_dirs(small)
+
+        t0 = time.perf_counter()
+        G.lsh_gen_delete(_doc_lsh_buckets(bulk), root)
+        delete_bulk_secs = round(time.perf_counter() - t0, 3)
+        bulk_dirs = touched_dirs(bulk)
 
         pairs_after, probe_after = probe(root)
 
@@ -92,7 +147,7 @@ def main() -> None:
         G.generation_build(
             rebuilt,
             lambda p: lsh_index_persist_bucketed(
-                _doc_lsh_buckets(survivors), p, n_buckets=32
+                _doc_lsh_buckets(survivors), p, n_buckets=n_buckets
             ),
         )
         rebuild_secs = round(time.perf_counter() - t0, 3)
@@ -101,11 +156,25 @@ def main() -> None:
         rec = {
             "sf_dir": sf_dir,
             "n_docs": n_docs,
-            "deleted_frac": 0.1,
+            "n_buckets": n_buckets,
             "build_secs": build_secs,
-            "delete_secs": delete_secs,
+            "delete_small": {
+                "n_docs": small.count(),
+                "secs": delete_small_secs,
+                "touched_dirs": small_dirs,
+                "rebuild_over_delete": round(
+                    rebuild_secs / delete_small_secs, 2
+                ),
+            },
+            "delete_bulk": {
+                "n_docs": bulk.count(),
+                "secs": delete_bulk_secs,
+                "touched_dirs": bulk_dirs,
+                "rebuild_over_delete": round(
+                    rebuild_secs / delete_bulk_secs, 2
+                ),
+            },
             "rebuild_without_secs": rebuild_secs,
-            "rebuild_over_delete": round(rebuild_secs / delete_secs, 2),
             "probe_before_secs": probe_before,
             "probe_after_secs": probe_after,
             "delete_equals_rebuild": pairs_after == pairs_rebuilt,
@@ -113,9 +182,12 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    rec["reps"] = reps
+    key = "lsh_delete_vs_rebuild_sf1" + (f"_x{reps}" if reps > 1 else "")
+
     import bench
 
-    bench._merge_into_full_battery({"lsh_delete_vs_rebuild_sf1": rec})
+    bench._merge_into_full_battery({key: rec})
     print(json.dumps(rec))
 
 
