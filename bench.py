@@ -259,18 +259,40 @@ def _persist_full_battery(out: dict) -> None:
                 with open(path) as f:
                     prev = json.load(f)
                 if isinstance(prev, dict):
-                    for key in ("isolated", "compaction"):
-                        if key not in out and key in prev:
-                            # Carry the evidence AND any verdict note the
-                            # builder attached to it — a generic carry
-                            # stamp must not clobber an existing note.
-                            note = prev.get(
-                                f"{key}_note",
-                                "carried from this round's earlier "
-                                "flagged run (this run had no such "
-                                "flag)",
-                            )
-                            out = {**out, key: prev[key], f"{key}_note": note}
+                    # Carry EVERY evidence key a rewrite would otherwise
+                    # drop (isolated verdicts, compaction probes,
+                    # experiment records like lsh_delete_vs_rebuild_*,
+                    # builder-attached *_note adjudications) — only the
+                    # battery's own per-run keys are volatile.  With
+                    # auto-isolation both runs usually HAVE an isolated
+                    # record, so that one merges per name (this run's
+                    # fresh samples win a name collision; the other
+                    # run's names survive).
+                    volatile = {
+                        "metric",
+                        "value",
+                        "unit",
+                        "queries",
+                        "queries_cold",
+                        "scale_guard",
+                        "sf",
+                        "sf1",
+                        "auto_isolated_movers",
+                    }
+                    out = dict(out)
+                    for key, val in prev.items():
+                        if key == "isolated":
+                            merged = dict(val)
+                            merged.update(out.get("isolated", {}))
+                            out["isolated"] = merged
+                        elif key not in volatile and key not in out:
+                            out[key] = val
+                    if "isolated" in prev and "isolated_note" not in out:
+                        out["isolated_note"] = prev.get(
+                            "isolated_note",
+                            "carried/merged from this round's earlier "
+                            "runs",
+                        )
             except (OSError, ValueError):
                 pass
         with open(path, "w") as f:
