@@ -143,3 +143,73 @@ def test_takedown_unknown_kind_refuses_before_any_mutation(spark, tmp_path):
             [("solr", _docs(spark, _taken()), bm25_root)]
         )
     assert G.current_generation_name(bm25_root) == "gen-000001"
+
+
+def test_takedown_between_streaming_drains_converges(spark, tmp_path):
+    """The ops scenario: an index maintained by the streaming drain
+    receives a takedown BETWEEN drains (the writer lock serializes
+    them), ingest continues afterwards, and the final serving state
+    equals a batch rebuild over (everything ingested − everything
+    taken down).  Exercises writer interleaving on one root: stream
+    append generations, a takedown generation in between, more stream
+    appends — all through the same pointer."""
+    from pyspark.sql import functions as F
+
+    from mbai_gdb_spark.io import read_table
+    from mbai_gdb_spark.ops.dedup import (
+        lsh_index_persist_bucketed,
+        lsh_probe_bucketed,
+    )
+    from mbai_gdb_spark.streaming.search import (
+        run_streaming_lsh_generations_available_now,
+    )
+    from mbai_gdb_spark.queries_north import _doc_lsh_buckets
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 < 2)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    feed1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    feed2 = corpus.filter(F.col("doc_id") % 2 == 1)
+    take1 = feed1.filter(F.col("doc_id") % 15 == 0)
+    take2 = feed2.filter(F.col("doc_id") % 15 == 0)
+
+    src = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "root")
+    feed1.repartition(2).write.parquet(src)
+    run_streaming_lsh_generations_available_now(
+        spark, src, corpus.schema, root, _doc_lsh_buckets,
+        n_buckets=16, checkpoint=ckpt,
+    )
+    # takedown between drains — one generation on the same root
+    G.takedown_documents([("lsh", _doc_lsh_buckets(take1), root)])
+
+    feed2.repartition(2).write.mode("append").parquet(src)
+    run_streaming_lsh_generations_available_now(
+        spark, src, corpus.schema, root, _doc_lsh_buckets,
+        n_buckets=16, checkpoint=ckpt,
+    )
+    G.takedown_documents([("lsh", _doc_lsh_buckets(take2), root)])
+
+    got = sorted(
+        map(
+            tuple,
+            G.lsh_gen_probe(
+                spark, root, _doc_lsh_buckets(probe), max_bucket_size=50
+            ).collect(),
+        )
+    )
+    full = str(tmp_path / "full")
+    survivors = corpus.filter(F.col("doc_id") % 15 != 0)
+    lsh_index_persist_bucketed(_doc_lsh_buckets(survivors), full, n_buckets=16)
+    want = sorted(
+        map(
+            tuple,
+            lsh_probe_bucketed(
+                spark, _doc_lsh_buckets(probe), full, max_bucket_size=50
+            ).collect(),
+        )
+    )
+    assert got == want and len(want) > 0
