@@ -117,8 +117,10 @@ def test_persist_full_battery_carries_isolated(tmp_path, monkeypatch):
     """The builder's --isolate battery writes the round's `isolated`
     record; the driver's later plain run overwrites the same
     BENCH_full file — the persist must carry the record forward (this
-    is how the r8 isolated evidence was lost), while a NEWER --isolate
-    run replaces it outright."""
+    is how the r8 isolated evidence was lost).  Since r12 both runs
+    usually HAVE an isolated record (auto-isolation), so a newer run
+    MERGES per name instead of replacing outright: its fresh samples
+    win name collisions, the earlier run's other names survive."""
     import importlib.util
     import json
     import os
@@ -140,10 +142,13 @@ def test_persist_full_battery_carries_isolated(tmp_path, monkeypatch):
     assert out["isolated"] == iso            # ...but the record survives
     assert "isolated_note" in out
 
-    iso2 = {"b": {"cold": [], "warm": []}}
+    iso2 = {"b": {"cold": [], "warm": []}, "a": {"cold": [2.0], "warm": [1.5]}}
     bench._persist_full_battery({"metric": "x", "queries": {}, "isolated": iso2})
     out = json.load(open(p))
-    assert out["isolated"] == iso2 and "isolated_note" not in out
+    # per-name merge: the new run's samples win the "a" collision and
+    # add "b"; the carried adjudication note survives the rewrite
+    assert out["isolated"] == iso2
+    assert "isolated_note" in out
 
 
 def test_persist_full_battery_preserves_builder_note(tmp_path, monkeypatch):
