@@ -547,6 +547,18 @@ def _auto_isolate_movers(
     prev = _previous_full_battery(repo)
     if not prev:
         return {}, {}
+    # Same-tier comparisons only: a previous battery measured at a
+    # different sf would flag nearly every query (or mask real movers
+    # below the floor) and burn a pointless isolation fleet.
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    cur_sf = float(m.group(1)) if m else -1.0
+    if prev.get("sf") != cur_sf:
+        print(
+            f"bench: auto-isolation skipped — previous battery sf="
+            f"{prev.get('sf')} != this run's sf={cur_sf}",
+            file=sys.stderr,
+        )
+        return {}, {}
     prev_q = prev.get("queries", {})
     ratios: dict[str, float] = {}
     for name, cur in timings.items():

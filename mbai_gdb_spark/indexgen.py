@@ -510,6 +510,17 @@ def lsh_gen_update(
 # across every index family that serves the affected content
 # ---------------------------------------------------------------------------
 
+class TakedownError(RuntimeError):
+    """A takedown entry's delete failed.  ``applied`` carries the
+    structured records of the entries that WERE published before the
+    failure (kind/backend/root/generation) — the audit trail a retry
+    orchestrator needs to re-run only the remaining entries."""
+
+    def __init__(self, message: str, applied: list[dict]):
+        super().__init__(message)
+        self.applied = list(applied)
+
+
 _TAKEDOWN_DELETE: dict[tuple[str, str], Callable] = {}
 
 
@@ -559,16 +570,18 @@ def takedown_documents(
     Atomicity contract: PER INDEX, not cross-index — the roots are
     independent pointer-published trees (on an object store,
     independent manifest pointers), so there is no cheap all-or-nothing
-    commit across them and this function does not fake one.  Entries
-    apply IN ORDER; on failure the raised error propagates with
-    ``applied`` so far visible in the returned list of the retry
-    orchestrator (earlier roots are PUBLISHED and correct — a takedown
-    applied twice would refuse on the already-deleted ids, so retries
-    re-run only the entries after the failure point).  Returns one
-    ``{"kind", "root", "generation"}`` record per applied entry.
+    commit across them and this function does not fake one.  Every
+    entry's ``(kind, backend)`` is validated BEFORE the first mutation
+    (a typo in entry N must not cost N-1 published generations), then
+    entries apply IN ORDER; on a delete failure the raised
+    :class:`TakedownError` carries the structured ``applied`` records
+    (earlier roots are PUBLISHED and correct — a takedown applied twice
+    would refuse on the already-deleted ids, so retries re-run only the
+    entries after the failure point).  Returns one ``{"kind",
+    "backend", "root", "generation"}`` record per applied entry.
     """
     kinds = _register_takedown_kinds()
-    applied: list[dict] = []
+    plan: list[tuple] = []
     for req in requests:
         kind, frame, root = req[0], req[1], req[2]
         kw = dict(req[3]) if len(req) > 3 else {}
@@ -579,16 +592,20 @@ def takedown_documents(
                 f"takedown_documents: unknown index kind {kind!r} / "
                 f"backend {backend!r} (expected kinds "
                 f"{sorted({k for k, _ in kinds})}, backends "
-                f"{sorted({b for _, b in kinds})})"
+                f"{sorted({b for _, b in kinds})}); nothing was applied"
             )
+        plan.append((kind, backend, fn, frame, root, kw))
+    applied: list[dict] = []
+    for kind, backend, fn, frame, root, kw in plan:
         try:
             published = fn(frame, root, **kw)
         except Exception as exc:
-            raise RuntimeError(
+            raise TakedownError(
                 f"takedown_documents: {kind} delete at {root} failed after "
                 f"{len(applied)} of {len(requests)} indexes were published "
                 f"({[a['root'] for a in applied]}); those are complete and "
-                "correct — retry the remaining entries only"
+                "correct — retry the remaining entries only",
+                applied=applied,
             ) from exc
         applied.append(
             {

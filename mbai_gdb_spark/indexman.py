@@ -150,23 +150,42 @@ def _write_manifest(
 
 
 def _sweep_staging(root: str) -> list[str]:
-    """Remove ALL ``_staging-*`` residue under ``root``.  Callers hold
-    the writer lock, and the lock enforces single writer per root — so
-    any staging directory present when a writer starts (or a prune
-    runs) is residue of a CRASHED mutation, regardless of which pid's
-    name it carries (an advice find: pid-named residue from a dead
-    process was never swept by a later process with a different pid,
-    leaking the full materialized index size per crash).  Returns the
-    removed names."""
+    """Remove ``_staging-<pid>`` residue of DEAD processes under
+    ``root`` (an advice find: pid-named residue from a crashed process
+    was never swept by a later process with a different pid, leaking
+    the full materialized index size per crash).  Liveness is probed,
+    not assumed from the lock: "we hold the lock ⇒ any staging is
+    crashed" is FALSE in exactly one case — a writer that overran the
+    lock's ``stale_after`` and lost it to a takeover is still alive and
+    mid-mutation, and rmtree'ing its tree between materialize and
+    ingest would let it publish an empty/truncated manifest (review
+    find).  A live foreign pid's tree is left alone (it will either
+    finish or die and be swept later); unprobeable pids are kept —
+    leaking one directory beats destroying a live writer's staging.
+    Returns the removed names."""
     removed = []
     try:
         names = os.listdir(root)
     except OSError:
         return removed
     for nm in names:
-        if nm.startswith("_staging-"):
-            shutil.rmtree(os.path.join(root, nm), ignore_errors=True)
-            removed.append(nm)
+        if not nm.startswith("_staging-"):
+            continue
+        pid_part = nm[len("_staging-"):]
+        if pid_part.isdigit() and int(pid_part) != os.getpid():
+            try:
+                os.kill(int(pid_part), 0)
+                continue  # alive: an overrunning writer, not residue
+            except ProcessLookupError:
+                pass  # dead: crashed residue — sweep it
+            except OSError:
+                continue  # unknowable: keep (leak beats data loss)
+        elif pid_part.isdigit():
+            pass  # our own pid: safe — we are about to recreate it
+        else:
+            continue  # unrecognized name: not ours to delete
+        shutil.rmtree(os.path.join(root, nm), ignore_errors=True)
+        removed.append(nm)
     return removed
 
 

@@ -123,6 +123,26 @@ def test_build_and_prune_sweep_foreign_staging_residue(spark, tmp_path):
     assert not os.path.exists(residue)
 
 
+def test_sweep_spares_live_foreign_writers_staging(spark, tmp_path):
+    """A LIVE foreign pid's staging tree is an overrunning writer that
+    lost a stale-lock takeover, not residue — sweeping it would let
+    that writer publish an empty/truncated manifest (review find).
+    pid 1 is always alive; an unparseable suffix is not ours to touch."""
+    root = str(tmp_path / "man")
+    _man_build(spark, root)
+    live = os.path.join(root, "_staging-1")
+    weird = os.path.join(root, "_staging-not-a-pid")
+    os.makedirs(live)
+    os.makedirs(weird)
+    dead = _plant_residue(root)  # _staging-99999999
+    M.manifest_mutate(
+        root,
+        lambda p: bm25_index_append(_docs(spark, [(12, "fresh night")]), p),
+    )
+    assert os.path.exists(live) and os.path.exists(weird)
+    assert not os.path.exists(dead)
+
+
 # ---------------------------------------------------------------------------
 # 3. copy-fallback visibility + healthy-path stats
 # ---------------------------------------------------------------------------

@@ -73,3 +73,34 @@ def test_fresh_write_without_previous_file(tmp_path, monkeypatch):
     got = json.load(open(path))
     assert got["value"] == 1.0
     assert "isolated_note" not in got
+
+
+def test_auto_isolate_guards(tmp_path, monkeypatch):
+    """The drift gate only compares same-tier batteries (an sf change
+    would flag nearly everything and burn a pointless isolation fleet
+    — review find), honors the kill switch, and flags nothing when the
+    shared set is flat."""
+    bench, _ = _load_bench(tmp_path, monkeypatch)
+    # the repo's real previous battery (sf 0.1) is the comparison base
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prev = bench._previous_full_battery(repo)
+    if not prev or prev.get("sf") != 0.1:
+        import pytest
+
+        pytest.skip("no sf0.1 battery on disk to compare against")
+    some = dict(list(prev["queries"].items())[:5])
+
+    # 1. tier mismatch: skipped outright even with huge ratios
+    ratios, iso = bench._auto_isolate_movers(
+        {k: v * 10 for k, v in some.items()}, "/root/testdata/sf0.01"
+    )
+    assert (ratios, iso) == ({}, {})
+    # 2. same tier, flat timings: no movers, no subprocesses
+    ratios, iso = bench._auto_isolate_movers(some, "/root/testdata/sf0.1")
+    assert (ratios, iso) == ({}, {})
+    # 3. kill switch wins over everything
+    monkeypatch.setenv("SPARK_GRAFT_NO_AUTOISOLATE", "1")
+    ratios, iso = bench._auto_isolate_movers(
+        {k: v * 10 for k, v in some.items()}, "/root/testdata/sf0.1"
+    )
+    assert (ratios, iso) == ({}, {})

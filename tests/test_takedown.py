@@ -112,13 +112,18 @@ def test_takedown_partial_failure_keeps_prefix_and_retry_converges(
 ):
     bm25_root, lsh_root = _stand_up(spark, tmp_path)
     absent = [(999, "totally absent document text")]
-    with pytest.raises(RuntimeError, match="1 of 2 indexes"):
+    with pytest.raises(G.TakedownError, match="1 of 2 indexes") as ei:
         G.takedown_documents(
             [
                 ("bm25", _docs(spark, _taken()), bm25_root),
                 ("lsh", _buckets(spark, absent), lsh_root),  # refuses
             ]
         )
+    # the exception carries the structured audit trail of what WAS
+    # published (review find: the docstring promised it, the prose-only
+    # message didn't deliver it)
+    assert [a["kind"] for a in ei.value.applied] == ["bm25"]
+    assert ei.value.applied[0]["generation"] == "gen-000002"
     # prefix published and correct; failing root untouched
     assert G.current_generation_name(bm25_root) == "gen-000002"
     assert G.current_generation_name(lsh_root) == "gen-000001"
@@ -137,10 +142,29 @@ def test_takedown_partial_failure_keeps_prefix_and_retry_converges(
 
 
 def test_takedown_unknown_kind_refuses_before_any_mutation(spark, tmp_path):
-    bm25_root, _ = _stand_up(spark, tmp_path)
+    """(kind, backend) validation is UP FRONT: a typo in a LATER entry
+    must not cost the earlier entries' published generations (review
+    find — lazy validation published entry 1 before entry 2's
+    ValueError, and a whole-list retry then refused on the
+    already-deleted ids)."""
+    bm25_root, lsh_root = _stand_up(spark, tmp_path)
     with pytest.raises(ValueError, match="unknown index kind"):
         G.takedown_documents(
             [("solr", _docs(spark, _taken()), bm25_root)]
+        )
+    with pytest.raises(ValueError, match="nothing was applied"):
+        G.takedown_documents(
+            [
+                ("bm25", _docs(spark, _taken()), bm25_root),  # valid...
+                ("solr", _docs(spark, _taken()), lsh_root),  # ...typo
+            ]
+        )
+    # NOTHING published in either case
+    assert G.current_generation_name(bm25_root) == "gen-000001"
+    assert G.current_generation_name(lsh_root) == "gen-000001"
+    with pytest.raises(ValueError, match="backend"):
+        G.takedown_documents(
+            [("bm25", _docs(spark, _taken()), bm25_root, {"backend": "s3"})]
         )
     assert G.current_generation_name(bm25_root) == "gen-000001"
 
