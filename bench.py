@@ -293,7 +293,10 @@ def _persist_full_battery(out: dict) -> None:
                             "carried/merged from this round's earlier "
                             "runs",
                         )
-            except (OSError, ValueError):
+            # TypeError: a malformed prior file (e.g. "isolated" not a
+            # dict) must not crash the battery's final persist after a
+            # multi-hour run — drop the carry, keep this run's numbers.
+            except (OSError, ValueError, TypeError):
                 pass
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
@@ -566,9 +569,15 @@ def _auto_isolate_movers(
         if not pv or pv <= 0 or max(pv, cur) < floor:
             continue
         r = cur / pv
-        if r > threshold:
+        # Both directions: an apparent SPEEDUP of the same magnitude is
+        # equally likely to be session drift (advice find) — without an
+        # isolated re-measure it would land in BENCH_full and be
+        # misread as a real improvement.
+        if r > threshold or r < 1.0 / threshold:
             ratios[name] = round(r, 2)
-    movers = sorted(ratios, key=ratios.get, reverse=True)[:cap]
+    movers = sorted(
+        ratios, key=lambda n: max(ratios[n], 1.0 / ratios[n]), reverse=True
+    )[:cap]
     if not movers:
         return ratios, {}
     print(

@@ -149,6 +149,34 @@ def _write_manifest(
     return name
 
 
+def _live_foreign_staging(root: str) -> list[str]:
+    """``_staging-<pid>`` directories under ``root`` whose owning pid is
+    a DIFFERENT process that is (or may be) still alive — i.e. exactly
+    the trees :func:`_sweep_staging` spares.  A non-empty answer means a
+    writer that overran the lock's ``stale_after`` may be mid-mutation
+    right now, so "we hold the lock ⇒ nothing is in flight" is false
+    and destructive passes (object GC) must stand down (advice find)."""
+    live = []
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return live
+    for nm in names:
+        if not nm.startswith("_staging-"):
+            continue
+        pid_part = nm[len("_staging-"):]
+        if not pid_part.isdigit() or int(pid_part) == os.getpid():
+            continue
+        try:
+            os.kill(int(pid_part), 0)
+            live.append(nm)  # alive
+        except ProcessLookupError:
+            pass  # dead: sweepable residue, not live
+        except OSError:
+            live.append(nm)  # unknowable: treat as live (safe side)
+    return live
+
+
 def _sweep_staging(root: str) -> list[str]:
     """Remove ``_staging-<pid>`` residue of DEAD processes under
     ``root`` (an advice find: pid-named residue from a crashed process
@@ -532,7 +560,10 @@ def prune_manifests(root: str, keep: int = 2) -> dict:
     the rest (and their views), then delete every object no surviving
     manifest references — including orphans from crashed ingests (and
     crashed writers' ``_staging-*`` residue).
-    Returns {"manifests": [...removed...], "objects": n_removed}.
+    Returns {"manifests": [...removed...], "objects": n_removed}; when
+    a LIVE foreign writer's staging tree is present the object-GC pass
+    is deferred (``objects: 0`` plus a ``gc_deferred`` key naming the
+    trees) — see :func:`_live_foreign_staging`.
 
     Runs under the root's writer intent lock (advice find): GC decides
     liveness from the manifest listing + pointer, so racing an
@@ -549,6 +580,17 @@ def prune_manifests(root: str, keep: int = 2) -> dict:
 
 def _prune_manifests_locked(root: str, keep: int) -> dict:
     _sweep_staging(root)
+    # Liveness-aware GC gate (advice find, mirroring the sweep's own
+    # fix): a writer that overran the lock's stale_after and lost it to
+    # a takeover may be mid-_ingest_tree RIGHT NOW — its freshly moved
+    # pool objects are not yet referenced by any manifest, so the
+    # unreferenced-object GC below would delete them and the writer's
+    # subsequently published manifest would name missing objects.  If
+    # the sweep spared any live (or unknowable) foreign staging tree,
+    # the object-GC pass is DEFERRED to a later prune; manifest/view
+    # retirement is still safe (the live writer only reads the current
+    # manifest's objects, which GC never touches).
+    live_staging = _live_foreign_staging(root)
     cur = current_manifest_name(root)
     mans = list_manifests(root)
     if cur is None or cur not in mans:
@@ -566,6 +608,21 @@ def _prune_manifests_locked(root: str, keep: int) -> dict:
             ignore_errors=True,
         )
         removed.append(n)
+    if live_staging:
+        warnings.warn(
+            f"indexman.prune_manifests({root}): object GC deferred — "
+            f"live foreign staging present ({', '.join(live_staging)}); "
+            "an overrunning writer may be mid-ingest and its new objects "
+            "are not yet manifest-referenced.  Re-run prune after it "
+            "finishes (or dies) to reclaim the pool.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return {
+            "manifests": removed,
+            "objects": 0,
+            "gc_deferred": list(live_staging),
+        }
     referenced = set()
     for n in keep_set:
         referenced.update(read_manifest(root, n)["files"].values())

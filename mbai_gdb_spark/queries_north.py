@@ -5029,9 +5029,12 @@ def _takedown_oracle() -> str:
       every survivor's idf/avgdl, which is why serving it demands the
       physical delete, not a mask);
     - lsh: full-corpus LSH banding over (survivors ∪ probe batch)
-      restricted to batch-touching pairs — the batch (doc_id % 3 == 2,
-      never indexed) still probes, but no pair may name a taken-down
-      doc;
+      restricted to batch-touching pairs — the certified property is
+      scoped to INDEXED content: no pair may name a taken-down doc on
+      the survivor (indexed) side.  Batch docs (doc_id % 3 == 2) were
+      never indexed, so takedown has nothing to remove for them and
+      batch ids that also match the takedown predicate (% 10 == 7)
+      legitimately keep probing and appearing in pairs;
     - ivf / ivfpq: the frozen-quantizer pipelines with the deleted ids
       excluded from the CANDIDATE set only (quantizers never retrain on
       delete; id 7 still queries — takedown removes it as a RESULT, not
