@@ -554,6 +554,47 @@ def lsh_man_probe(spark, root: str, probe_buckets, **kw):
     return lsh_probe_bucketed(spark, probe_buckets, manifest_view(root), **kw)
 
 
+def man_compact(
+    spark, root: str, partition_col: str, max_files: int = 1
+) -> list:
+    """Compaction published as a new manifest — the manifest twin of
+    :func:`indexgen.gen_compact`: ``io.compact_partitioned`` runs
+    against a staging tree materialized from the current manifest, so
+    probes (which read immutable per-manifest views) never observe a
+    missing or partial partition directory.  Rewritten directories
+    ingest as new objects; untouched directories keep their object
+    references by inode identity — the mutation's pool growth is
+    exactly the fragmented set it rewrote.
+
+    The no-op pre-check reads the MANIFEST, not the filesystem: the
+    manifest already lists every file of every partition directory, so
+    an unfragmented index pays one small JSON read per tick, no
+    materialization and no directory walk.  Returns the compacted
+    partition values ([] for a no-op)."""
+    from mbai_gdb_spark.io import compact_partitioned
+
+    cur = current_manifest_name(root)
+    if cur is None:
+        raise ValueError(f"man_compact: no published manifest at {root}")
+    files = read_manifest(root, cur)["files"]
+    prefix = f"{partition_col}="
+    counts: dict[str, int] = {}
+    for rel in files:
+        head, _, tail = rel.partition("/")
+        if head.startswith(prefix) and tail.endswith(".parquet"):
+            counts[head] = counts.get(head, 0) + 1
+    if not any(v > max_files for v in counts.values()):
+        return []
+    done: list = []
+    manifest_mutate(
+        root,
+        lambda p: done.extend(
+            compact_partitioned(spark, p, partition_col, max_files)
+        ),
+    )
+    return done
+
+
 def prune_manifests(root: str, keep: int = 2) -> dict:
     """Retire old generations and garbage-collect the pool: keep the
     current manifest plus the ``keep - 1`` most recent others, remove

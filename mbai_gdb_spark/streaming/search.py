@@ -297,6 +297,222 @@ def generation_index_batch_applier(
     return apply_batch
 
 
+def _read_man_tag(root: str) -> str | None:
+    """The ``_gen_tag`` of the CURRENT manifest, read straight from the
+    object pool — no view materialization.  The tag file is written
+    INSIDE the staging tree by the mutation, so it ingests as an object
+    listed in the manifest and publishes atomically with the pointer
+    PUT — the exact property the hardlink backend gets from writing
+    ``_gen_tag`` inside the generation before the pointer swap."""
+    from mbai_gdb_spark import indexman as M
+
+    cur = M.current_manifest_name(root)
+    if cur is None:
+        return None
+    obj = M.read_manifest(root, cur)["files"].get(_GEN_TAG)
+    if obj is None:
+        return None
+    with open(os.path.join(M._objects_dir(root), obj)) as f:
+        return f.read().strip() or None
+
+
+def manifest_index_batch_applier(
+    root: str, build_fn, append_fn, keep_manifests: int | None = 3
+):
+    """The object-store twin of :func:`generation_index_batch_applier`:
+    every micro-batch merge runs against a staging tree materialized
+    from the current MANIFEST (mbai_gdb_spark.indexman), only the
+    delta's new bytes ingest as immutable objects, and publishing is
+    one pointer PUT — so on a real object store (no hardlinks, no
+    atomic directory renames) the streaming story keeps the identical
+    self-healing contract:
+
+    - crash mid-build / mid-append → a partial staging tree and maybe
+      orphan objects, NO new manifest: the pointer serves the previous
+      generation and the replayed batch re-merges (orphans are GC'd by
+      ``prune_manifests``);
+    - crash between the pointer PUT and the ledger-marker write → the
+      replayed batch's id equals the current manifest's ``_gen_tag``
+      (an object listed IN that manifest, so it published atomically
+      with the PUT) and the merge is skipped — exactly-once without
+      layout duplicate guards.
+
+    The tag file is (re)written inside the staging tree via
+    tmp + ``os.replace`` — the staged previous tag is a HARDLINK into
+    the immutable object pool, and an in-place ``open('w')`` would
+    truncate through the link into published bytes (the same invariant
+    :func:`_write_gen_tag` defends for hardlink generations).
+
+    ``keep_manifests`` bounds history: after each recorded batch,
+    manifests older than the newest N retire and unreferenced pool
+    objects are garbage-collected (liveness-gated; see
+    ``indexman.prune_manifests``).  Keep it ≥ 2 so an in-flight probe's
+    view outlives the batch that superseded it; None disables pruning."""
+    from mbai_gdb_spark import indexman as M
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(root, _BATCH_MARKER)
+        last = -1
+        if os.path.exists(marker):
+            with open(marker) as f:
+                last = int(f.read().strip() or -1)
+        if batch_id <= last:
+            return  # replay of a ledgered batch
+        if not batch_df.isEmpty():
+            cur = M.current_manifest_name(root)
+            if cur is None:
+                # First data (or a crashed BUILD replaying: partials
+                # never published; object names are never reused).
+                M.manifest_build(
+                    root,
+                    lambda p: (build_fn(batch_df, p), _write_gen_tag(p, batch_id)),
+                )
+            elif _read_man_tag(root) == str(batch_id):
+                pass  # published, marker lost: already merged — skip
+            else:
+                M.manifest_mutate(
+                    root,
+                    lambda p: (append_fn(batch_df, p), _write_gen_tag(p, batch_id)),
+                )
+        os.makedirs(root, exist_ok=True)
+        with open(marker, "w") as f:  # LAST: fast-path dedup only
+            f.write(str(batch_id))
+        if keep_manifests and M.current_manifest_name(root):
+            M.prune_manifests(root, keep=keep_manifests)
+
+    return apply_batch
+
+
+def _with_man_compaction_tick(applier, root: str, partition_col: str, every: int):
+    """The manifest flavor of :func:`_with_gen_compaction_tick`: the
+    tick is ``indexman.man_compact``, so compaction publishes as a new
+    manifest with NO probe-visible window; its no-op pre-check reads
+    the manifest listing (one small JSON), not the filesystem.  The
+    compacted manifest REUSES the previous ``_gen_tag`` object (the
+    staged tag is an untouched hardlink), so a post-compaction replay
+    of the same batch id still skips via the tag."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        applier(batch_df, batch_id)
+        if (batch_id + 1) % every == 0:
+            from mbai_gdb_spark import indexman as M
+
+            if M.current_manifest_name(root) is not None:
+                M.man_compact(batch_df.sparkSession, root, partition_col)
+
+    return apply_batch
+
+
+def run_streaming_bm25_manifests_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    root: str,
+    n_buckets: int = 64,
+    positions: bool = False,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+    compact_every: int | None = None,
+    keep_manifests: int | None = 3,
+) -> None:
+    """The object-store twin of
+    :func:`run_streaming_bm25_generations_available_now`: each
+    micro-batch publishes a complete manifest generation via one
+    pointer PUT; probe with ``indexman.bm25_man_probe``.  Same
+    checkpoint-lineage contract, same exactly-once tag mechanism, same
+    stream ≡ batch bit-identity (tests/test_streaming_manifests.py)."""
+    from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
+
+    applier = manifest_index_batch_applier(
+        root,
+        build_fn=lambda df, p: bm25_index_persist(
+            df, p, n_buckets=n_buckets, positions=positions
+        ),
+        append_fn=lambda df, p: bm25_index_append(df, p),
+        keep_manifests=keep_manifests,
+    )
+    if compact_every:
+        applier = _with_man_compaction_tick(applier, root, "bucket", compact_every)
+    _run_available_now(
+        spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
+    )
+
+
+def run_streaming_ivfpq_manifests_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    root: str,
+    centroid_stride: int = 50,
+    code_stride: int = 7,
+    vectorized: bool = True,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+    compact_every: int | None = None,
+    keep_manifests: int | None = 3,
+) -> None:
+    """Manifest-backed IVF-PQ streaming ingest: the first non-empty
+    batch bootstraps the frozen quantizers as manifest 1; every later
+    batch publishes a pure-insert manifest.  Probe with
+    ``indexman.ivfpq_man_probe``."""
+    from mbai_gdb_spark.ops.similarity import ivfpq_append, ivfpq_persist
+
+    applier = manifest_index_batch_applier(
+        root,
+        build_fn=lambda df, p: ivfpq_persist(
+            df,
+            p,
+            centroid_stride=centroid_stride,
+            code_stride=code_stride,
+            vectorized=vectorized,
+        ),
+        append_fn=lambda df, p: ivfpq_append(df, p, vectorized=vectorized),
+        keep_manifests=keep_manifests,
+    )
+    if compact_every:
+        applier = _with_man_compaction_tick(
+            applier, root, "centroid_id", compact_every
+        )
+    _run_available_now(
+        spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
+    )
+
+
+def run_streaming_lsh_manifests_available_now(
+    spark,
+    source_dir: str,
+    schema,
+    root: str,
+    bucketer,
+    n_buckets: int = 32,
+    max_files_per_trigger: int = 1,
+    checkpoint: str | None = None,
+    compact_every: int | None = None,
+    keep_manifests: int | None = 3,
+) -> None:
+    """Manifest-backed streaming ingest for the bucketed LSH near-dup
+    index; same ``bucketer`` contract as the generation runner.  Probe
+    with ``indexman.lsh_man_probe``."""
+    from mbai_gdb_spark.ops.dedup import (
+        lsh_index_append_bucketed,
+        lsh_index_persist_bucketed,
+    )
+
+    applier = manifest_index_batch_applier(
+        root,
+        build_fn=lambda df, p: lsh_index_persist_bucketed(
+            bucketer(df), p, n_buckets=n_buckets
+        ),
+        append_fn=lambda df, p: lsh_index_append_bucketed(bucketer(df), p),
+        keep_manifests=keep_manifests,
+    )
+    if compact_every:
+        applier = _with_man_compaction_tick(applier, root, "pbkt", compact_every)
+    _run_available_now(
+        spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
+    )
+
+
 def run_streaming_bm25_generations_available_now(
     spark,
     source_dir: str,
