@@ -214,6 +214,35 @@ def _with_compaction_tick(applier, index_path: str, partition_col: str, every: i
 _GEN_TAG = "_gen_tag"
 
 
+def _with_lock_patience(fn, patience: float):
+    """Run a mutation, waiting out a TRANSIENTLY held writer lock.
+
+    The intent lock fails FAST by design (io._writer_lock) — correct
+    for two uncoordinated writers, but an index under streaming ingest
+    legitimately sees short-lived foreign writers: a takedown, a prune,
+    a manual compaction.  Without patience the whole drain dies with
+    ConcurrentWriteError the instant one of those lands between
+    batches (and must be restarted to self-heal); with patience the
+    batch WAITS (50 ms polls, bounded by ``patience`` seconds) and
+    proceeds when the maintenance writer releases.  Exclusion is
+    untouched: at no instant do two writers mutate — the loser of the
+    race just retries instead of dying."""
+    from mbai_gdb_spark.io import ConcurrentWriteError
+
+    if patience <= 0:
+        return fn()
+    import time
+
+    deadline = time.monotonic() + patience
+    while True:
+        try:
+            return fn()
+        except ConcurrentWriteError:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.05)
+
+
 def _write_gen_tag(gen_path: str, batch_id: int) -> None:
     """Record the micro-batch a generation merged, INSIDE the
     generation tree — so the tag publishes atomically with the pointer
@@ -236,7 +265,11 @@ def _read_gen_tag(gen_path: str) -> str | None:
 
 
 def generation_index_batch_applier(
-    root: str, build_fn, append_fn, keep_generations: int | None = 3
+    root: str,
+    build_fn,
+    append_fn,
+    keep_generations: int | None = 3,
+    lock_patience: float = 0.0,
 ):
     """The generation-managed foreachBatch shape — the SELF-HEALING
     upgrade of :func:`_ledgered_applier`: every micro-batch merge runs
@@ -261,7 +294,13 @@ def generation_index_batch_applier(
     generations older than the newest N (and crashed partials) are
     pruned — without it a long drain leaks one full index tree per
     micro-batch.  Keep it ≥ 2 so an in-flight probe's generation
-    outlives the batch that superseded it; None disables pruning."""
+    outlives the batch that superseded it; None disables pruning.
+
+    ``lock_patience`` (seconds, default 0 = fail fast) lets the drain
+    WAIT OUT transiently held writer locks — a takedown, prune, or
+    compaction landing between batches — instead of dying with
+    ConcurrentWriteError and needing a restart to self-heal (see
+    :func:`_with_lock_patience`)."""
     from mbai_gdb_spark import indexgen as G
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -277,22 +316,37 @@ def generation_index_batch_applier(
             if cur is None:
                 # First data (or a crashed BUILD replaying: partials are
                 # unpublished and numbering skips them).
-                G.generation_build(
-                    root,
-                    lambda p: (build_fn(batch_df, p), _write_gen_tag(p, batch_id)),
+                _with_lock_patience(
+                    lambda: G.generation_build(
+                        root,
+                        lambda p: (
+                            build_fn(batch_df, p),
+                            _write_gen_tag(p, batch_id),
+                        ),
+                    ),
+                    lock_patience,
                 )
             elif _read_gen_tag(cur) == str(batch_id):
                 pass  # published, marker lost: already merged — skip
             else:
-                G.generation_mutate(
-                    root,
-                    lambda p: (append_fn(batch_df, p), _write_gen_tag(p, batch_id)),
+                _with_lock_patience(
+                    lambda: G.generation_mutate(
+                        root,
+                        lambda p: (
+                            append_fn(batch_df, p),
+                            _write_gen_tag(p, batch_id),
+                        ),
+                    ),
+                    lock_patience,
                 )
         os.makedirs(root, exist_ok=True)
         with open(marker, "w") as f:  # LAST: fast-path dedup only
             f.write(str(batch_id))
         if keep_generations and G.current_generation_name(root):
-            G.prune_generations(root, keep=keep_generations)
+            _with_lock_patience(
+                lambda: G.prune_generations(root, keep=keep_generations),
+                lock_patience,
+            )
 
     return apply_batch
 
@@ -317,7 +371,11 @@ def _read_man_tag(root: str) -> str | None:
 
 
 def manifest_index_batch_applier(
-    root: str, build_fn, append_fn, keep_manifests: int | None = 3
+    root: str,
+    build_fn,
+    append_fn,
+    keep_manifests: int | None = 3,
+    lock_patience: float = 0.0,
 ):
     """The object-store twin of :func:`generation_index_batch_applier`:
     every micro-batch merge runs against a staging tree materialized
@@ -347,7 +405,11 @@ def manifest_index_batch_applier(
     manifests older than the newest N retire and unreferenced pool
     objects are garbage-collected (liveness-gated; see
     ``indexman.prune_manifests``).  Keep it ≥ 2 so an in-flight probe's
-    view outlives the batch that superseded it; None disables pruning."""
+    view outlives the batch that superseded it; None disables pruning.
+
+    ``lock_patience`` (seconds, default 0 = fail fast) waits out
+    transiently held writer locks exactly as in the generation applier
+    (see :func:`_with_lock_patience`)."""
     from mbai_gdb_spark import indexman as M
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -363,22 +425,37 @@ def manifest_index_batch_applier(
             if cur is None:
                 # First data (or a crashed BUILD replaying: partials
                 # never published; object names are never reused).
-                M.manifest_build(
-                    root,
-                    lambda p: (build_fn(batch_df, p), _write_gen_tag(p, batch_id)),
+                _with_lock_patience(
+                    lambda: M.manifest_build(
+                        root,
+                        lambda p: (
+                            build_fn(batch_df, p),
+                            _write_gen_tag(p, batch_id),
+                        ),
+                    ),
+                    lock_patience,
                 )
             elif _read_man_tag(root) == str(batch_id):
                 pass  # published, marker lost: already merged — skip
             else:
-                M.manifest_mutate(
-                    root,
-                    lambda p: (append_fn(batch_df, p), _write_gen_tag(p, batch_id)),
+                _with_lock_patience(
+                    lambda: M.manifest_mutate(
+                        root,
+                        lambda p: (
+                            append_fn(batch_df, p),
+                            _write_gen_tag(p, batch_id),
+                        ),
+                    ),
+                    lock_patience,
                 )
         os.makedirs(root, exist_ok=True)
         with open(marker, "w") as f:  # LAST: fast-path dedup only
             f.write(str(batch_id))
         if keep_manifests and M.current_manifest_name(root):
-            M.prune_manifests(root, keep=keep_manifests)
+            _with_lock_patience(
+                lambda: M.prune_manifests(root, keep=keep_manifests),
+                lock_patience,
+            )
 
     return apply_batch
 
@@ -414,6 +491,7 @@ def run_streaming_bm25_manifests_available_now(
     checkpoint: str | None = None,
     compact_every: int | None = None,
     keep_manifests: int | None = 3,
+    lock_patience: float = 0.0,
 ) -> None:
     """The object-store twin of
     :func:`run_streaming_bm25_generations_available_now`: each
@@ -430,6 +508,7 @@ def run_streaming_bm25_manifests_available_now(
         ),
         append_fn=lambda df, p: bm25_index_append(df, p),
         keep_manifests=keep_manifests,
+        lock_patience=lock_patience,
     )
     if compact_every:
         applier = _with_man_compaction_tick(applier, root, "bucket", compact_every)
@@ -450,6 +529,7 @@ def run_streaming_ivfpq_manifests_available_now(
     checkpoint: str | None = None,
     compact_every: int | None = None,
     keep_manifests: int | None = 3,
+    lock_patience: float = 0.0,
 ) -> None:
     """Manifest-backed IVF-PQ streaming ingest: the first non-empty
     batch bootstraps the frozen quantizers as manifest 1; every later
@@ -468,6 +548,7 @@ def run_streaming_ivfpq_manifests_available_now(
         ),
         append_fn=lambda df, p: ivfpq_append(df, p, vectorized=vectorized),
         keep_manifests=keep_manifests,
+        lock_patience=lock_patience,
     )
     if compact_every:
         applier = _with_man_compaction_tick(
@@ -489,6 +570,7 @@ def run_streaming_lsh_manifests_available_now(
     checkpoint: str | None = None,
     compact_every: int | None = None,
     keep_manifests: int | None = 3,
+    lock_patience: float = 0.0,
 ) -> None:
     """Manifest-backed streaming ingest for the bucketed LSH near-dup
     index; same ``bucketer`` contract as the generation runner.  Probe
@@ -505,6 +587,7 @@ def run_streaming_lsh_manifests_available_now(
         ),
         append_fn=lambda df, p: lsh_index_append_bucketed(bucketer(df), p),
         keep_manifests=keep_manifests,
+        lock_patience=lock_patience,
     )
     if compact_every:
         applier = _with_man_compaction_tick(applier, root, "pbkt", compact_every)
@@ -524,6 +607,7 @@ def run_streaming_bm25_generations_available_now(
     checkpoint: str | None = None,
     compact_every: int | None = None,
     keep_generations: int | None = 3,
+    lock_patience: float = 0.0,
 ) -> None:
     """The generation-managed twin of
     :func:`run_streaming_bm25_index_available_now`: each micro-batch
@@ -544,6 +628,7 @@ def run_streaming_bm25_generations_available_now(
         # No layout-level tag: _gen_tag is the one replay mechanism.
         append_fn=lambda df, p: bm25_index_append(df, p),
         keep_generations=keep_generations,
+        lock_patience=lock_patience,
     )
     if compact_every:
         applier = _with_gen_compaction_tick(applier, root, "bucket", compact_every)
@@ -564,6 +649,7 @@ def run_streaming_ivfpq_generations_available_now(
     checkpoint: str | None = None,
     compact_every: int | None = None,
     keep_generations: int | None = 3,
+    lock_patience: float = 0.0,
 ) -> None:
     """Generation-managed IVF-PQ streaming ingest: the first non-empty
     batch bootstraps the frozen quantizers as generation 1; every later
@@ -585,6 +671,7 @@ def run_streaming_ivfpq_generations_available_now(
         ),
         append_fn=lambda df, p: ivfpq_append(df, p, vectorized=vectorized),
         keep_generations=keep_generations,
+        lock_patience=lock_patience,
     )
     if compact_every:
         applier = _with_gen_compaction_tick(
@@ -745,6 +832,7 @@ def run_streaming_lsh_generations_available_now(
     checkpoint: str | None = None,
     compact_every: int | None = None,
     keep_generations: int | None = 3,
+    lock_patience: float = 0.0,
 ) -> None:
     """Generation-managed streaming ingest for the bucketed LSH
     near-dup index (the round-11 layout): the first non-empty batch
@@ -776,6 +864,7 @@ def run_streaming_lsh_generations_available_now(
         ),
         append_fn=lambda df, p: lsh_index_append_bucketed(bucketer(df), p),
         keep_generations=keep_generations,
+        lock_patience=lock_patience,
     )
     if compact_every:
         applier = _with_gen_compaction_tick(applier, root, "pbkt", compact_every)

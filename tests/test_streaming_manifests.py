@@ -190,6 +190,69 @@ def test_man_applier_publish_before_marker_window_skips(spark, tmp_path):
     assert len(M.list_manifests(root)) == len(mans) + 1
 
 
+def test_applier_lock_patience_waits_out_maintenance_writer(spark, tmp_path):
+    """An index under streaming ingest legitimately sees short-lived
+    foreign writers (a takedown, a prune).  Default behavior stays
+    fail-fast (ConcurrentWriteError kills the batch, restart heals);
+    with ``lock_patience`` the batch WAITS for the maintenance writer
+    to release and then merges — exclusion untouched, drain uninjured.
+    Covers both backends through the shared _with_lock_patience path."""
+    import threading
+
+    from mbai_gdb_spark.io import ConcurrentWriteError, _writer_lock
+    from mbai_gdb_spark.ops.text import bm25_index_append, bm25_index_persist
+    from mbai_gdb_spark.streaming.search import manifest_index_batch_applier
+
+    docs = _docs(spark)
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+    root = str(tmp_path / "root")
+    mk = lambda patience: manifest_index_batch_applier(  # noqa: E731
+        root,
+        build_fn=lambda df, p: bm25_index_persist(df, p, n_buckets=8),
+        append_fn=lambda df, p: bm25_index_append(df, p),
+        keep_manifests=None,
+        lock_patience=patience,
+    )
+    mk(0.0)(b0, 0)
+
+    held = threading.Event()
+    release = threading.Event()
+
+    def hold():
+        with _writer_lock(root):
+            held.set()
+            release.wait(30)
+
+    th = threading.Thread(target=hold)
+    th.start()
+    try:
+        assert held.wait(30)
+        with pytest.raises(ConcurrentWriteError):
+            mk(0.0)(b1, 1)  # fail-fast default: the documented behavior
+        timer = threading.Timer(0.5, release.set)
+        timer.start()
+        mk(30.0)(b1, 1)  # waits out the maintenance writer, then merges
+    finally:
+        release.set()
+        th.join(timeout=30)
+    assert len(M.list_manifests(root)) == 2
+    # and the patient path still respects its bound: a lock that never
+    # releases re-raises once patience expires
+    th2 = threading.Thread(target=hold)
+    release.clear()
+    held.clear()
+    th2.start()
+    try:
+        assert held.wait(30)
+        b2 = b0.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        with pytest.raises(ConcurrentWriteError):
+            mk(0.3)(b2, 2)
+    finally:
+        release.set()
+        th2.join(timeout=30)
+
+
 def test_man_stream_ivfpq_equals_bootstrap_plus_append(spark, tmp_path):
     from mbai_gdb_spark.ops.similarity import (
         ivfpq_append,
