@@ -545,6 +545,7 @@ def _register_takedown_kinds() -> dict[tuple[str, str], Callable]:
 
 def takedown_documents(
     requests: list[tuple],
+    lock_patience: float = 0.0,
 ) -> list[dict]:
     """Enforce one takedown request across EVERY index family that
     serves the affected content — the operation a 100 TB operator
@@ -579,6 +580,13 @@ def takedown_documents(
     would refuse on the already-deleted ids, so retries re-run only the
     entries after the failure point).  Returns one ``{"kind",
     "backend", "root", "generation"}`` record per applied entry.
+
+    ``lock_patience`` (seconds, default 0 = fail fast) waits out a
+    transiently held writer lock per entry — the takedown-while-
+    streaming-ingest case: each root's drain holds its intent lock for
+    one micro-batch merge at a time, so a removal request lands in the
+    next inter-batch gap instead of failing (io.with_lock_patience; the
+    drain side has the symmetric knob on its runners).
     """
     kinds = _register_takedown_kinds()
     plan: list[tuple] = []
@@ -595,10 +603,14 @@ def takedown_documents(
                 f"{sorted({b for _, b in kinds})}); nothing was applied"
             )
         plan.append((kind, backend, fn, frame, root, kw))
+    from mbai_gdb_spark.io import with_lock_patience
+
     applied: list[dict] = []
     for kind, backend, fn, frame, root, kw in plan:
         try:
-            published = fn(frame, root, **kw)
+            published = with_lock_patience(
+                lambda: fn(frame, root, **kw), lock_patience
+            )
         except Exception as exc:
             raise TakedownError(
                 f"takedown_documents: {kind} delete at {root} failed after "

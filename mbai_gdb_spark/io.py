@@ -96,6 +96,28 @@ class ConcurrentWriteError(RuntimeError):
     """Another writer holds the dataset's merge lock."""
 
 
+def with_lock_patience(fn, patience: float):
+    """Run a mutation, waiting out a TRANSIENTLY held writer lock.
+
+    :func:`_writer_lock` fails FAST by design — correct for two
+    uncoordinated writers, but coordinated short-lived contention is
+    legitimate: a streaming drain vs an interleaved takedown/prune, or
+    a takedown vs the drain's own batch merges.  With ``patience`` > 0
+    the loser of the race polls every 50 ms (bounded by ``patience``
+    seconds) instead of dying; exclusion is untouched — at no instant
+    do two writers mutate.  ``patience <= 0`` is a plain call."""
+    if patience <= 0:
+        return fn()
+    deadline = time.monotonic() + patience
+    while True:
+        try:
+            return fn()
+        except ConcurrentWriteError:
+            if time.monotonic() >= deadline:
+                raise
+            time.sleep(0.05)
+
+
 @contextmanager
 def _writer_lock(path: str, stale_after: float | None = 3600.0):
     """Single-writer guard for the read-modify-write sinks.

@@ -215,32 +215,14 @@ _GEN_TAG = "_gen_tag"
 
 
 def _with_lock_patience(fn, patience: float):
-    """Run a mutation, waiting out a TRANSIENTLY held writer lock.
+    """io.with_lock_patience, late-imported: an index under streaming
+    ingest legitimately sees short-lived foreign writers (a takedown, a
+    prune, a manual compaction) — without patience the whole drain dies
+    with ConcurrentWriteError the instant one lands between batches and
+    must be restarted to self-heal."""
+    from mbai_gdb_spark.io import with_lock_patience
 
-    The intent lock fails FAST by design (io._writer_lock) — correct
-    for two uncoordinated writers, but an index under streaming ingest
-    legitimately sees short-lived foreign writers: a takedown, a prune,
-    a manual compaction.  Without patience the whole drain dies with
-    ConcurrentWriteError the instant one of those lands between
-    batches (and must be restarted to self-heal); with patience the
-    batch WAITS (50 ms polls, bounded by ``patience`` seconds) and
-    proceeds when the maintenance writer releases.  Exclusion is
-    untouched: at no instant do two writers mutate — the loser of the
-    race just retries instead of dying."""
-    from mbai_gdb_spark.io import ConcurrentWriteError
-
-    if patience <= 0:
-        return fn()
-    import time
-
-    deadline = time.monotonic() + patience
-    while True:
-        try:
-            return fn()
-        except ConcurrentWriteError:
-            if time.monotonic() >= deadline:
-                raise
-            time.sleep(0.05)
+    return with_lock_patience(fn, patience)
 
 
 def _write_gen_tag(gen_path: str, batch_id: int) -> None:

@@ -237,3 +237,45 @@ def test_takedown_between_streaming_drains_converges(spark, tmp_path):
         )
     )
     assert got == want and len(want) > 0
+
+
+def test_takedown_lock_patience_waits_out_ingest_writer(spark, tmp_path):
+    """The takedown-while-ingesting case from the other side: with
+    lock_patience the removal request waits for the drain's in-flight
+    batch merge to release the root's intent lock; without it, the
+    documented fail-fast raise (wrapped in TakedownError with the
+    applied prefix) stands."""
+    import threading
+
+    from mbai_gdb_spark.io import ConcurrentWriteError, _writer_lock
+    from mbai_gdb_spark.ops.text import bm25_index_persist
+
+    root = str(tmp_path / "bm25")
+    G.generation_build(
+        root, lambda p: bm25_index_persist(_docs(spark), p, n_buckets=8)
+    )
+    held = threading.Event()
+    release = threading.Event()
+
+    def hold():
+        with _writer_lock(root):
+            held.set()
+            release.wait(30)
+
+    th = threading.Thread(target=hold)
+    th.start()
+    try:
+        assert held.wait(30)
+        with pytest.raises(G.TakedownError) as ei:
+            G.takedown_documents([("bm25", _docs(spark, _taken()), root)])
+        assert isinstance(ei.value.__cause__, ConcurrentWriteError)
+        assert ei.value.applied == []
+        timer = threading.Timer(0.5, release.set)
+        timer.start()
+        applied = G.takedown_documents(
+            [("bm25", _docs(spark, _taken()), root)], lock_patience=30.0
+        )
+        assert [a["generation"] for a in applied] == ["gen-000002"]
+    finally:
+        release.set()
+        th.join(timeout=30)
