@@ -139,6 +139,11 @@ HEADLINE = [
     # warm = the 4 pointer-served probes only)
     "search_bm25_updated_manifest",
     "takedown_multi_index",
+    # Round-13 addition: streaming ingest published through the manifest
+    # backend (cold = write the feed + drain it micro-batch by
+    # micro-batch with compaction ticks + probe; warm = the
+    # manifest-view probe only)
+    "search_bm25_stream_manifest",
 ]
 
 
