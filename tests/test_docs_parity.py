@@ -14,7 +14,9 @@ REPO = pathlib.Path(__file__).resolve().parent.parent
 # Backticked identifiers that share a registry-name prefix but are
 # intentionally NOT registry queries (helpers, retired-and-documented
 # names, etc.). Keep empty unless a doc legitimately needs one.
-ALLOWED_NON_REGISTRY: set[str] = set()
+# Names COVERAGE.md legitimately cites that are NOT registry queries:
+# battery/experiment record keys in BENCH_full_r*.json.
+ALLOWED_NON_REGISTRY: set[str] = {"takedown_under_ingest"}
 
 
 def test_coverage_md_query_names_resolve():
