@@ -135,9 +135,7 @@ def _write_manifest(
 ) -> str:
     d = _manifests_dir(root)
     os.makedirs(d, exist_ok=True)
-    name = _next_name(d, _MAN_RE, "man-%06d.json")
-    path = os.path.join(d, name)
-    tmp = path + ".tmp"
+    tmp = os.path.join(d, f".tmp-{os.getpid()}")
     doc = {"files": files}
     if stats is not None:
         doc["stats"] = stats
@@ -145,7 +143,25 @@ def _write_manifest(
         json.dump(doc, f, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)
+    # No-clobber publication into the numbered sequence (r13 review
+    # find, same stale-takeover race as the object pool): link fails on
+    # a name a concurrent overrunning writer just claimed, so this
+    # writer takes the next number instead of silently overwriting a
+    # manifest that may already be (about to be) pointed at.  The
+    # pid-keyed tmp never collides between processes.
+    while True:
+        name = _next_name(d, _MAN_RE, "man-%06d.json")
+        try:
+            os.link(tmp, os.path.join(d, name))
+            os.unlink(tmp)
+            break
+        except FileExistsError:
+            continue
+        except OSError:
+            # Hardlink-less filesystem: atomic move (the no-clobber
+            # guarantee narrows to what the FS can express).
+            os.replace(tmp, os.path.join(d, name))
+            break
     return name
 
 
@@ -257,9 +273,31 @@ def _ingest_tree(
                 files[rel] = reuse
                 stats["reused"] += 1
                 continue
-            obj = "obj-%08d" % nxt
-            nxt += 1
-            os.replace(src, os.path.join(obj_dir, obj))
+            # No-clobber allocation (r13 review find): under a
+            # stale-lock takeover, the overrunning writer may still be
+            # mid-ingest and racing this one for max+1 names — a plain
+            # os.replace would silently overwrite its pool object and
+            # corrupt whichever manifest wins the pointer.  link+unlink
+            # is an atomic same-FS move that FAILS on collision, so the
+            # loser just takes the next number; immutability holds for
+            # every object that ever existed.
+            while True:
+                obj = "obj-%08d" % nxt
+                nxt += 1
+                dst = os.path.join(obj_dir, obj)
+                try:
+                    os.link(src, dst)
+                    os.unlink(src)
+                    break
+                except FileExistsError:
+                    continue  # claimed by a concurrent writer: next
+                except OSError:
+                    # Filesystem refuses hardlinks (the same condition
+                    # that makes _materialize copy-fall-back): keep the
+                    # atomic move; the no-clobber guarantee narrows to
+                    # what such a filesystem can express.
+                    os.replace(src, dst)
+                    break
             files[rel] = obj
             stats["ingested"] += 1
     return files, stats
@@ -621,6 +659,26 @@ def prune_manifests(root: str, keep: int = 2) -> dict:
 
 def _prune_manifests_locked(root: str, keep: int) -> dict:
     _sweep_staging(root)
+    # Crashed writers' pid-keyed manifest tmp files (one small JSON per
+    # crashed pid) — same liveness discipline as the staging sweep.
+    mdir = _manifests_dir(root)
+    if os.path.isdir(mdir):
+        for nm in os.listdir(mdir):
+            if not nm.startswith(".tmp-"):
+                continue
+            pid_part = nm[len(".tmp-"):]
+            if pid_part.isdigit() and int(pid_part) != os.getpid():
+                try:
+                    os.kill(int(pid_part), 0)
+                    continue  # alive: mid-publish, not residue
+                except ProcessLookupError:
+                    pass
+                except OSError:
+                    continue
+                try:
+                    os.remove(os.path.join(mdir, nm))
+                except OSError:
+                    pass
     # Liveness-aware GC gate (advice find, mirroring the sweep's own
     # fix): a writer that overran the lock's stale_after and lost it to
     # a takeover may be mid-_ingest_tree RIGHT NOW — its freshly moved

@@ -162,3 +162,65 @@ def test_takedown_oracle_docstring_scoped():
     doc = QN._takedown_oracle.__doc__
     assert "survivor" in doc and "never indexed" in doc
     assert "no pair may name a taken-down doc;" not in doc
+
+
+# ---------------------------------------------------------------------------
+# 5. (r13 self-review) no-clobber object/manifest allocation under the
+#    stale-takeover two-live-writers race
+# ---------------------------------------------------------------------------
+
+
+def test_ingest_never_clobbers_concurrently_claimed_object(tmp_path):
+    """A stale-lock-takeover survivor mid-ingest may claim max+1 pool
+    names concurrently with the lock holder; allocation must FAIL on
+    collision and take the next number — never overwrite.  Simulated by
+    pre-planting the exact object name the next ingest would pick."""
+    root = str(tmp_path / "man")
+    _plain_build(root)
+    obj_dir = os.path.join(root, "_objects")
+    taken = sorted(os.listdir(obj_dir))
+    nxt = 1 + max(int(n.split("-")[1]) for n in taken)
+    planted = os.path.join(obj_dir, "obj-%08d" % nxt)
+    with open(planted, "w") as f:
+        f.write("foreign writer's bytes — must survive")
+    M.manifest_mutate(
+        root, lambda p: open(os.path.join(p, "extra"), "w").close()
+    )
+    with open(planted) as f:
+        assert f.read() == "foreign writer's bytes — must survive"
+    # the mutation's new file landed under a HIGHER number
+    files = M.read_manifest(root, M.current_manifest_name(root))["files"]
+    assert files["extra"] != "obj-%08d" % nxt
+    with open(os.path.join(obj_dir, files["extra"])) as f:
+        assert f.read() == ""
+
+
+def test_manifest_write_never_clobbers_concurrent_manifest(tmp_path):
+    root = str(tmp_path / "man")
+    _plain_build(root)
+    mdir = os.path.join(root, "_manifests")
+    planted = os.path.join(mdir, "man-000002.json")
+    with open(planted, "w") as f:
+        f.write('{"files": {}, "note": "foreign manifest - must survive"}')
+    name = M.manifest_mutate(
+        root, lambda p: open(os.path.join(p, "extra"), "w").close()
+    )
+    assert name == "man-000003.json"
+    with open(planted) as f:
+        assert "must survive" in f.read()
+
+
+def test_prune_sweeps_dead_writers_manifest_tmp(tmp_path):
+    root = str(tmp_path / "man")
+    _plain_build(root)
+    mdir = os.path.join(root, "_manifests")
+    dead = os.path.join(mdir, ".tmp-99999999")
+    live = os.path.join(mdir, ".tmp-1")
+    for p in (dead, live):
+        with open(p, "w") as f:
+            f.write("{}")
+    M.prune_manifests(root, keep=1)
+    assert not os.path.exists(dead)
+    assert os.path.exists(live)  # alive pid: mid-publish, spared
+    # tmp files never surface as manifests
+    assert all(n.startswith("man-") for n in M.list_manifests(root))
