@@ -39,81 +39,84 @@ def entry(spark: SparkSession) -> DataFrame:
 # 49xr10, 17xr09). From here, heads lead with new/changed queries and
 # then refresh the OLDEST certification tier.
 #
-# Round-13 head (exactly 50): the flagship anchor; the ONE new r13
-# query — `search_bm25_stream_manifest` (Structured Streaming ingest
-# published through the object-store MANIFEST backend, stream ≡ batch
-# ≡ rebuild — the r12 verdict's #2 ask); then the COMPLETE r09 tier
-# (the 17 queries whose latest driver row is r09 — exactly the set the
-# r12 manifest comment and tools/rotation_status.py named, the r12
-# verdict's #1 ask); then 31 freshness refreshes drawn alphabetically
-# from the 49 queries at the r10 tier (the 18 left at their green r10
-# rows for the r14 head: nba_score_chain, nba_season_next_game,
-# nba_team_graph, o3_top10_customers_by_revenue, pack_sequences,
-# q18_large_orders, sample_stratified_documents, search_bm25_deleted,
-# search_phrase_persisted, sim_ivfpq_deleted_top5, sim_lsh_neighbors,
-# text_bpe_encode, text_chunk_windows, text_clf_score, text_dup_spans,
-# w12_hourly_time_buckets, w18_ohlc_bars, w19_time_weighted_value —
-# plus the late-r10 sim_ivf_deleted_top5 at its r11 row).
-_HEAD_R13 = [
+# Round-14 head (exactly 50): the flagship anchor; the two queries on
+# code CHANGED this round (the advice-r13 fixes routed lock_patience
+# through the streaming compaction ticks and deferred newer-manifest
+# retirement under live foreign staging — both sit under the manifest
+# backend these two queries exercise); then the COMPLETE r10 tier (the
+# 18 queries whose latest driver row is r10 — the r13 verdict's #1
+# ask) plus `sim_ivf_deleted_top5` (the one late-r10 row parked at
+# r11, named in the same ask); then 28 freshness refreshes drawn
+# alphabetically from the remaining 48 queries at the r11 tier.  After
+# this head lands, no registry row is older than r11 (the 20 r11 rows
+# left for the r15 head: search_bm25_topk, search_bm25_updated,
+# search_hybrid_rrf, search_tfidf_topk, shuffle_shards, sim_ivf_top5,
+# sim_ivf_updated_top5, sim_ivfpq_updated_top5, sim_matmul_top5,
+# sim_pq_adc_top5, sketch_kmv_distinct, text_bpe_token_count,
+# text_fingerprint, text_profile, text_repetition, text_top_ngrams,
+# text_unicode_profile, tpch_scalar_suite, u1_union_trading_nations,
+# w10_latest_event_per_user).
+_HEAD_R14 = [
     # standing anchor
     "flagship_session_attribution",
-    # never driver-checked: the r13 addition
+    # code changed this round: manifest-backend serving (advice fixes)
     "search_bm25_stream_manifest",
-    # the oldest certification tier (r09) — all seventeen
-    "q22_dormant_capital",
-    "q2_min_cost_supplier",
-    "q3_unshipped_revenue",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "sample_negatives",
-    "sample_weighted_docs",
-    "search_bm25_appended",
-    "search_phrase_bm25",
-    "sim_cosine_top5",
-    "sim_ivfpq_appended_top5",
-    "sim_ivfpq_residual_top5",
-    "sim_ivfpq_top5",
-    "sketch_hll_distinct",
-    "text_bigram_surprise",
-    "text_bpe_merges",
-    # freshness refreshes: latest driver row r10 (31 of 49, alphabetical)
-    "a10_rollup_revenue",
-    "a11_quantity_percentiles",
-    "a5_nation_customer_rollup",
-    "a7_distinct_segments",
-    "cdc_apply_changelog",
-    "decontam_eval_overlap",
-    "dedup_embedding_cosine",
-    "dedup_exact_documents",
-    "dedup_exact_normalized",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "export_safetensors_manifest",
-    "f_array_ops",
-    "f_datetime_orders",
-    "f_json_event_props",
-    "f_string_part_features",
-    "graph_bfs_trade_hops",
-    "j10_motif_customer_supplier_nation",
-    "j1_region_revenue",
-    "j3_purchases_in_sessions",
-    "j5_local_supplier_revenue",
-    "j6_customer_order_counts",
-    "j7_asof_click_to_view",
-    "j8_customers_without_orders",
-    "j9_customers_with_urgent_orders",
-    "mm_binary_metadata",
-    "nba_action_next_chain",
-    "nba_export_edge_index",
-    "nba_player_dimension",
-    "nba_possessions",
-    "nba_rebound_attribution",
+    "search_bm25_updated_manifest",
+    # the oldest certification tier (r10) — all eighteen
+    "nba_score_chain",
+    "nba_season_next_game",
+    "nba_team_graph",
+    "o3_top10_customers_by_revenue",
+    "pack_sequences",
+    "q18_large_orders",
+    "sample_stratified_documents",
+    "search_bm25_deleted",
+    "search_phrase_persisted",
+    "sim_ivfpq_deleted_top5",
+    "sim_lsh_neighbors",
+    "text_bpe_encode",
+    "text_chunk_windows",
+    "text_clf_score",
+    "text_dup_spans",
+    "w12_hourly_time_buckets",
+    "w18_ohlc_bars",
+    "w19_time_weighted_value",
+    # the late-r10 straggler the r13 verdict named
+    "sim_ivf_deleted_top5",
+    # freshness refreshes: latest driver row r11 (28 of 48, alphabetical)
+    "a12_cube_revenue",
+    "a13_pivot_order_matrix",
+    "a14_corr_qty_price",
+    "a15_mode_order_priority",
+    "a16_revenue_share",
+    "a1_pricing_summary",
+    "a2_order_span_per_customer",
+    "a4_conditional_event_sums",
+    "curate_corpus",
+    "decontam_bloom",
+    "dedup_lsh_deleted",
+    "dedup_minhash_clusters",
+    "dedup_minhash_lsh",
+    "emb_pq_codes",
+    "emb_random_projection",
+    "funnel_view_click_purchase",
+    "graph_kcore_profile",
+    "graph_pagerank_trade",
+    "graph_triangle_count",
+    "io_merge_idempotent",
+    "j12_concurrent_sessions",
+    "j13_bloom_smj_revenue",
+    "j3_lineitem_ship_window",
+    "mm_decode_audio",
+    "mm_decode_image",
+    "nba_lineup_plus_minus",
+    "nba_player_stints",
+    "search_bm25_persisted",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    head = {k: QUERIES[k] for k in _HEAD_R13 if k in QUERIES}
+    head = {k: QUERIES[k] for k in _HEAD_R14 if k in QUERIES}
     tail = {k: v for k, v in QUERIES.items() if k not in head}
     return {**head, **tail}
 

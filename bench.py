@@ -283,6 +283,7 @@ def _persist_full_battery(out: dict) -> None:
                         "sf",
                         "sf1",
                         "auto_isolated_movers",
+                        "auto_isolation_unadjudicated",
                     }
                     out = dict(out)
                     for key, val in prev.items():
@@ -533,9 +534,9 @@ def _auto_isolate_movers(
     sf_dir: str,
     threshold: float = 1.3,
     floor: float = 0.5,
-    cap: int = 6,
+    budget_s: float = 3600.0,
     runs: int = 3,
-) -> tuple[dict, dict]:
+) -> tuple[dict, dict, dict]:
     """Drift defense (r11 verdict ask #4): two same-HEAD batteries
     disagreed 0.99x vs 1.14x in r11 — session-level JVM/machine drift
     larger than the deltas being adjudicated.  So the battery now
@@ -545,16 +546,20 @@ def _auto_isolate_movers(
     through the existing fresh-subprocess --isolate path before the
     numbers land in BENCH_full — a verdict can then read the isolated
     cold/warm samples next to the in-battery number and tell drift from
-    regression without a manual A/B.  The worst ``cap`` movers run (a
-    whole-session drift would otherwise isolate half the battery; the
-    recorded ratios still name every mover).  Returns
-    ({name: ratio}, {name: {"cold": [...], "warm": [...]}})."""
+    regression without a manual A/B.  EVERY flagged mover is isolated,
+    worst first, up to an estimated ``budget_s`` seconds of isolation
+    wall-clock (r13 verdict ask #3: the old worst-6 count cap silently
+    truncated the battery's own evidence when a whole-session drift
+    flagged 20); movers past the budget are returned with an explicit
+    skip reason so the record never pretends they were adjudicated.
+    Returns ({name: ratio}, {name: {"cold": [...], "warm": [...]}},
+    {name: skip_reason})."""
     if os.environ.get("SPARK_GRAFT_NO_AUTOISOLATE") == "1":
-        return {}, {}
+        return {}, {}, {}
     repo = os.path.dirname(os.path.abspath(__file__))
     prev = _previous_full_battery(repo)
     if not prev:
-        return {}, {}
+        return {}, {}, {}
     # Same-tier comparisons only: a previous battery measured at a
     # different sf would flag nearly every query (or mask real movers
     # below the floor) and burn a pointless isolation fleet.
@@ -566,9 +571,12 @@ def _auto_isolate_movers(
             f"{prev.get('sf')} != this run's sf={cur_sf}",
             file=sys.stderr,
         )
-        return {}, {}
+        return {}, {}, {}
     prev_q = prev.get("queries", {})
-    ratios: dict[str, float] = {}
+    # Exact ratios drive the sort/budget; rounding is display-only
+    # (advice r13: round(r, 2) can hit 0.0 for an extreme speedup and
+    # 1/0 in the sort key would crash the battery's final stretch).
+    exact: dict[str, float] = {}
     for name, cur in timings.items():
         pv = prev_q.get(name)
         if not pv or pv <= 0 or max(pv, cur) < floor:
@@ -579,19 +587,47 @@ def _auto_isolate_movers(
         # isolated re-measure it would land in BENCH_full and be
         # misread as a real improvement.
         if r > threshold or r < 1.0 / threshold:
-            ratios[name] = round(r, 2)
-    movers = sorted(
-        ratios, key=lambda n: max(ratios[n], 1.0 / ratios[n]), reverse=True
-    )[:cap]
-    if not movers:
-        return ratios, {}
+            exact[name] = max(r, 1e-6)
+    ratios = {n: round(r, 2) for n, r in exact.items()}
+    ranked = sorted(
+        exact, key=lambda n: max(exact[n], 1.0 / exact[n]), reverse=True
+    )
+    if not ranked:
+        return ratios, {}, {}
+    # Time-bounded, not count-bounded: estimate each mover's isolation
+    # cost as runs x (JVM spin-up + cold+warm query walls) and take
+    # movers worst-first until the estimate would exceed budget_s.  The
+    # worst mover ALWAYS runs.  Anything past the budget is recorded as
+    # explicitly unadjudicated rather than silently dropped.
+    jvm_s = 25.0
+    movers: list[str] = []
+    skipped: dict[str, str] = {}
+    est_total = 0.0
+    for n in ranked:
+        est = runs * (jvm_s + 2.0 * max(timings.get(n, 0.0), prev_q.get(n, 0.0)))
+        if movers and est_total + est > budget_s:
+            skipped[n] = (
+                f"isolation budget exhausted: {round(est_total, 1)}s "
+                f"estimated already queued of {budget_s}s; this mover "
+                f"estimated +{round(est, 1)}s"
+            )
+            continue
+        movers.append(n)
+        est_total += est
     print(
-        f"bench: auto-isolating {len(movers)} >"
-        f"{threshold}x mover(s) vs previous battery: "
+        f"bench: auto-isolating {len(movers)}/{len(ranked)} >"
+        f"{threshold}x mover(s) vs previous battery "
+        f"(~{round(est_total)}s est of {round(budget_s)}s budget): "
         + ", ".join(f"{n} ({ratios[n]}x)" for n in movers),
         file=sys.stderr,
     )
-    return ratios, _run_isolated(movers, runs, sf_dir)
+    if skipped:
+        print(
+            f"bench: {len(skipped)} mover(s) past the isolation budget, "
+            "recorded unadjudicated: " + ", ".join(sorted(skipped)),
+            file=sys.stderr,
+        )
+    return ratios, _run_isolated(movers, runs, sf_dir), skipped
 
 
 def main() -> None:
@@ -839,13 +875,20 @@ def main() -> None:
     # an automatic fresh-subprocess re-measure recorded alongside the
     # in-battery number (see _auto_isolate_movers).  The explicit
     # --isolate list, when given, takes precedence over the auto gate.
-    mover_ratios, auto_isolated = (
-        ({}, {}) if isolate_names else _auto_isolate_movers(timings, sf_dir)
+    mover_ratios, auto_isolated, auto_skipped = (
+        ({}, {}, {})
+        if isolate_names
+        else _auto_isolate_movers(timings, sf_dir)
     )
     if mover_ratios:
         out["auto_isolated_movers"] = mover_ratios
     if auto_isolated:
         out["isolated"] = auto_isolated
+    if auto_skipped:
+        # Every flagged mover either has an "isolated" entry or an
+        # explicit reason here — the record never silently truncates
+        # its own adjudication evidence (r13 verdict ask #3).
+        out["auto_isolation_unadjudicated"] = auto_skipped
     if isolate_names:
         # After the battery: the same names re-measured in fresh
         # subprocesses, so future verdicts can separate battery

@@ -642,7 +642,10 @@ def prune_manifests(root: str, keep: int = 2) -> dict:
     Returns {"manifests": [...removed...], "objects": n_removed}; when
     a LIVE foreign writer's staging tree is present the object-GC pass
     is deferred (``objects: 0`` plus a ``gc_deferred`` key naming the
-    trees) — see :func:`_live_foreign_staging`.
+    trees) — see :func:`_live_foreign_staging` — and so is retirement
+    of any manifest numbered PAST the current pointer (advice r13: the
+    live writer may have written-but-not-yet-published it; a
+    ``retire_deferred`` key names the spared manifests).
 
     Runs under the root's writer intent lock (advice find): GC decides
     liveness from the manifest listing + pointer, so racing an
@@ -697,9 +700,20 @@ def _prune_manifests_locked(root: str, keep: int) -> dict:
     keep_set = {cur}
     older = [n for n in mans if _num(_MAN_RE, n) < _num(_MAN_RE, cur)]
     keep_set.update(older[-max(keep - 1, 0):] if keep > 1 else [])
+    cur_num = _num(_MAN_RE, cur)
     removed = []
+    retire_deferred = []
     for n in mans:
         if n in keep_set:
+            continue
+        if live_staging and _num(_MAN_RE, n) > cur_num:
+            # A live overrunning writer may have just _write_manifest'ed
+            # this (numbered past the pointer) and not yet published it;
+            # its staging tree persists through that window, so the
+            # live-staging signal covers it.  Retiring it now would make
+            # the writer's _publish point _current at a deleted file,
+            # breaking every probe — defer, like the object-GC pass.
+            retire_deferred.append(n)
             continue
         os.remove(os.path.join(_manifests_dir(root), n))
         shutil.rmtree(
@@ -717,11 +731,14 @@ def _prune_manifests_locked(root: str, keep: int) -> dict:
             RuntimeWarning,
             stacklevel=3,
         )
-        return {
+        out = {
             "manifests": removed,
             "objects": 0,
             "gc_deferred": list(live_staging),
         }
+        if retire_deferred:
+            out["retire_deferred"] = retire_deferred
+        return out
     referenced = set()
     for n in keep_set:
         referenced.update(read_manifest(root, n)["files"].values())

@@ -442,14 +442,24 @@ def manifest_index_batch_applier(
     return apply_batch
 
 
-def _with_man_compaction_tick(applier, root: str, partition_col: str, every: int):
+def _with_man_compaction_tick(
+    applier,
+    root: str,
+    partition_col: str,
+    every: int,
+    lock_patience: float = 0.0,
+):
     """The manifest flavor of :func:`_with_gen_compaction_tick`: the
     tick is ``indexman.man_compact``, so compaction publishes as a new
     manifest with NO probe-visible window; its no-op pre-check reads
     the manifest listing (one small JSON), not the filesystem.  The
     compacted manifest REUSES the previous ``_gen_tag`` object (the
     staged tag is an untouched hardlink), so a post-compaction replay
-    of the same batch id still skips via the tag."""
+    of the same batch id still skips via the tag.  ``lock_patience``
+    covers the tick itself (advice r13): the tick's ``man_compact``
+    takes the same writer lock as the batch applier, so a takedown or
+    prune landing exactly on a tick would otherwise kill a patient
+    drain with ConcurrentWriteError."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         applier(batch_df, batch_id)
@@ -457,7 +467,12 @@ def _with_man_compaction_tick(applier, root: str, partition_col: str, every: int
             from mbai_gdb_spark import indexman as M
 
             if M.current_manifest_name(root) is not None:
-                M.man_compact(batch_df.sparkSession, root, partition_col)
+                _with_lock_patience(
+                    lambda: M.man_compact(
+                        batch_df.sparkSession, root, partition_col
+                    ),
+                    lock_patience,
+                )
 
     return apply_batch
 
@@ -493,7 +508,9 @@ def run_streaming_bm25_manifests_available_now(
         lock_patience=lock_patience,
     )
     if compact_every:
-        applier = _with_man_compaction_tick(applier, root, "bucket", compact_every)
+        applier = _with_man_compaction_tick(
+            applier, root, "bucket", compact_every, lock_patience
+        )
     _run_available_now(
         spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
     )
@@ -534,7 +551,7 @@ def run_streaming_ivfpq_manifests_available_now(
     )
     if compact_every:
         applier = _with_man_compaction_tick(
-            applier, root, "centroid_id", compact_every
+            applier, root, "centroid_id", compact_every, lock_patience
         )
     _run_available_now(
         spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
@@ -572,7 +589,9 @@ def run_streaming_lsh_manifests_available_now(
         lock_patience=lock_patience,
     )
     if compact_every:
-        applier = _with_man_compaction_tick(applier, root, "pbkt", compact_every)
+        applier = _with_man_compaction_tick(
+            applier, root, "pbkt", compact_every, lock_patience
+        )
     _run_available_now(
         spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
     )
@@ -613,7 +632,9 @@ def run_streaming_bm25_generations_available_now(
         lock_patience=lock_patience,
     )
     if compact_every:
-        applier = _with_gen_compaction_tick(applier, root, "bucket", compact_every)
+        applier = _with_gen_compaction_tick(
+            applier, root, "bucket", compact_every, lock_patience
+        )
     _run_available_now(
         spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
     )
@@ -657,18 +678,26 @@ def run_streaming_ivfpq_generations_available_now(
     )
     if compact_every:
         applier = _with_gen_compaction_tick(
-            applier, root, "centroid_id", compact_every
+            applier, root, "centroid_id", compact_every, lock_patience
         )
     _run_available_now(
         spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
     )
 
 
-def _with_gen_compaction_tick(applier, root: str, partition_col: str, every: int):
+def _with_gen_compaction_tick(
+    applier,
+    root: str,
+    partition_col: str,
+    every: int,
+    lock_patience: float = 0.0,
+):
     """The generation flavor of :func:`_with_compaction_tick`: the tick
     is indexgen.gen_compact, so compaction has NO probe-visible window
     and a crashed tick is just an unpublished clone (the next tick
-    re-runs it; nothing to refuse)."""
+    re-runs it; nothing to refuse).  ``lock_patience`` covers the tick
+    itself (advice r13) — same rationale as
+    :func:`_with_man_compaction_tick`."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         applier(batch_df, batch_id)
@@ -676,7 +705,12 @@ def _with_gen_compaction_tick(applier, root: str, partition_col: str, every: int
             from mbai_gdb_spark import indexgen as G
 
             if G.current_generation(root) is not None:
-                G.gen_compact(batch_df.sparkSession, root, partition_col)
+                _with_lock_patience(
+                    lambda: G.gen_compact(
+                        batch_df.sparkSession, root, partition_col
+                    ),
+                    lock_patience,
+                )
 
     return apply_batch
 
@@ -849,7 +883,9 @@ def run_streaming_lsh_generations_available_now(
         lock_patience=lock_patience,
     )
     if compact_every:
-        applier = _with_gen_compaction_tick(applier, root, "pbkt", compact_every)
+        applier = _with_gen_compaction_tick(
+            applier, root, "pbkt", compact_every, lock_patience
+        )
     _run_available_now(
         spark, source_dir, schema, root, applier, max_files_per_trigger, checkpoint
     )

@@ -142,7 +142,7 @@ def test_auto_isolate_flags_speedups_and_slowdowns(monkeypatch):
 
     monkeypatch.setattr(bench, "_run_isolated", fake_isolated)
     timings = {"slow": 25.0, "fast": 4.0, "flat": 10.5}
-    ratios, isolated = bench._auto_isolate_movers(
+    ratios, isolated, _skipped = bench._auto_isolate_movers(
         timings, "/root/testdata/sf0.1"
     )
     assert ratios == {"slow": 2.5, "fast": 0.4}

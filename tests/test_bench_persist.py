@@ -91,16 +91,18 @@ def test_auto_isolate_guards(tmp_path, monkeypatch):
     some = dict(list(prev["queries"].items())[:5])
 
     # 1. tier mismatch: skipped outright even with huge ratios
-    ratios, iso = bench._auto_isolate_movers(
+    ratios, iso, skipped = bench._auto_isolate_movers(
         {k: v * 10 for k, v in some.items()}, "/root/testdata/sf0.01"
     )
-    assert (ratios, iso) == ({}, {})
+    assert (ratios, iso, skipped) == ({}, {}, {})
     # 2. same tier, flat timings: no movers, no subprocesses
-    ratios, iso = bench._auto_isolate_movers(some, "/root/testdata/sf0.1")
-    assert (ratios, iso) == ({}, {})
+    ratios, iso, skipped = bench._auto_isolate_movers(
+        some, "/root/testdata/sf0.1"
+    )
+    assert (ratios, iso, skipped) == ({}, {}, {})
     # 3. kill switch wins over everything
     monkeypatch.setenv("SPARK_GRAFT_NO_AUTOISOLATE", "1")
-    ratios, iso = bench._auto_isolate_movers(
+    ratios, iso, skipped = bench._auto_isolate_movers(
         {k: v * 10 for k, v in some.items()}, "/root/testdata/sf0.1"
     )
-    assert (ratios, iso) == ({}, {})
+    assert (ratios, iso, skipped) == ({}, {}, {})
