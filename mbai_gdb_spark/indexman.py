@@ -193,7 +193,7 @@ def _live_foreign_staging(root: str) -> list[str]:
     return live
 
 
-def _sweep_staging(root: str) -> list[str]:
+def _sweep_staging(root: str, spare_own: bool = False) -> list[str]:
     """Remove ``_staging-<pid>`` residue of DEAD processes under
     ``root`` (an advice find: pid-named residue from a crashed process
     was never swept by a later process with a different pid, leaking
@@ -206,6 +206,10 @@ def _sweep_staging(root: str) -> list[str]:
     find).  A live foreign pid's tree is left alone (it will either
     finish or die and be swept later); unprobeable pids are kept —
     leaking one directory beats destroying a live writer's staging.
+    ``spare_own=True`` additionally leaves OUR pid's tree alone — for
+    callers that are not about to recreate it (``prune_manifests``
+    and the non-fresh :func:`manifest_mutate_cached` path, whose live
+    drain WORKSPACE lives at exactly that name between batches).
     Returns the removed names."""
     removed = []
     try:
@@ -225,7 +229,9 @@ def _sweep_staging(root: str) -> list[str]:
             except OSError:
                 continue  # unknowable: keep (leak beats data loss)
         elif pid_part.isdigit():
-            pass  # our own pid: safe — we are about to recreate it
+            if spare_own:
+                continue  # a live drain workspace, not residue
+            pass  # our own pid: safe — the caller recreates it next
         else:
             continue  # unrecognized name: not ours to delete
         shutil.rmtree(os.path.join(root, nm), ignore_errors=True)
@@ -389,6 +395,214 @@ def manifest_mutate(root: str, mutate_fn: Callable[[str], None]) -> str:
             _publish(root, name)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+    return name
+
+
+def _scan_inodes(tree: str) -> dict[str, int]:
+    """relpath → inode for every file under ``tree``, read from the
+    directory entries themselves (``DirEntry.inode()``) — no per-file
+    ``stat``, so the whole pass is a handful of ``getdents`` batches
+    even for a large materialized index."""
+    out: dict[str, int] = {}
+    stack = [tree]
+    while stack:
+        d = stack.pop()
+        with os.scandir(d) as it:
+            for e in it:
+                if e.is_dir(follow_symlinks=False):
+                    stack.append(e.path)
+                else:
+                    out[os.path.relpath(e.path, tree)] = e.inode()
+    return out
+
+
+def _materialize_indexed(
+    root: str, files: dict[str, str], dst: str
+) -> tuple[dict[str, tuple[int | None, str]], int]:
+    """:func:`_materialize` that also returns the workspace index
+    {rel: (inode, object)} for :func:`manifest_mutate_cached`.  A file
+    that fell back to COPY records inode ``None``: a copy's inode is
+    pinned only by the tree file itself, so a delete-then-recreate in
+    one mutation could recycle it and a stale cache hit would map the
+    rel to the OLD object's bytes — ``None`` never matches, which
+    degrades those files to re-ingestion (exactly today's
+    copy-fallback behavior on hardlink-less filesystems)."""
+    obj_dir = _objects_dir(root)
+    index: dict[str, tuple[int | None, str]] = {}
+    n_copy = 0
+    for rel, obj in files.items():
+        out = os.path.join(dst, rel)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        src = os.path.join(obj_dir, obj)
+        try:
+            os.link(src, out)
+            index[rel] = (os.stat(out).st_ino, obj)
+        except OSError:
+            shutil.copy2(src, out)
+            index[rel] = (None, obj)
+            n_copy += 1
+    return index, n_copy
+
+
+def _ingest_tree_cached(
+    root: str, tree: str, index: dict[str, tuple[int | None, str]]
+) -> tuple[dict[str, str], dict[str, int], dict[str, tuple[int | None, str]]]:
+    """The workspace flavor of :func:`_ingest_tree`: unchanged files
+    are recognized against the CACHED {rel: (inode, object)} index
+    from the previous publish instead of a fresh pool-wide stat pass,
+    and newly ingested files are LINKED into the pool (the tree keeps
+    its name as a pool hardlink) rather than moved — so the tree stays
+    a complete materialized view of the new manifest and the next
+    mutation applies its delta in place.  A cached inode is pinned by
+    its live pool object (the basis manifest is always the current
+    one, which GC never collects), so inode recycling cannot produce a
+    false cache hit.  Returns (files, stats, new_index)."""
+    obj_dir = _objects_dir(root)
+    os.makedirs(obj_dir, exist_ok=True)
+    nxt = 1 + max(
+        (_num(_OBJ_RE, n) for n in os.listdir(obj_dir) if _OBJ_RE.fullmatch(n)),
+        default=0,
+    )
+    files: dict[str, str] = {}
+    stats = {"reused": 0, "ingested": 0}
+    new_index: dict[str, tuple[int | None, str]] = {}
+    n_copy = 0
+    for rel, ino in _scan_inodes(tree).items():
+        prev = index.get(rel)
+        if prev is not None and prev[0] is not None and prev[0] == ino:
+            files[rel] = prev[1]
+            new_index[rel] = prev
+            stats["reused"] += 1
+            continue
+        src = os.path.join(tree, rel)
+        while True:
+            obj = "obj-%08d" % nxt
+            nxt += 1
+            dst = os.path.join(obj_dir, obj)
+            try:
+                os.link(src, dst)  # tree file BECOMES the pool link
+                new_index[rel] = (ino, obj)
+                break
+            except FileExistsError:
+                continue  # claimed by a concurrent writer: next number
+            except OSError:
+                # Hardlink-less filesystem: atomic move into the pool,
+                # then restore the tree copy so the workspace stays a
+                # complete view (inode identity is lost — record None
+                # so the next batch re-ingests rather than trusting a
+                # recyclable inode).
+                os.replace(src, dst)
+                shutil.copy2(dst, src)
+                new_index[rel] = (None, obj)
+                n_copy += 1
+                break
+        files[rel] = obj
+        stats["ingested"] += 1
+    if n_copy:
+        stats["ingest_copy_fallback"] = n_copy
+    return files, stats, new_index
+
+
+class MutateWorkspace:
+    """A drain-scoped staging cache for :func:`manifest_mutate_cached`.
+
+    The plain :func:`manifest_mutate` pays two O(#files) passes per
+    call — materialize the whole current tree, then stat-walk it back
+    into the pool — which measured 1.5× the hardlink-generation
+    runner's whole-drain wall for streaming ingest (r13
+    ``manifest_stream_ingest``).  A long-lived writer (a streaming
+    drain) instead keeps ONE materialized tree between mutations and
+    re-ingests only what each mutation touched; this object carries
+    that tree plus the {rel: (inode, object)} index of the manifest it
+    reflects.  It is a pure cache: any staleness (another writer
+    published, our own plain-path mutation swept the tree, a crashed
+    mutation dirtied it) is detected and answered with a fresh
+    materialize, never with wrong bytes."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.tree = os.path.join(root, f"_staging-{os.getpid()}")
+        self.basis: str | None = None  # manifest name the tree reflects
+        self.index: dict[str, tuple[int | None, str]] | None = None
+
+    def invalidate(self) -> None:
+        shutil.rmtree(self.tree, ignore_errors=True)
+        self.basis = None
+        self.index = None
+
+    close = invalidate  # drop the tree when the drain finishes
+
+
+def manifest_mutate_cached(
+    root: str, mutate_fn: Callable[[str], None], ws: MutateWorkspace
+) -> str:
+    """:func:`manifest_mutate` for a long-lived writer: identical
+    contract and crash windows (the pointer swap is still the single
+    commit point; a crash before it leaves the previous generation
+    serving and the workspace INVALIDATED, so the replay starts from a
+    fresh materialize), but the staging tree persists across calls via
+    ``ws`` and each call re-ingests only its delta — O(delta) link and
+    stat work per mutation instead of O(#files) (r13 verdict ask #4).
+
+    The workspace fast path engages only when the tree still reflects
+    the CURRENT manifest (``ws.basis`` matches the pointer and the
+    tree survived — our own plain-path mutations and ``_sweep_staging``
+    may legitimately have destroyed it); anything else falls back to
+    the fresh-materialize slow path.  The published manifest's stats
+    carry ``ws_tree_reused`` (1 fast path / 0 fresh) so the cost model
+    stays measurable (``tools/manifest_stream_experiment.py``)."""
+    from mbai_gdb_spark.io import _writer_lock
+
+    if os.path.abspath(ws.root) != os.path.abspath(root):
+        raise ValueError(
+            f"manifest_mutate_cached: workspace is scoped to {ws.root}, "
+            f"not {root}"
+        )
+    with _writer_lock(root):
+        cur = current_manifest_name(root)
+        if cur is None:
+            raise ValueError(
+                f"manifest_mutate_cached: no published manifest at {root} "
+                "— build one first (manifest_build)"
+            )
+        reused_tree = (
+            ws.basis == cur
+            and ws.index is not None
+            and os.path.isdir(ws.tree)
+        )
+        n_copy = 0
+        if not reused_tree:
+            ws.invalidate()
+            _sweep_staging(root, spare_own=False)  # we recreate our name
+            prev_files = read_manifest(root, cur)["files"]
+            os.makedirs(ws.tree)
+            ws.index, n_copy = _materialize_indexed(root, prev_files, ws.tree)
+        try:
+            mutate_fn(ws.tree)
+            files, stats, new_index = _ingest_tree_cached(
+                root, ws.tree, ws.index or {}
+            )
+            stats["copy_fallback"] = n_copy
+            stats["ws_tree_reused"] = 1 if reused_tree else 0
+            if n_copy:
+                warnings.warn(
+                    f"indexman.manifest_mutate_cached({root}): {n_copy} "
+                    "staged file(s) materialized by COPY (hardlink "
+                    "refused) — inode reuse is defeated for them; see "
+                    "the manifest's stats.copy_fallback",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+            name = _write_manifest(root, files, stats)
+            _publish(root, name)
+        except BaseException:
+            # The tree may hold a half-applied, unpublished mutation —
+            # never reuse it (the replay re-materializes from the still
+            # serving manifest).
+            ws.invalidate()
+            raise
+        ws.basis = name
+        ws.index = new_index
     return name
 
 
@@ -661,7 +875,11 @@ def prune_manifests(root: str, keep: int = 2) -> dict:
 
 
 def _prune_manifests_locked(root: str, keep: int) -> dict:
-    _sweep_staging(root)
+    # spare_own: a live drain's mutate workspace lives at our pid's
+    # staging name BETWEEN batches (manifest_mutate_cached) — pruning
+    # after each batch must not destroy it, or every batch pays a full
+    # re-materialize and the workspace optimization is a no-op.
+    _sweep_staging(root, spare_own=True)
     # Crashed writers' pid-keyed manifest tmp files (one small JSON per
     # crashed pid) — same liveness discipline as the staging sweep.
     mdir = _manifests_dir(root)

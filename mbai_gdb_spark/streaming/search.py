@@ -391,8 +391,21 @@ def manifest_index_batch_applier(
 
     ``lock_patience`` (seconds, default 0 = fail fast) waits out
     transiently held writer locks exactly as in the generation applier
-    (see :func:`_with_lock_patience`)."""
+    (see :func:`_with_lock_patience`).
+
+    Appends run through :func:`indexman.manifest_mutate_cached` with a
+    drain-scoped :class:`indexman.MutateWorkspace` (r13 verdict ask
+    #4): the materialized staging tree persists between micro-batches
+    and each batch re-ingests only its delta — O(delta) link/stat work
+    per batch instead of two O(#files) passes.  The workspace is a
+    pure cache (staleness → fresh materialize, never wrong bytes); the
+    returned callable carries a ``close()`` that drops the tree when
+    the drain finishes (``_run_available_now`` calls it), so a
+    finished drain's workspace never pins another process's prune
+    liveness gates."""
     from mbai_gdb_spark import indexman as M
+
+    ws = M.MutateWorkspace(root)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = os.path.join(root, _BATCH_MARKER)
@@ -421,12 +434,13 @@ def manifest_index_batch_applier(
                 pass  # published, marker lost: already merged — skip
             else:
                 _with_lock_patience(
-                    lambda: M.manifest_mutate(
+                    lambda: M.manifest_mutate_cached(
                         root,
                         lambda p: (
                             append_fn(batch_df, p),
                             _write_gen_tag(p, batch_id),
                         ),
+                        ws,
                     ),
                     lock_patience,
                 )
@@ -439,6 +453,7 @@ def manifest_index_batch_applier(
                 lock_patience,
             )
 
+    apply_batch.close = ws.close
     return apply_batch
 
 
@@ -474,6 +489,8 @@ def _with_man_compaction_tick(
                     lock_patience,
                 )
 
+    # forward the wrapped applier's workspace cleanup to the runner
+    apply_batch.close = getattr(applier, "close", lambda: None)
     return apply_batch
 
 
@@ -712,6 +729,8 @@ def _with_gen_compaction_tick(
                     lock_patience,
                 )
 
+    # forward the wrapped applier's workspace cleanup to the runner
+    apply_batch.close = getattr(applier, "close", lambda: None)
     return apply_batch
 
 
@@ -743,13 +762,19 @@ def _run_available_now(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    q = (
-        stream.writeStream.foreachBatch(applier)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(applier)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # Drop the manifest applier's mutate workspace (if any): a
+        # finished drain's tree must not keep pinning other processes'
+        # prune liveness gates (live own-pid staging defers GC).
+        getattr(applier, "close", lambda: None)()
     # Recorded on success only (the first batch's overwrite-build wipes
     # the dir, so writing it before the run would not survive anyway).
     os.makedirs(index_path, exist_ok=True)

@@ -101,6 +101,9 @@ def main() -> None:
                     "ingested": st.get("ingested"),
                     "reused": st.get("reused"),
                     "copy_fallback": st.get("copy_fallback", 0),
+                    # 1 = the drain's MutateWorkspace applied the delta
+                    # in place (r14: no per-batch full materialize)
+                    "ws_tree_reused": st.get("ws_tree_reused"),
                 }
             )
         pool = len(
