@@ -37,8 +37,10 @@ Merges ``{"<family>_delete_vs_rebuild_sf1[_xN]": {...}}`` into the
 round's BENCH_full file and prints one JSON line.
 
 Run: python tools/lifecycle_sf1_experiment.py [sf_dir] [reps] [families]
-(default .localdata/sf1, reps=1, families=lsh; families is a
-comma-separated subset of lsh,bm25,ivf,ivfpq or ``all``).  ``reps`` > 1
+[stride] (default .localdata/sf1, reps=1, families=lsh, stride=50;
+families is a comma-separated subset of lsh,bm25,ivf,ivfpq or ``all``;
+stride is the vector families' centroid_stride — see _family_ops on
+why large reps want a sqrt-scaled stride).  ``reps`` > 1
 replicates the corpus in-plan with key-offset ids (the gen_sf1 recipe)
 so the rebuild faces N× the bytes while the takedown-sized slice stays
 tiny — the ratio isolates the asymptote."""
@@ -128,9 +130,20 @@ def _touched_partitions(spark, root: str, slice_df, id_col: str,
     )
 
 
-def _family_ops(spark, family: str, sf_dir: str, reps: int):
+def _family_ops(spark, family: str, sf_dir: str, reps: int,
+                stride: int = 50):
     """(corpus, small, bulk, survivors, build, delete, rebuild_persist,
-    probe, touched) per family.  probe(root) -> sorted rows."""
+    probe, touched) per family.  probe(root) -> sorted rows.
+
+    ``stride`` is the vector families' centroid_stride.  The default 50
+    matches the registry queries, but it makes the centroid COUNT grow
+    linearly with the corpus — exact assignment is then O(N^2/stride),
+    which is why the r13 x100 IVF cell blew past its wall-clock budget
+    (2M vectors x 40k centroids).  For large ``reps`` pass a stride
+    that keeps centroids ~sqrt(N) (the geometry a production IVF uses:
+    assignment and probe fan-out balance at k ~ sqrt(N)); both build
+    AND rebuild use the same stride, so the experiment's internal
+    delete ≡ rebuild bit-equivalence is unaffected."""
     if family in ("lsh", "bm25"):
         from mbai_gdb_spark.queries_north import _SEARCH_QUERIES, _doc_lsh_buckets
 
@@ -224,9 +237,13 @@ def _family_ops(spark, family: str, sf_dir: str, reps: int):
             small=small,
             bulk=bulk,
             survivors=survivors,
-            build=lambda root: G.ivf_gen_build(emb, root, centroid_stride=50),
+            build=lambda root: G.ivf_gen_build(
+                emb, root, centroid_stride=stride
+            ),
             delete=lambda df, root: G.ivf_gen_delete(df, root),
-            rebuild=lambda p: ivf_persist(survivors, p, centroid_stride=50),
+            rebuild=lambda p: ivf_persist(
+                survivors, p, centroid_stride=stride
+            ),
             probe=lambda root: sorted(
                 map(
                     tuple,
@@ -248,11 +265,11 @@ def _family_ops(spark, family: str, sf_dir: str, reps: int):
         bulk=bulk,
         survivors=survivors,
         build=lambda root: G.ivfpq_gen_build(
-            emb, root, centroid_stride=50, code_stride=7
+            emb, root, centroid_stride=stride, code_stride=7
         ),
         delete=lambda df, root: G.ivfpq_gen_delete(df, root),
         rebuild=lambda p: ivfpq_persist(
-            survivors, p, centroid_stride=50, code_stride=7
+            survivors, p, centroid_stride=stride, code_stride=7
         ),
         probe=lambda root: sorted(
             map(
@@ -269,8 +286,9 @@ def _family_ops(spark, family: str, sf_dir: str, reps: int):
     )
 
 
-def run_family(spark, family: str, sf_dir: str, reps: int) -> dict:
-    ops = _family_ops(spark, family, sf_dir, reps)
+def run_family(spark, family: str, sf_dir: str, reps: int,
+               stride: int = 50) -> dict:
+    ops = _family_ops(spark, family, sf_dir, reps, stride)
     n_rows = ops["corpus"].count()
     work = tempfile.mkdtemp(prefix=f"mbai_lifecycle_{family}_")
     root = os.path.join(work, "inc")
@@ -325,6 +343,9 @@ def run_family(spark, family: str, sf_dir: str, reps: int) -> dict:
             "probe_after_secs": probe_after,
             "delete_equals_rebuild": rows_after == rows_rebuilt,
             "reps": reps,
+            "centroid_stride": (
+                stride if family in ("ivf", "ivfpq") else None
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -345,6 +366,7 @@ def main() -> None:
     )
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     fams = sys.argv[3] if len(sys.argv) > 3 else "lsh"
+    stride = int(sys.argv[4]) if len(sys.argv) > 4 else 50
     families = list(_FAMILIES) if fams == "all" else [
         f for f in fams.split(",") if f
     ]
@@ -359,7 +381,7 @@ def main() -> None:
 
     out = {}
     for family in families:
-        rec = run_family(spark, family, sf_dir, reps)
+        rec = run_family(spark, family, sf_dir, reps, stride)
         key = f"{family}_delete_vs_rebuild_sf1" + (
             f"_x{reps}" if reps > 1 else ""
         )
