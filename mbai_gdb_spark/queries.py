@@ -2407,6 +2407,12 @@ _KCORE_GOLD = [
     (1196000, 48, 19989, 1195519),
     (1196000, 80, 18863, 1114197),
     (1196000, 112, 0, 0),
+    # sf1 (r14): independently verified by a numpy batch peel over the
+    # DuckDB-extracted co-purchase edges (/tmp-scripted, recorded in
+    # NOTES.md round 14) — engine ≡ reference bit-equal.
+    (11960000, 48, 199890, 11955190),
+    (11960000, 80, 188630, 11141970),
+    (11960000, 112, 0, 0),
 ]
 
 

@@ -2638,6 +2638,16 @@ _BPE_GOLD = [
     (270704, 6, "t", "a", 18248),
     (270704, 7, "l", "u", 18239),
     (270704, 8, "m", "er", 18174),
+    # sf1 (r14): independently verified by bpe_train_reference over
+    # DuckDB-computed word frequencies — engine ≡ reference bit-equal.
+    (2757040, 1, "e", "r", 450890),
+    (2757040, 2, "i", "n", 271900),
+    (2757040, 3, "o", "r", 270950),
+    (2757040, 4, "s", "t", 270600),
+    (2757040, 5, "o", "w", 270440),
+    (2757040, 6, "t", "a", 182480),
+    (2757040, 7, "l", "u", 182390),
+    (2757040, 8, "m", "er", 181740),
 ]
 
 
