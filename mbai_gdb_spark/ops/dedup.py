@@ -539,8 +539,13 @@ def typo_pairs(
         .filter(F.col("tok_a") < F.col("tok_b"))
         .select("tok_a", "tok_b")
         .distinct()
-        .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
-        .filter(F.col("dist") <= 1)
+        # r14: the bounded form — levenshtein(l, r, threshold) runs the
+        # banded DP (O(len) per pair instead of O(len²)) and returns -1
+        # past the bound.  tok_a < tok_b means the strings differ, so a
+        # kept pair's distance is exactly 1 — same rows, same `dist`
+        # values as the unbounded call the oracle mirrors.
+        .withColumn("dist", F.levenshtein("tok_a", "tok_b", 1))
+        .filter(F.col("dist").between(0, 1))
     )
     return pairs
 

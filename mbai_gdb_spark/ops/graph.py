@@ -313,6 +313,18 @@ def triangle_count(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # Materialize the canonical edge set ONCE (lazy localCheckpoint
+        # — computed on first use inside the query's own action, then
+        # shared): `e` seeds the degree aggregation (twice, via the
+        # union) AND the orientation join, and `oriented` below feeds
+        # three branches — without the cuts Catalyst re-plans the whole
+        # upstream edge build (typically a self-join + distinct) into
+        # EVERY branch: the captured sf0.1 plan was 307 nodes / 154
+        # Exchanges with zero ReusedExchange (plans/r14/
+        # graph_triangle_count_before.txt), ~9 recomputations of the
+        # edge subtree.  Guide §3.3: materialise the intermediate to
+        # truncate the plan; r14 measured 7.7 s → see _after plan.
+        .transform(_ckpt_lazy)
     )
     deg = (
         e.select(F.col("u").alias("vid"))
@@ -331,7 +343,7 @@ def triangle_count(
         F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).transform(_ckpt_lazy)  # shared by o1 / o2 / closing (see `e` note)
     # SHUFFLE_HASH on the edge-sized build sides: the probe side of both
     # joins is wedge-volume-sized (up to m^1.5 rows) while the build
     # side is only edge-sized (m rows) — hashing the small side beats

@@ -50,6 +50,38 @@ def _t(spark, sf_dir, name):
     return read_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Ensure at least session-default parallelism before CPU-heavy
+    narrow work (r14 optimization, guide §2.5 "input skew").
+
+    The fixture tables are single-file, single-ROW-GROUP parquet
+    (pyarrow-verified), so a scan is ONE task no matter how
+    ``maxPartitionBytes`` / ``openCostInBytes`` are tuned — and every
+    expression / Arrow stage before the first Exchange then runs on one
+    core (measured worst case: mm_decode_jpeg's whole
+    Scan→3×MapInPandas plan had ZERO Exchanges —
+    plans/r14/mm_decode_jpeg_before.txt — 3.5 s of decode on 1 of 32
+    cores).  A real cluster hits the same wall on any unsplittable or
+    few-file input, and the cure is the same: round-robin the narrow
+    rows across the machine BEFORE the heavy map.
+
+    Scale-adaptive, never a local[32] constant: the target is
+    ``defaultParallelism`` and the repartition is SKIPPED when the
+    input already has at least that many partitions — at production
+    scale a many-split scan passes through untouched, so no base-table
+    shuffle is added where the scan parallelizes naturally.  The bytes
+    exchanged where it does fire are the narrow pre-compute columns
+    (ids, id+text), orders of magnitude below the work they unlock."""
+    sc = df.sparkSession.sparkContext
+    target = int(n or sc.defaultParallelism)
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        pass  # no RDD handle (connect mode) — spread unconditionally
+    return df.repartition(target)
+
+
 # --- exact-arithmetic helpers (see module docstring) -----------------------
 
 
@@ -1960,7 +1992,9 @@ def graph_triangle_count(spark, sf_dir):
     plan has no superlinear term on this tier."""
     from mbai_gdb_spark.ops.graph import triangle_count
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = spread(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ).distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = (
@@ -2452,7 +2486,9 @@ def graph_kcore_profile(spark, sf_dir):
     closed-form graphs."""
     from mbai_gdb_spark.ops.graph import kcore_profile
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    li = spread(
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ).distinct()
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
     edges = (

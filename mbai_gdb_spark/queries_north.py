@@ -36,7 +36,7 @@ from mbai_gdb_spark.ops.similarity import (
 )
 from mbai_gdb_spark.ops.text import fingerprint, tokens
 from mbai_gdb_spark.ops.text import text_profile as text_profile_op
-from mbai_gdb_spark.queries import _t, query
+from mbai_gdb_spark.queries import _t, query, spread
 
 # Shared DuckDB SQL fragments ------------------------------------------------
 
@@ -117,7 +117,7 @@ def text_profile(spark, sf_dir):
     text_quality_score / text_lang_id; the individual operators remain
     in ops.text).  All ratios are exact-integer divisions —
     engine-identical doubles."""
-    return text_profile_op(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return text_profile_op(spread(_t(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 @query(
@@ -135,7 +135,7 @@ def text_profile(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint over stateless char-poly token ids (map-only id derivation, one shuffle on doc_id)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
     ).withColumn("pos", F.col("pos0") + 1)
@@ -158,7 +158,7 @@ def text_fingerprint(spark, sf_dir):
 def dedup_exact_documents(spark, sf_dir):
     """Exact dedup via content hash-groupBy (reference A8 MERGE-by-id
     semantics, src/queries/game.py:86-94, generalized to content keys)."""
-    return exact_dedup(_t(spark, sf_dir, "documents"), ["text"], "doc_id")
+    return exact_dedup(spread(_t(spark, sf_dir, "documents")), ["text"], "doc_id")
 
 
 @query(
@@ -196,7 +196,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     appearing in more than 50 documents are dropped from the index
     (and from the Jaccard space) — the posting-list cap that keeps the
     self-join linear when boilerplate shingles occur corpus-wide."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     sh = shingle_set(docs, "doc_id", "text", k=3)
     return jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_freq=50)
 
@@ -213,6 +213,7 @@ def _minhash_bucket_pairs(docs, return_buckets: bool = False):
         pairs_from_buckets,
     )
 
+    docs = spread(docs)
     with_sig = (
         docs.select("doc_id", F.array_distinct(tokens("text")).alias("__toks__"))
         .filter(F.size("__toks__") > 0)
@@ -225,6 +226,15 @@ def _minhash_bucket_pairs(docs, return_buckets: bool = False):
         )
     )
     buckets = lsh_buckets_from_signature(with_sig, "doc_id", "signature", 4)
+    if return_buckets:
+        # r14: the caller consumes buckets TWICE (pair join + hot-bucket
+        # membership) — one lazy checkpoint shares the whole signature
+        # pipeline between the branches instead of recomputing it per
+        # branch (curate_corpus's before-plan tokenized the corpus once
+        # for the pair subtree and again for hot_drop).
+        from mbai_gdb_spark.ops.lineage import truncate_lazy
+
+        buckets = truncate_lazy(buckets)
     pairs = pairs_from_buckets(buckets, "doc_id", max_bucket_size=50)
     return (pairs, buckets) if return_buckets else pairs
 
@@ -303,7 +313,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_simhash(spark, sf_dir):
     """16-bit SimHash fingerprints over the token-id set."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     doc_set = char_poly_token_ids(toks, "token").select("doc_id", "tok_id").distinct()
     return simhash(doc_set, "doc_id", "tok_id", n_bits=16)
@@ -342,7 +352,7 @@ def sim_cosine_top5(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors (vec_id < 10) —
     broadcast queries, deterministic sequential accumulation so the
     raw doubles hash identically to the oracle."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return cosine_topk(emb, queries_df, k=5)
 
@@ -375,7 +385,7 @@ def sim_matmul_top5(spark, sf_dir):
     FP noise, but the ranking (ties → smallest vec_id) is identical on
     vectors in general position — that invariance IS the contract the
     vectorized variant has to honor."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_vectorized(emb, queries_df, k=5).select(
         "query_id", "vec_id", "rank"
@@ -412,7 +422,7 @@ def emb_random_projection(spark, sf_dir):
     dots; components emitted as scalar columns for the value hash."""
     from mbai_gdb_spark.ops.similarity import random_projection
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     proj = random_projection(emb, out_dim=8)
     return proj.select(
         "vec_id",
@@ -477,7 +487,7 @@ def sim_lsh_neighbors(spark, sf_dir):
     """ANN scale path: multi-table hyperplane LSH (8 tables x 8 LCG
     planes, SQL-reproducible) → candidate if ANY table buckets a pair
     together → exact cosine re-rank, >= 0.2."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     return lsh_candidate_neighbors(emb, n_planes=8, min_cosine=0.2)
 
 
@@ -502,7 +512,7 @@ def mm_binary_metadata(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column + Arrow-batched
     mapInPandas metadata extraction (deterministic fake decoder standing
     in for image/audio codecs — see ops.multimodal)."""
-    docs = with_binary_payload(_t(spark, sf_dir, "documents"), "text", "payload")
+    docs = with_binary_payload(spread(_t(spark, sf_dir, "documents")), "text", "payload")
     return binary_metadata(docs, "doc_id", "payload")
 
 
@@ -528,7 +538,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     recall measurement.)"""
     from mbai_gdb_spark.ops.similarity import lsh_candidate_neighbors
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     pairs = lsh_candidate_neighbors(emb, n_planes=8, min_cosine=0.3)
     return pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.min("id_a").alias("dup_of"),
@@ -587,7 +597,7 @@ def sim_ivf_top5(spark, sf_dir):
     re-rank) — the partitioned inverted-file scale path beside LSH."""
     from mbai_gdb_spark.ops.similarity import ivf_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_topk(emb, queries_df, k=5, n_probe=2, centroid_stride=50)
 
@@ -608,7 +618,7 @@ def text_bpe_token_count(spark, sf_dir):
     """BPE-ish pre-tokenizer counts (GPT-2-style alpha/digit/punct split
     regex) beside the whitespace count — the brief's two token-counting
     modes, both pure column regex (JVM-side)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     bpe = F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)")
     return docs.select(
         "doc_id",
@@ -708,7 +718,7 @@ def text_repetition(spark, sf_dir):
     explode + groupBy."""
     from mbai_gdb_spark.ops.text import repetition_profile
 
-    return repetition_profile(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return repetition_profile(spread(_t(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 @query(
@@ -891,7 +901,7 @@ def decontam_eval_overlap(spark, sf_dir):
     See ops.decontam."""
     from mbai_gdb_spark.ops.decontam import contamination_hits
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     ev = (
         docs.filter(F.col("doc_id") % 50 == 0)
         .select(F.col("doc_id").alias("eval_doc_id"), "text")
@@ -963,7 +973,7 @@ def decontam_bloom(spark, sf_dir):
     from mbai_gdb_spark.ops.decontam import bloom_contamination
     from mbai_gdb_spark.ops.dedup import char_poly_id, shingle_set
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh_ids = shingle_set(docs, "doc_id", "text", k=4).select(
         "doc_id", char_poly_id("shingle").alias("sh_id")
     ).distinct()
@@ -1006,7 +1016,7 @@ def pack_sequences(spark, sf_dir):
     with a recursive CTE."""
     from mbai_gdb_spark.ops.packing import pack_next_fit
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = spread(_t(spark, sf_dir, "documents")).select(
         "doc_id", F.size(tokens("text")).alias("n_tokens")
     )
     return pack_next_fit(docs, "doc_id", "n_tokens", budget=128, n_shards=32)
@@ -1027,7 +1037,7 @@ def text_top_ngrams(spark, sf_dir):
     dedup's df-cut thresholds on).  Map-side partial counts + a
     TakeOrderedAndProject top-k: no global sort, ties broken on the
     ngram string so the cut is deterministic."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = shingle_set(docs, "doc_id", "text", k=3)
     return (
         sh.groupBy(F.col("shingle").alias("ngram"))
@@ -1107,7 +1117,7 @@ def curate_corpus(spark, sf_dir):
     from mbai_gdb_spark.ops.dedup import dedup_clusters, hot_bucket_membership
     from mbai_gdb_spark.ops.sampling import stratified_hash_sample
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     pairs, buckets = _minhash_bucket_pairs(docs, return_buckets=True)
     pair_drop = dedup_clusters(pairs).filter(~F.col("is_canonical")).select("doc_id")
     hot_drop = (
@@ -1158,7 +1168,7 @@ def emb_quantize_int8(spark, sf_dir):
     along so consumers can dequantize."""
     from mbai_gdb_spark.ops.similarity import as_double
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     v = as_double(F.col("embedding"))
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     q = F.when(
@@ -1200,7 +1210,7 @@ def text_dup_spans(spark, sf_dir):
     from mbai_gdb_spark.ops.dedup import dup_span_profile
 
     return dup_span_profile(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, min_df=2
+        spread(_t(spark, sf_dir, "documents")), "doc_id", "text", k=3, min_df=2
     )
 
 
@@ -1356,7 +1366,7 @@ def text_clf_score(spark, sf_dir):
     code change."""
     from mbai_gdb_spark.ops.text import hashed_linear_score, stub_classifier_weights
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return hashed_linear_score(docs, stub_classifier_weights(spark))
 
 
@@ -1398,7 +1408,7 @@ def mm_decode_image(spark, sf_dir):
 
     from mbai_gdb_spark.ops.multimodal import decode_image, encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").transform(spread)
 
     gen_schema = T.StructType(
         [
@@ -1504,6 +1514,7 @@ def dedup_lsh_hot_clusters(spark, sf_dir):
     )
 
     docs = _t(spark, sf_dir, "documents")
+    docs = spread(docs)
     with_sig = (
         docs.select("doc_id", F.array_distinct(tokens("text")).alias("__toks__"))
         .filter(F.size("__toks__") > 0)
@@ -1571,7 +1582,7 @@ def mm_decode_audio(spark, sf_dir):
 
     from mbai_gdb_spark.ops.multimodal import decode_audio, encode_wav
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").transform(spread)
 
     gen_schema = T.StructType(
         [
@@ -1682,7 +1693,7 @@ def sketch_cms_token_freq(spark, sf_dir):
     oracle rebuilds the identical table."""
     from mbai_gdb_spark.ops.sketch import cms_estimate, count_min_sketch
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     obs = char_poly_token_ids(toks, "token").select("tok_id")
 
@@ -1751,7 +1762,7 @@ def search_tfidf_topk(spark, sf_dir):
     weighting notes."""
     from mbai_gdb_spark.ops.text import search_topk_invdf
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     queries_df = spark.createDataFrame(
         _SEARCH_QUERIES, "query_id string, qtext string"
     )
@@ -1811,7 +1822,7 @@ def search_bm25_topk(spark, sf_dir):
     (broadcast query terms; scoring touches only queried postings)."""
     from mbai_gdb_spark.ops.text import bm25_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     queries_df = spark.createDataFrame(
         _SEARCH_QUERIES, "query_id string, qtext string"
     )
@@ -1913,7 +1924,7 @@ def search_hybrid_rrf(spark, sf_dir):
     from mbai_gdb_spark.ops.similarity import cosine_topk
     from mbai_gdb_spark.ops.text import bm25_topk, rrf_fuse
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     qdocs = docs.filter(F.col("doc_id").isin(1, 2, 3)).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("qtext")
     )
@@ -1926,7 +1937,7 @@ def search_hybrid_rrf(spark, sf_dir):
         .filter(F.col("__r__") <= 20)
         .select("query_id", "doc_id", F.col("__r__").alias("rank"))
     )
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     cos_list = (
         cosine_topk(emb, emb.filter(F.col("vec_id").isin(1, 2, 3)), k=20)
         .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
@@ -2104,7 +2115,7 @@ def search_bm25_persisted(spark, sf_dir):
 
     from mbai_gdb_spark.ops.text import bm25_index_persist, bm25_probe_persisted
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     # Build once per (dataset fingerprint, process) — a repeat
     # invocation (bench warm pass, parity re-run) measures the PROBE,
     # the amortized serving cost the index exists for, never a rebuild;
@@ -2214,7 +2225,7 @@ def search_phrase_bm25(spark, sf_dir):
     exercises the degenerate case the offset trick handles for free."""
     from mbai_gdb_spark.ops.text import phrase_bm25_topk
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     queries_df = spark.createDataFrame(
         _PHRASE_QUERIES, "query_id string, qtext string"
     )
@@ -2251,7 +2262,7 @@ def search_bm25_appended(spark, sf_dir):
         bm25_probe_persisted,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     path = _bm25_index_path(sf_dir, suffix="_app")
     # `_meta` exists after the HALF-build here, so completion is marked
     # by our own sentinel (underscore-hidden from the posting scan) —
@@ -2315,7 +2326,7 @@ def search_bm25_deleted(spark, sf_dir):
 
     from mbai_gdb_spark import indexgen as G
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     root = _bm25_index_path(sf_dir, suffix="_gen")
     done = os.path.join(root, "_COMPLETE")
     if not os.path.exists(done):
@@ -2374,7 +2385,7 @@ def search_phrase_persisted(spark, sf_dir):
         phrase_bm25_probe_persisted,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     path = _bm25_index_path(sf_dir, suffix="_pos")
     if not os.path.isdir(os.path.join(path, "_meta")):
         _sweep_stale_bm25_indexes(_bm25_index_root())
@@ -2412,7 +2423,7 @@ def sketch_heavy_hitters(spark, sf_dir):
     from mbai_gdb_spark.ops.sketch import heavy_hitters
     from mbai_gdb_spark.ops.text import tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = (
         docs.select(F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
@@ -2464,7 +2475,7 @@ def text_mlm_mask(spark, sf_dir):
     stored random state) is the 100 TB-friendly formulation."""
     from mbai_gdb_spark.ops.text import mlm_mask
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     out = mlm_mask(docs)
     return out.select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "token", "action", "out_token"
@@ -2523,7 +2534,7 @@ def emb_pq_codes(spark, sf_dir):
     see ops.similarity.pq_codebook / pq_encode."""
     from mbai_gdb_spark.ops.similarity import pq_codebook, pq_encode
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     cb = pq_codebook(emb)
     codes = pq_encode(emb, cb)
     return codes.groupBy("vec_id").agg(
@@ -2575,7 +2586,7 @@ def sim_pq_adc_top5(spark, sf_dir):
     PQ).  See ops.similarity.pq_adc_topk."""
     from mbai_gdb_spark.ops.similarity import pq_adc_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(emb, queries_df, k=5)
 
@@ -2604,7 +2615,7 @@ def text_quality_tiers(spark, sf_dir):
     (no single-partition global sort)."""
     from pyspark.sql import Window as W
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
@@ -2680,7 +2691,7 @@ def text_bpe_merges(spark, sf_dir):
     tests/test_search.py independently certifies the algorithm."""
     from mbai_gdb_spark.ops.text import bpe_train
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     merges = bpe_train(docs, n_merges=8)
     return spark.createDataFrame(
         [(i + 1, l, r, c) for i, (l, r, c) in enumerate(merges)],
@@ -2833,7 +2844,7 @@ def dedup_semantic(spark, sf_dir):
     shape notes."""
     from mbai_gdb_spark.ops.similarity import semantic_dedup
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     centroids = emb.filter(F.col("vec_id") % 50 == 0)
     return semantic_dedup(emb, centroids, threshold=0.25)
 
@@ -2952,7 +2963,7 @@ def text_bpe_encode(spark, sf_dir):
     word / char / post-merge symbol counts (all integers)."""
     from mbai_gdb_spark.ops.text import bpe_apply
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     toks = (
         docs.select("doc_id", F.explode(tokens("text")).alias("w"))
         .filter(F.col("w") != "")
@@ -3072,7 +3083,7 @@ def sim_ivfpq_top5(spark, sf_dir):
     encoding production note."""
     from mbai_gdb_spark.ops.similarity import ivf_pq_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_pq_topk(emb, queries_df, k=5, n_probe=2)
 
@@ -3106,7 +3117,7 @@ def text_chunk_windows(spark, sf_dir):
     from mbai_gdb_spark.ops.text import chunk_documents
 
     return chunk_documents(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", max_len=32, overlap=8
+        spread(_t(spark, sf_dir, "documents")), "doc_id", "text", max_len=32, overlap=8
     )
 
 
@@ -3330,7 +3341,7 @@ def mm_decode_gif(spark, sf_dir):
 
     from mbai_gdb_spark.ops.multimodal import decode_image, encode_gif
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").transform(spread)
 
     gen_schema = T.StructType(
         [
@@ -3429,7 +3440,7 @@ def mm_gif_frame_sample(spark, sf_dir):
 
     from mbai_gdb_spark.ops.multimodal import encode_gif_animated, gif_sample_frames
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").transform(spread)
 
     gen_schema = T.StructType(
         [
@@ -3537,7 +3548,7 @@ def mm_resize_roundtrip(spark, sf_dir):
         resize_image,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").transform(spread)
 
     gen_schema = T.StructType(
         [
@@ -3618,7 +3629,7 @@ def sample_weighted_docs(spark, sf_dir):
     from mbai_gdb_spark.ops.sketch import lcg_hash
     from mbai_gdb_spark.ops.text import tokens
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     draw = lcg_hash(F.col("doc_id")) % 1000003
     return (
         docs.select(
@@ -3662,20 +3673,34 @@ def text_bigram_surprise(spark, sf_dir):
     from mbai_gdb_spark.ops.dedup import char_poly_id
     from mbai_gdb_spark.ops.text import tokens
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.posexplode(tokens("text")).alias("pos0", "token")
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).alias("pos"),
-        char_poly_id("token").alias("tok_id"),
-    )
-    a = toks.select("doc_id", "pos", F.col("tok_id").alias("t1"))
-    b = toks.select(
-        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("tok_id").alias("t2")
-    )
-    bigrams = a.join(b, ["doc_id", "pos"]).select(
-        "doc_id", ((F.col("t1") * 31 + F.col("t2")) % 2147483647).alias("bg")
+    from mbai_gdb_spark.ops.lineage import truncate_lazy
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    # r14: map-side bigram construction — token-id array per doc, then
+    # adjacent pairs via a sequence transform.  Replaces the
+    # posexplode SELF-JOIN, which tokenized the corpus once per join
+    # side and shuffled both sides on (doc_id, pos).  The bigram
+    # multiset per document is identical (pairs (p, p+1) with the same
+    # (t1*31+t2) mod hash), so the oracle is untouched; the join and
+    # both upstream explodes disappear from the plan
+    # (plans/r14/text_bigram_surprise_{before,after}.txt).  The lazy
+    # checkpoint shares one tokenize pass between the count build and
+    # the join-back below.
+    ids = F.transform(tokens("text"), lambda t: char_poly_id(t))
+    bg_of = lambda i: (  # noqa: E731
+        F.element_at(F.col("__ids__"), i - 1) * 31
+        + F.element_at(F.col("__ids__"), i)
+    ) % 2147483647
+    bigrams = (
+        docs.select("doc_id", ids.alias("__ids__"))
+        .filter(F.size("__ids__") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(2), F.size("__ids__")), bg_of)
+            ).alias("bg"),
+        )
+        .transform(truncate_lazy)
     )
     counts = bigrams.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
     surprise = F.lit(31) - F.length(F.bin(F.col("cnt")))
@@ -3854,7 +3879,7 @@ def sim_ivfpq_residual_top5(spark, sf_dir):
     value-hash oracle."""
     from mbai_gdb_spark.ops.similarity import ivf_pq_residual_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     queries_df = emb.filter(F.col("vec_id") < 10)
     return ivf_pq_residual_topk(emb, queries_df, k=5, n_probe=2)
 
@@ -3895,7 +3920,7 @@ def sim_ivfpq_appended_top5(spark, sf_dir):
         ivfpq_probe_persisted,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     path = _ivfpq_index_path(sf_dir, suffix="_app")
     done = os.path.join(path, "_COMPLETE")
     if not os.path.exists(done):
@@ -3959,7 +3984,7 @@ def sim_ivfpq_deleted_top5(spark, sf_dir):
 
     from mbai_gdb_spark import indexgen as G
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     root = _ivfpq_index_path(sf_dir, suffix="_del")
     done = os.path.join(root, "_COMPLETE")
     if not os.path.exists(done):
@@ -4033,7 +4058,7 @@ def sim_ivf_deleted_top5(spark, sf_dir):
 
     from mbai_gdb_spark import indexgen as G
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     root = _ivfpq_index_path(sf_dir, suffix="_ivfdel")
     done = os.path.join(root, "_COMPLETE")
     if not os.path.exists(done):
@@ -4105,7 +4130,7 @@ def mm_decode_jpeg(spark, sf_dir):
 
     from mbai_gdb_spark.ops.multimodal import decode_image, encode_jpeg
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").transform(spread)
 
     gen_schema = T.StructType(
         [
@@ -4212,7 +4237,7 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
 
     from mbai_gdb_spark.ops.multimodal import decode_image, encode_jpeg_progressive
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _t(spark, sf_dir, "documents").select("doc_id").transform(spread)
 
     gen_schema = T.StructType(
         [
@@ -4306,7 +4331,11 @@ def j13_bloom_pruned_revenue(spark, sf_dir):
     from mbai_gdb_spark.ops.bloom_join import bloom_pruned_join
     from mbai_gdb_spark.queries import scaled_long
 
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    li = spread(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount"
+        )
+    )
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey", "p_brand")
     joined = bloom_pruned_join(li, part, "l_partkey", "p_partkey", how="inner")
     rev = scaled_long(
@@ -4343,7 +4372,11 @@ def j13_bloom_smj_revenue(spark, sf_dir):
     from mbai_gdb_spark.ops.bloom_join import bloom_pruned_join
     from mbai_gdb_spark.queries import scaled_long
 
-    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    li = spread(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_extendedprice", "l_discount"
+        )
+    )
     part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 1).select("p_partkey", "p_brand")
     joined = bloom_pruned_join(
         li, part, "l_partkey", "p_partkey", how="inner", join_hint="merge"
@@ -4585,7 +4618,7 @@ def text_unicode_profile(spark, sf_dir):
     composition.  Map-only (Arrow-batched) over the corpus."""
     from mbai_gdb_spark.ops.text import normalize_documents
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     deco = docs.select(
         "doc_id",
         F.concat(
@@ -4640,7 +4673,7 @@ def dedup_exact_normalized(spark, sf_dir):
 
     from mbai_gdb_spark.ops.text import normalize_documents
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     orig = docs.select(
         "doc_id", F.concat(F.col("text"), F.lit(" é")).alias("text")
     )
@@ -4703,7 +4736,7 @@ def search_bm25_updated(spark, sf_dir):
 
     from mbai_gdb_spark import indexgen as G
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     root = _bm25_index_path(sf_dir, suffix="_upd")
     done = os.path.join(root, "_COMPLETE")
     if not os.path.exists(done):
@@ -4748,7 +4781,7 @@ def search_bm25_updated_manifest(spark, sf_dir):
 
     from mbai_gdb_spark import indexman as M
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     root = _bm25_index_path(sf_dir, suffix="_updman")
     done = os.path.join(root, "_COMPLETE")
     if not os.path.exists(done):
@@ -4805,7 +4838,7 @@ def search_bm25_stream_manifest(spark, sf_dir):
 
     from mbai_gdb_spark import indexman as M
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     root = _bm25_index_path(sf_dir, suffix="_strman")
     done = os.path.join(root, "_COMPLETE")
     if not os.path.exists(done):
@@ -4884,7 +4917,7 @@ def sim_ivf_updated_top5(spark, sf_dir):
 
     from mbai_gdb_spark import indexgen as G
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     neg = F.transform(F.col("embedding"), lambda x: -x)
     root = _ivfpq_index_path(sf_dir, suffix="_ivfupd")
     done = os.path.join(root, "_COMPLETE")
@@ -4948,6 +4981,7 @@ def _doc_lsh_buckets(docs):
         minhash_signature_array,
     )
 
+    docs = spread(docs)
     with_sig = (
         docs.select("doc_id", F.array_distinct(tokens("text")).alias("__toks__"))
         .filter(F.size("__toks__") > 0)
@@ -4986,7 +5020,7 @@ def dedup_lsh_deleted(spark, sf_dir):
 
     from mbai_gdb_spark import indexgen as G
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
     root = _keyed_index_path(sf_dir, _BM25_IDX_PREFIX, "documents", "_lshgen")
     done = os.path.join(root, "_COMPLETE")
     if not os.path.exists(done):
@@ -5057,7 +5091,7 @@ def sim_ivfpq_updated_top5(spark, sf_dir):
 
     from mbai_gdb_spark import indexgen as G
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     neg = F.transform(F.col("embedding"), lambda x: -x)
     root = _ivfpq_index_path(sf_dir, suffix="_pqupd")
     done = os.path.join(root, "_COMPLETE")
@@ -5198,8 +5232,8 @@ def takedown_multi_index(spark, sf_dir):
 
     from mbai_gdb_spark import indexgen as G
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    emb = _t(spark, sf_dir, "embeddings")
+    docs = spread(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    emb = spread(_t(spark, sf_dir, "embeddings"))
     is7 = lambda c: F.pmod(F.col(c), F.lit(10)) == 7  # noqa: E731
     bm25_root = _bm25_index_path(sf_dir, suffix="_td")
     lsh_root = _keyed_index_path(sf_dir, _BM25_IDX_PREFIX, "documents", "_tdlsh")
@@ -5212,39 +5246,66 @@ def takedown_multi_index(spark, sf_dir):
         _sweep_stale_bm25_indexes(_bm25_index_root())
         for r in (bm25_root, lsh_root, ivf_root, ivfpq_root):
             shutil.rmtree(r, ignore_errors=True)
+
         # Stand up the serving tier (generation 1/2 per family; the
         # LSH probe third is never indexed, the vector families use the
         # frozen-quantizer bootstrap their certified twins pin).
-        G.bm25_gen_build(docs, bm25_root, n_buckets=64)
-        G.lsh_gen_build(
-            _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)),
-            lsh_root,
-            n_buckets=32,
-        )
-        G.lsh_gen_append(
-            _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)),
-            lsh_root,
-        )
-        G.ivf_gen_build(
-            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
-            ivf_root,
-            centroid_stride=50,
-        )
-        G.ivf_gen_append(
-            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1), ivf_root
-        )
-        G.ivfpq_gen_build(
-            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
-            ivfpq_root,
-            centroid_stride=50,
-            code_stride=7,
-            vectorized=False,
-        )
-        G.ivfpq_gen_append(
-            emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
-            ivfpq_root,
-            vectorized=False,
-        )
+        # r14: the four families live under four INDEPENDENT roots, so
+        # their build→append chains run from a small thread pool —
+        # Spark overlaps the jobs and each chain's tail stragglers
+        # back-fill the others' idle cores (guide §2.6).  Mutation
+        # ordering WITHIN a family is preserved inside its chain; the
+        # takedown call still waits for all four.
+        def _standup_bm25():
+            G.bm25_gen_build(docs, bm25_root, n_buckets=64)
+
+        def _standup_lsh():
+            G.lsh_gen_build(
+                _doc_lsh_buckets(
+                    docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+                ),
+                lsh_root,
+                n_buckets=32,
+            )
+            G.lsh_gen_append(
+                _doc_lsh_buckets(
+                    docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 1)
+                ),
+                lsh_root,
+            )
+
+        def _standup_ivf():
+            G.ivf_gen_build(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+                ivf_root,
+                centroid_stride=50,
+            )
+            G.ivf_gen_append(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1), ivf_root
+            )
+
+        def _standup_ivfpq():
+            G.ivfpq_gen_build(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+                ivfpq_root,
+                centroid_stride=50,
+                code_stride=7,
+                vectorized=False,
+            )
+            G.ivfpq_gen_append(
+                emb.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+                ivfpq_root,
+                vectorized=False,
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(4) as ex:
+            for _ in ex.map(
+                lambda f: f(),
+                (_standup_bm25, _standup_lsh, _standup_ivf, _standup_ivfpq),
+            ):
+                pass
         # THE takedown: one call, four indexes, one generation each.
         applied = G.takedown_documents(
             [
@@ -5274,35 +5335,57 @@ def takedown_multi_index(spark, sf_dir):
         _BM25_BUILT_PATHS.update((bm25_root, lsh_root, ivf_root, ivfpq_root))
     qs = spark.createDataFrame(_SEARCH_QUERIES, "query_id string, qtext string")
     vq = emb.filter(F.col("vec_id") < 10)
-    bm25_leg = G.bm25_gen_probe(spark, bm25_root, qs, k=10).select(
-        F.lit("bm25").alias("family"),
-        F.col("query_id").alias("probe_key"),
-        F.col("doc_id").alias("item_id"),
-        "rank",
-    )
-    lsh_leg = G.lsh_gen_probe(
-        spark,
-        lsh_root,
-        _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)),
-        max_bucket_size=50,
-    ).select(
-        F.lit("lsh").alias("family"),
-        F.col("id_a").cast("string").alias("probe_key"),
-        F.col("id_b").alias("item_id"),
-        F.lit(1).cast("int").alias("rank"),
-    )
-    ivf_leg = G.ivf_gen_probe(spark, ivf_root, vq, k=5, n_probe=2).select(
-        F.lit("ivf").alias("family"),
-        F.col("query_id").cast("string").alias("probe_key"),
-        F.col("vec_id").alias("item_id"),
-        "rank",
-    )
-    ivfpq_leg = G.ivfpq_gen_probe(spark, ivfpq_root, vq, k=5, n_probe=2).select(
-        F.lit("ivfpq").alias("family"),
-        F.col("query_id").cast("string").alias("probe_key"),
-        F.col("vec_id").alias("item_id"),
-        "rank",
-    )
+
+    # r14: the four probe legs are independent serving paths whose
+    # CONSTRUCTION does eager work (the vector probes materialize the
+    # probe assignment and collect the probed-list ids; the BM25/LSH
+    # probes read pointer metadata) — building them from a thread pool
+    # overlaps those jobs instead of paying them back-to-back (guide
+    # §2.6).  The returned union is byte-identical to the sequential
+    # construction.
+    def _bm25_leg():
+        return G.bm25_gen_probe(spark, bm25_root, qs, k=10).select(
+            F.lit("bm25").alias("family"),
+            F.col("query_id").alias("probe_key"),
+            F.col("doc_id").alias("item_id"),
+            "rank",
+        )
+
+    def _lsh_leg():
+        return G.lsh_gen_probe(
+            spark,
+            lsh_root,
+            _doc_lsh_buckets(docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 2)),
+            max_bucket_size=50,
+        ).select(
+            F.lit("lsh").alias("family"),
+            F.col("id_a").cast("string").alias("probe_key"),
+            F.col("id_b").alias("item_id"),
+            F.lit(1).cast("int").alias("rank"),
+        )
+
+    def _ivf_leg():
+        return G.ivf_gen_probe(spark, ivf_root, vq, k=5, n_probe=2).select(
+            F.lit("ivf").alias("family"),
+            F.col("query_id").cast("string").alias("probe_key"),
+            F.col("vec_id").alias("item_id"),
+            "rank",
+        )
+
+    def _ivfpq_leg():
+        return G.ivfpq_gen_probe(spark, ivfpq_root, vq, k=5, n_probe=2).select(
+            F.lit("ivfpq").alias("family"),
+            F.col("query_id").cast("string").alias("probe_key"),
+            F.col("vec_id").alias("item_id"),
+            "rank",
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(4) as ex:
+        bm25_leg, lsh_leg, ivf_leg, ivfpq_leg = ex.map(
+            lambda f: f(), (_bm25_leg, _lsh_leg, _ivf_leg, _ivfpq_leg)
+        )
     return bm25_leg.unionByName(lsh_leg).unionByName(ivf_leg).unionByName(
         ivfpq_leg
     )
