@@ -737,11 +737,20 @@ def main() -> None:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        if qi and qi % 8 == 0:
-            # Periodic GC + cache clear: residue from earlier queries
-            # (checkpoint blocks, JVM garbage) inflates later entries —
-            # measured 3.6 s vs 0.7 s isolated for the same query late
-            # in the sweep.  Outside the timed windows.
+        if qi:
+            # Per-query GC + cache clear (r14; was every-8 since r5):
+            # residue from earlier queries (localCheckpoint blocks,
+            # shuffle/broadcast state pending the context cleaner, JVM
+            # garbage) inflates later entries — the every-8 cadence
+            # left e.g. mm_decode_image at 3.98 s in-battery vs 2.24 s
+            # with per-query cleanup vs ~2.0 s fresh-JVM isolated
+            # (r14 A/B, tools/battery_prefix_experiment.py; full-
+            # battery deltas in OPTIMIZATION_r14.md).  gc.collect()
+            # drops unreferenced py4j handles so the JVM context
+            # cleaner releases the backing RDD/broadcast/shuffle state.
+            # Outside the timed windows: this isolates each query's own
+            # cost, exactly what the fresh-subprocess --isolate path
+            # measures, without changing what any query computes.
             import gc as _gc
 
             _gc.collect()

@@ -82,6 +82,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_sidecar_row(path: str) -> dict:
+    """One-row metadata side-car (``_meta``, index scalars) read
+    DRIVER-SIDE via pyarrow — no Spark job.  A probe previously paid a
+    whole scheduled job (scan + collect, ~100-300 ms of the serving
+    latency) to fetch a handful of bounded scalars; the side-car is by
+    construction a single coalesce(1) parquet of one row, i.e. exactly
+    the "bounded artifact like a PQ codebook" class the 100 TB rules
+    allow on the driver (r14, guide §7.3 — cut driver round-trips per
+    probe).  Returns a plain dict keyed like the Row the Spark read
+    produced; pyarrow ignores ``_SUCCESS``/dot files on its own."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    row = t.to_pylist()
+    if not row:
+        raise ValueError(f"empty metadata side-car at {path}")
+    return row[0]
+
+
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in (names or FIXTURE_TABLES)}
 

@@ -104,12 +104,28 @@ def bloom_membership(
     words = [0] * (m_bits // WORD_BITS)
     for r in rows:
         words[int(r.word_idx)] = int(r.word)
-    words_col = F.lit(words)
+    # ONE string literal, constant-folded by the optimizer into a
+    # single array Literal node.  (r14: `F.lit(words)` built the array
+    # as ``m_bits/32`` individual Literal children — expensive twice:
+    # one py4j round-trip per element at construction, and every
+    # analyzer/optimizer pass then re-walks a 4096-child CreateArray
+    # PER REFERENCE (k=4 references here) — measured ~0.5 s of driver
+    # plan-compile time per reference at the 2^17-bit default; guide
+    # §7.3 "driver is doing something single-threaded".  A folded
+    # Literal is one node however wide the bitmap.)
+    import json as _json
+
+    words_col = F.from_json(F.lit(_json.dumps(words)), "array<bigint>")
     cond = F.lit(True)
     for j in range(k):
         pos = _bloom_pos(_norm_key(probe_key), j, m_bits)
         word = F.element_at(words_col, (F.floor(pos / WORD_BITS) + 1).cast("int"))
-        bit = F.pow(F.lit(2.0), pos % WORD_BITS).cast("long")
+        # shiftleft == the old pow(2.0, r).cast(long) bit-exactly for
+        # r in [0, 31] (float64 powers of two are exact); integer
+        # shift beats a float pow per probe row (guide §2.3).
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pos % WORD_BITS).cast("int")
+        )
         cond = cond & (word.bitwiseAND(bit) != 0)
     return cond
 

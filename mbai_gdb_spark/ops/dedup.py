@@ -532,6 +532,16 @@ def typo_pairs(
             )
         ).alias("variant"),
     )
+    # Pin the join's parallelism (r14, guide §2.5): the variant frame is
+    # only a few MB, so AQE's byte-blind partition coalescing collapsed
+    # the self-join + pair distinct + levenshtein — the expensive part —
+    # onto ONE task (measured 3.6 s single-task stage at sf0.1).  An
+    # explicit repartition by the join key is exempt from coalescing,
+    # both self-join sides reuse the one exchange, and the target is
+    # defaultParallelism — scale-adaptive, not a local constant.
+    variants = variants.repartition(
+        variants.sparkSession.sparkContext.defaultParallelism, "variant"
+    )
     a = variants.select(F.col("tok").alias("tok_a"), "variant")
     b = variants.select(F.col("tok").alias("tok_b"), "variant")
     pairs = (

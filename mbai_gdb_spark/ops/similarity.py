@@ -720,17 +720,20 @@ def ivf_probe_persisted(
             " cosine_sim double, rank int",
         )
     lists = spark.read.parquet(path)
-    # Materialize the probe assignment ONCE: it feeds both the
-    # partition-filter id list (collected) and the candidate join —
-    # without the checkpoint the query-by-centroid scoring and the
-    # _centroids sidecar scan would run twice.
-    q_probes = ivf_query_probes(
+    # Materialize the probe assignment ONCE — r14: with a single
+    # COLLECT (bounded: n_queries × n_probe rows carrying the query
+    # vectors) instead of an eager checkpoint job + a distinct+collect
+    # job; the collected rows feed both the partition-filter id list
+    # and, rebuilt as a local frame, the candidate join — one scheduled
+    # job on the serving path instead of three (guide §7.3).
+    qp = ivf_query_probes(
         spark, path, queries, n_probe, id_col, vec_col, query_id_col
-    ).localCheckpoint(eager=True)
-
-    probe_ids = [r.probe_centroid for r in q_probes.select("probe_centroid").distinct().collect()]
+    )
+    qp_rows = qp.collect()
+    probe_ids = sorted({r["probe_centroid"] for r in qp_rows})
+    q_probes = spark.createDataFrame(qp_rows, qp.schema)
     pruned = lists.filter(F.col("centroid_id").isin(probe_ids))
-    candidates = q_probes.join(
+    candidates = F.broadcast(q_probes).join(
         pruned.select(
             id_col, as_double(F.col(vec_col)).alias("__lv__"), "centroid_id"
         ).withColumn("__ln__", l2_norm(F.col("__lv__"))),
@@ -2265,7 +2268,6 @@ def ivfpq_probe_persisted(
     import os
 
     from mbai_gdb_spark.io import check_serving_safe
-    from mbai_gdb_spark.ops.lineage import truncate
 
     check_serving_safe(path)
     if not any(n.startswith("centroid_id=") for n in os.listdir(path)):
@@ -2304,25 +2306,28 @@ def ivfpq_probe_persisted(
             as_double(F.col(vec_col)).alias("__cv__"),
         ).withColumn("__cn__", l2_norm(F.col("__cv__")))
     )
-    probes = truncate(
-        topk_per_key(
-            q.crossJoin(cents).select(
-                query_id_col,
-                "centroid_id",
-                F.col("__qv__"),
-                (
-                    dot(F.col("__qv__"), F.col("__cv__"))
-                    / (F.col("__qn__") * F.col("__cn__"))
-                ).alias("__csim__"),
-            ),
-            [query_id_col],
-            [F.col("__csim__").desc(), F.col("centroid_id")],
-            n_probe,
-        ).select(query_id_col, "centroid_id", "__qv__")
-    )
-    probe_ids = [
-        r.centroid_id for r in probes.select("centroid_id").distinct().collect()
-    ]
+    # r14: one COLLECT (bounded: n_queries × n_probe rows) replaces the
+    # eager-checkpoint job + distinct+collect job; the rows feed the
+    # partition-filter id list AND rebuild as the local probes frame
+    # the ADC search joins (guide §7.3 — serving-path driver round
+    # trips).
+    probes_df = topk_per_key(
+        q.crossJoin(cents).select(
+            query_id_col,
+            "centroid_id",
+            F.col("__qv__"),
+            (
+                dot(F.col("__qv__"), F.col("__cv__"))
+                / (F.col("__qn__") * F.col("__cn__"))
+            ).alias("__csim__"),
+        ),
+        [query_id_col],
+        [F.col("__csim__").desc(), F.col("centroid_id")],
+        n_probe,
+    ).select(query_id_col, "centroid_id", "__qv__")
+    probe_rows = probes_df.collect()
+    probes = spark.createDataFrame(probe_rows, probes_df.schema)
+    probe_ids = sorted({r["centroid_id"] for r in probe_rows})
     pruned = codes_all.filter(F.col("centroid_id").isin(probe_ids))
     return _residual_adc_search(
         queries, centroids, cb, pruned, k, n_probe, m_sub, sub_dim,

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TOKEN_SPLIT_RE = r"\s+"
 
@@ -610,6 +611,56 @@ def _term_bucket(term_col, n_buckets: int):
     return F.pmod(char_poly_id(term_col), F.lit(n_buckets)).cast("int")
 
 
+# --- driver-side twins of the query-tokenize expressions (r14) -------------
+#
+# A probe's QUERY frame is bounded by contract (a handful of literal
+# strings), yet computing its term set / bucket list through Spark cost
+# two scheduled jobs per probe (distinct + collect over a shuffle).
+# For ASCII query text the whitespace tokenizer and the char-polynomial
+# hash are reproduced below EXACTLY (Java \s is [ \t\n\x0B\f\r]; trim()
+# strips only ' '; char_poly_id is h = (h*31 + codepoint) % (2^31-1) —
+# all pure ASCII-safe integer algebra).  Non-ASCII text falls back to
+# the Spark expressions, where e.g. Java vs Python whitespace classes
+# could diverge.  Guide §7.3: cut sequential driver round-trips on the
+# serving path.
+
+_PY_TOKEN_SPLIT = None  # compiled lazily (re import kept out of hot module load)
+
+
+def _py_tokens(text):
+    """Driver twin of ``tokens()`` = split(trim(x), '\\s+'), Java
+    semantics, for ASCII input; returns None for NULL text."""
+    global _PY_TOKEN_SPLIT
+    if text is None:
+        return None
+    import re
+
+    if _PY_TOKEN_SPLIT is None:
+        _PY_TOKEN_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
+    return [t for t in _PY_TOKEN_SPLIT.split(text.strip(" ")) if t != ""]
+
+
+def _py_char_poly(token: str, mod: int = 2**31 - 1, mult: int = 31) -> int:
+    """Driver twin of ``ops.dedup.char_poly_id`` (ASCII input)."""
+    h = 0
+    for ch in token:
+        h = (h * mult + ord(ch)) % mod
+    return h
+
+
+def _py_query_plan(qrows, qid_key: str, text_key: str):
+    """Tokenize collected query rows driver-side.  Returns
+    ``{query_id: [tokens...]}`` (queries with NULL text map to []), or
+    None when any text is non-ASCII (caller falls back to Spark)."""
+    out = {}
+    for r in qrows:
+        text = r[text_key]
+        if text is not None and any(ord(c) > 127 for c in text):
+            return None
+        out[r[qid_key]] = _py_tokens(text) or []
+    return out
+
+
 def bm25_index_persist(
     docs: DataFrame,
     path: str,
@@ -737,7 +788,11 @@ def _write_bm25_meta(spark, path: str, **kw) -> None:
 
 def _meta_field(meta, name: str, default=None):
     """Read an optional ``_meta`` column with a legacy-tolerant default
-    (indexes persisted before the column existed lack it)."""
+    (indexes persisted before the column existed lack it).  Accepts
+    both a Spark Row and the plain dict ``io.read_sidecar_row``
+    returns (r14: probes read `_meta` driver-side, no Spark job)."""
+    if isinstance(meta, dict):
+        return meta.get(name, default)
     return meta[name] if name in meta.__fields__ else default
 
 
@@ -1331,25 +1386,52 @@ def bm25_probe_persisted(
     it from), so the empty and non-empty paths return the same schema."""
     import os
 
-    from mbai_gdb_spark.io import check_serving_safe
+    from mbai_gdb_spark.io import check_serving_safe, read_sidecar_row
 
     check_serving_safe(path)
-    meta = spark.read.parquet(path + "/_meta").first()
+    meta = read_sidecar_row(path + "/_meta")  # r14: no Spark job
     if not any(n.startswith("bucket=") for n in os.listdir(path)):
         return _empty_probe_result(
             spark, meta, queries_df, query_id_col, id_col
         )
-    qterms = (
-        queries_df.select(
-            F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")
+    # r14 (guide §7.3): the query frame is bounded, so its term set and
+    # bucket list are computed DRIVER-SIDE for ASCII queries — one
+    # local-relation collect instead of a distinct+collect shuffle job,
+    # and the qterms join side becomes a local frame.  Non-ASCII query
+    # text keeps the original Spark expressions (exact-twin guarantee
+    # only proven for ASCII).
+    qrows = queries_df.select(query_id_col, query_text_col).collect()
+    plan = _py_query_plan(qrows, query_id_col, query_text_col)
+    if plan is not None:
+        pairs = sorted({(qid, t) for qid, toks in plan.items() for t in toks})
+        buckets = sorted(
+            {_py_char_poly(t) % meta["n_buckets"] for _, t in pairs}
         )
-        .filter(F.col("term") != "")
-        .distinct()
-        .withColumn("bucket", _term_bucket(F.col("term"), meta["n_buckets"]))
-    )
-    buckets = sorted({r["bucket"] for r in qterms.select("bucket").distinct().collect()})
+        qid_t = queries_df.schema[query_id_col].dataType
+        qterms = spark.createDataFrame(
+            pairs,
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_t),
+                    T.StructField("term", T.StringType()),
+                ]
+            ),
+        )
+    else:
+        qterms = (
+            queries_df.select(
+                F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .distinct()
+            .withColumn("bucket", _term_bucket(F.col("term"), meta["n_buckets"]))
+        )
+        buckets = sorted(
+            {r["bucket"] for r in qterms.select("bucket").distinct().collect()}
+        )
+        qterms = qterms.drop("bucket")
     lists = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
-    hits = lists.join(F.broadcast(qterms.drop("bucket")), "term")
+    hits = lists.join(F.broadcast(qterms), "term")
     # df computed EXACTLY from the hit set: probing a term reads every
     # posting of that term (they all live in its bucket), so the row
     # count per (query, term) IS its document frequency — one window
@@ -1398,10 +1480,10 @@ def phrase_bm25_probe_persisted(
 
     from pyspark.sql import Window as W
 
-    from mbai_gdb_spark.io import check_serving_safe
+    from mbai_gdb_spark.io import check_serving_safe, read_sidecar_row
 
     check_serving_safe(path)
-    meta = spark.read.parquet(path + "/_meta").first()
+    meta = read_sidecar_row(path + "/_meta")  # r14: no Spark job
     if not bool(_meta_field(meta, "has_positions", False)):
         raise ValueError(
             "phrase_bm25_probe_persisted: index at "
@@ -1413,21 +1495,68 @@ def phrase_bm25_probe_persisted(
         return _empty_probe_result(
             spark, meta, queries_df, query_id_col, id_col
         )
-    qcleaned = F.filter(tokens(query_text_col), lambda x: x != F.lit(""))
-    qtoks = queries_df.select(
-        F.col(query_id_col), F.posexplode(qcleaned).alias("qpos", "term")
-    )
-    m_per_q = qtoks.groupBy(query_id_col).agg((F.max("qpos") + 1).alias("__m__"))
-    qterms = (
-        qtoks.select(query_id_col, "term")
-        .distinct()
-        .withColumn("bucket", _term_bucket(F.col("term"), meta["n_buckets"]))
-    )
-    buckets = sorted(
-        {r["bucket"] for r in qterms.select("bucket").distinct().collect()}
-    )
+    # r14 (guide §7.3): bounded query frame → tokenize + bucket the
+    # phrase terms driver-side for ASCII queries (one local collect, no
+    # distinct/collect shuffle jobs); qtoks / m_per_q / qterms become
+    # local frames.  Non-ASCII text keeps the Spark expressions.
+    qrows = queries_df.select(query_id_col, query_text_col).collect()
+    plan = _py_query_plan(qrows, query_id_col, query_text_col)
+    if plan is not None:
+        qid_t = queries_df.schema[query_id_col].dataType
+        qtok_rows = [
+            (qid, i, t) for qid, toks in plan.items() for i, t in enumerate(toks)
+        ]
+        qtoks = spark.createDataFrame(
+            qtok_rows,
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_t),
+                    T.StructField("qpos", T.IntegerType(), False),
+                    T.StructField("term", T.StringType()),
+                ]
+            ),
+        )
+        m_per_q = spark.createDataFrame(
+            [(qid, len(toks)) for qid, toks in plan.items() if toks],
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_t),
+                    T.StructField("__m__", T.IntegerType(), False),
+                ]
+            ),
+        )
+        pairs = sorted({(qid, t) for qid, _i, t in qtok_rows})
+        qterms = spark.createDataFrame(
+            pairs,
+            T.StructType(
+                [
+                    T.StructField(query_id_col, qid_t),
+                    T.StructField("term", T.StringType()),
+                ]
+            ),
+        )
+        buckets = sorted(
+            {_py_char_poly(t) % meta["n_buckets"] for _, t in pairs}
+        )
+    else:
+        qcleaned = F.filter(tokens(query_text_col), lambda x: x != F.lit(""))
+        qtoks = queries_df.select(
+            F.col(query_id_col), F.posexplode(qcleaned).alias("qpos", "term")
+        )
+        m_per_q = qtoks.groupBy(query_id_col).agg(
+            (F.max("qpos") + 1).alias("__m__")
+        )
+        qterms = (
+            qtoks.select(query_id_col, "term")
+            .distinct()
+            .withColumn("bucket", _term_bucket(F.col("term"), meta["n_buckets"]))
+        )
+        buckets = sorted(
+            {r["bucket"] for r in qterms.select("bucket").distinct().collect()}
+        )
+        qterms = qterms.drop("bucket")
     lists = spark.read.parquet(path).filter(F.col("bucket").isin(buckets))
-    hits = lists.join(F.broadcast(qterms.drop("bucket")), "term")
+    hits = lists.join(F.broadcast(qterms), "term")
     # Phrase candidates from the STORED positions of hit rows only.
     starts = (
         hits.select(
