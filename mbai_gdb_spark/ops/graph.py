@@ -399,8 +399,20 @@ def _kcore_state(
     edges: DataFrame, src: str, dst: str, canonical: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """(adjacency, degree) state for the delta peel: the canonical
-    edge set exploded into BOTH directions (vid, nbr) — checkpointed,
-    scanned once per round — plus the initial (vid, deg) table."""
+    edge set GROUPED per vertex — (vid, nbrs array), checkpointed —
+    plus the initial (vid, deg) table.
+
+    r14 (guide §2.3/§2.4): the previous state kept the bidirectional
+    adjacency as 2m (vid, nbr) ROWS, so every peel round's
+    delta-decrement join re-scanned 2m rows to hash-probe the (tiny)
+    broadcast delta — profiled ~200 MB scanned per round at sf0.1,
+    ~10× per profile.  Grouped per vertex the same information is |V|
+    rows; a round now scans |V| rows and explodes ONLY the delta's
+    own adjacency lists, making per-round work proportional to the
+    delta's incident edges + |V| — the asymptotic the delta peel
+    always claimed.  Same rows, same counts: the adjacency is
+    symmetric, so counting dead-neighbor hits by exploding the DEAD
+    rows' lists equals the old count over the survivor side."""
     if canonical:
         e = edges.select("u", "v")
     else:
@@ -413,10 +425,12 @@ def _kcore_state(
     adj = (
         e.select(F.col("u").alias("vid"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("vid"), F.col("u").alias("nbr")))
+        .groupBy("vid")
+        .agg(F.collect_list("nbr").alias("nbrs"))
         .transform(_ckpt)
     )
     alive = (
-        adj.groupBy("vid").agg(F.count(F.lit(1)).alias("deg")).transform(_ckpt)
+        adj.select("vid", F.size("nbrs").alias("deg")).transform(_ckpt)
     )
     return adj, alive
 
@@ -450,8 +464,15 @@ def _kcore_peel(
         # forced 1M-row broadcast tens of MB per round — leave those
         # to the optimizer's own threshold.
         nd = F.broadcast(newly) if (numeric_id and n_new <= 1_000_000) else newly
+        # Explode ONLY the newly-dead vertices' adjacency lists (r14):
+        # symmetric adjacency means each dead→survivor incidence is
+        # counted exactly once from the dead side, identical to the
+        # old survivor-side count, but the scan is |V| grouped rows
+        # (hash-probed against the broadcast delta) instead of 2m
+        # edge rows per round.
         dec = (
-            adj.join(nd.withColumnRenamed("vid", "nbr"), "nbr")
+            adj.join(nd, "vid")
+            .select(F.explode("nbrs").alias("vid"))
             .groupBy("vid")
             .agg(F.count(F.lit(1)).alias("dec"))
         )
@@ -550,8 +571,10 @@ def kcore_edges(
     alive = _kcore_peel(adj, alive, k, max_iter, checkpoint_every)
     au = alive.select(F.col("vid").alias("u"))
     av = alive.select(F.col("vid").alias("v"))
-    e = adj.filter(F.col("vid") < F.col("nbr")).select(
-        F.col("vid").alias("u"), F.col("nbr").alias("v")
+    e = (
+        adj.select("vid", F.explode("nbrs").alias("nbr"))
+        .filter(F.col("vid") < F.col("nbr"))
+        .select(F.col("vid").alias("u"), F.col("nbr").alias("v"))
     )
     return (
         e.join(au, "u", "left_semi")

@@ -49,71 +49,111 @@ LINEUP_STINT_SCHEMA = T.StructType(
 
 def _reconstruct(key, pdf):
     """Grouped-map kernel: one (game, team)'s starters + substitutions →
-    lineup-change events (stint openings)."""
+    lineup-change events (stint openings).
+
+    r14 (guide §4.2): the per-group body is PLAIN PYTHON over column
+    lists — a group is ~dozens of rows, where pandas' sort_values /
+    boolean masks / groupby cost milliseconds of framework overhead per
+    call while the actual state walk is microseconds; across a season
+    corpus (4,000 groups at the 2,000-game bench tier) the pandas
+    version spent ~95 % of kernel task time in that overhead.  The
+    event semantics are UNCHANGED: stable (period, elapsed, action_id)
+    sub order, NaN-elapsed rows ignored (the pandas version's ==/>
+    masks and groupby dropped them too), period-start subs applied
+    before the opening stint, emit-on-change."""
     game_id, team_id = int(key[0]), int(key[1])
-    starters = sorted(int(p) for p in pdf.loc[pdf.kind == "starter", "player_id"])
-    subs = pdf[pdf.kind == "sub"].sort_values(
-        ["period", "elapsed", "action_id"], kind="mergesort"
+    kinds = pdf["kind"].tolist()
+    player_ids = pdf["player_id"].tolist()
+    period_col = pdf["period"].tolist()
+    elapsed_col = pdf["elapsed"].tolist()
+    action_col = pdf["action_id"].tolist()
+    sub_type_col = pdf["sub_type"].tolist()
+    time_col = pdf["time"].tolist()
+
+    starters = sorted(
+        int(p) for p, kd in zip(player_ids, kinds) if kd == "starter"
     )
-    marker = pdf[pdf.kind == "period"]
-    periods = sorted(marker["period"].unique())
     # Wall-clock period starts (reference stints carry start_time/
     # end_time alongside the game clocks, src/queries/game.py:105-125).
-    period_start = dict(zip(marker["period"].astype(int), marker["time"]))
+    period_start = {
+        int(period_col[i]): time_col[i]
+        for i in range(len(kinds))
+        if kinds[i] == "period"
+    }
+    periods = sorted(period_start)
+    # Stable sub order; NaN and negative elapsed excluded (they matched
+    # neither the ==0 period-start branch nor the >0 mid-period branch
+    # before — NaN additionally dropped by the old groupby).
+    subs = sorted(
+        (
+            (int(period_col[i]), float(elapsed_col[i]), int(action_col[i]),
+             sub_type_col[i], int(player_ids[i]), time_col[i])
+            for i in range(len(kinds))
+            if kinds[i] == "sub"
+            and elapsed_col[i] == elapsed_col[i]
+            and elapsed_col[i] >= 0.0
+        ),
+    )
 
     out_rows = []
     on_court = set(starters)
+    si, n_subs = 0, len(subs)
     for period in periods:
-        period_subs = subs[subs.period == period]
-        # Apply period-start substitutions (elapsed == 0) before emitting
-        # the opening stint.
-        at_start = period_subs[period_subs.elapsed == 0.0]
-        for sub_type, player_id in zip(at_start["sub_type"], at_start["player_id"]):
+        # Apply period-start substitutions (elapsed == 0) before
+        # emitting the opening stint.  Subs are sorted by period, so a
+        # single cursor walks them once.
+        while si < n_subs and subs[si][0] < period:
+            si += 1  # subs in a period with no marker row: ignored, as before
+        while si < n_subs and subs[si][0] == period and subs[si][1] == 0.0:
+            sub_type, player_id = subs[si][3], subs[si][4]
             if sub_type == "out":
-                on_court.discard(int(player_id))
+                on_court.discard(player_id)
             else:
-                on_court.add(int(player_id))
+                on_court.add(player_id)
+            si += 1
         seq = 0
         current = tuple(sorted(on_court))
         if len(current) == 5:
             out_rows.append(
-                (game_id, team_id, int(period), seq, current, 0.0,
-                 period_start.get(int(period)))
+                (game_id, team_id, period, seq, current, 0.0,
+                 period_start.get(period))
             )
         # Mid-period changes: emit a new stint whenever the set is full
-        # and different from the last emitted lineup.
-        mid = period_subs[period_subs.elapsed > 0.0]
-        for elapsed, grp in mid.groupby("elapsed", sort=True):
+        # and different from the last emitted lineup; rows sharing an
+        # elapsed value apply together (one group).
+        while si < n_subs and subs[si][0] == period:
+            elapsed = subs[si][1]
             wall = None
-            for sub_type, player_id, t in zip(
-                grp["sub_type"], grp["player_id"], grp["time"]
+            while (
+                si < n_subs
+                and subs[si][0] == period
+                and subs[si][1] == elapsed
             ):
+                sub_type, player_id, t = subs[si][3], subs[si][4], subs[si][5]
                 if sub_type == "out":
-                    on_court.discard(int(player_id))
+                    on_court.discard(player_id)
                 else:
-                    on_court.add(int(player_id))
+                    on_court.add(player_id)
                 wall = t
+                si += 1
             nxt = tuple(sorted(on_court))
             if len(nxt) == 5 and nxt != current:
                 seq += 1
                 out_rows.append(
-                    (game_id, team_id, int(period), seq, nxt, float(elapsed), wall)
+                    (game_id, team_id, period, seq, nxt, float(elapsed), wall)
                 )
                 current = nxt
     return pd.DataFrame(
-        [
-            {
-                "game_id": g,
-                "team_id": t,
-                "period": p,
-                "stint_seq": s,
-                "lineup_id": "_".join(str(x) for x in ids),
-                "player_ids": list(ids),
-                "local_start": e,
-                "start_time": w,
-            }
-            for (g, t, p, s, ids, e, w) in out_rows
-        ],
+        {
+            "game_id": [r[0] for r in out_rows],
+            "team_id": [r[1] for r in out_rows],
+            "period": [r[2] for r in out_rows],
+            "stint_seq": [r[3] for r in out_rows],
+            "lineup_id": ["_".join(str(x) for x in r[4]) for r in out_rows],
+            "player_ids": [list(r[4]) for r in out_rows],
+            "local_start": [r[5] for r in out_rows],
+            "start_time": [r[6] for r in out_rows],
+        },
         columns=[f.name for f in LINEUP_STINT_SCHEMA.fields],
     )
 

@@ -82,6 +82,40 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Distinct canonical co-purchase edges (u < v) from (l_orderkey,
+    l_partkey) rows.
+
+    r14 (guide §2.4): map-side pair generation — ONE groupBy(order)
+    with collect_set, then all i<j pairs of the sorted part array are
+    emitted by a higher-order transform before the final distinct —
+    replacing the previous distinct + self-join-on-order, which cost an
+    extra exchange (the (order, part)-keyed distinct could not be
+    reused by the order-keyed join) and materialized the same pairs
+    through join machinery.  Pair count per order is C(n,2) of a
+    basket-sized n, so the explode is bounded; the edge SET is
+    identical (sorted distinct parts per order → all ordered pairs →
+    global distinct)."""
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("pks")
+    )
+    pks = F.col("pks")
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    pks,
+                    lambda x, i: F.transform(
+                        F.slice(pks, i + F.lit(2), F.size(pks)),
+                        lambda y: F.struct(x.alias("u"), y.alias("v")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.u").alias("u"), F.col("p.v").alias("v")).distinct()
+
+
 # --- exact-arithmetic helpers (see module docstring) -----------------------
 
 
@@ -1992,16 +2026,8 @@ def graph_triangle_count(spark, sf_dir):
     plan has no superlinear term on this tier."""
     from mbai_gdb_spark.ops.graph import triangle_count
 
-    li = spread(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
+    edges = _copurchase_edges(
+        spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     )
     return triangle_count(edges, "u", "v").select(
         F.col("vertex").alias("part_key"), "n_triangles"
@@ -2486,16 +2512,8 @@ def graph_kcore_profile(spark, sf_dir):
     closed-form graphs."""
     from mbai_gdb_spark.ops.graph import kcore_profile
 
-    li = spread(
-        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ).distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
-    edges = (
-        a.join(b, "ok")
-        .filter(F.col("u") < F.col("v"))
-        .select("u", "v")
-        .distinct()
+    edges = _copurchase_edges(
+        spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     )
     rows = kcore_profile(edges, [48, 80, 112], "u", "v")
     return spark.createDataFrame(rows, "k int, n_vertices long, n_edges long")

@@ -56,14 +56,23 @@ def _run(sf_dir: str, names: list[str], log_dir: str) -> dict[str, dict[str, flo
     warm = "a1_pricing_summary" if "a1_pricing_summary" not in names else "a7_distinct_segments"
     QUERIES[warm](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    import re as _re
+
     walls: dict[str, dict[str, float]] = {}
     for name in names:
-        fn = QUERIES[name]
+        m = _re.fullmatch(r"nba_game_pipeline_(\d+)", name)
         walls[name] = {}
         for phase in ("cold", "warm"):
             spark.sparkContext.setJobDescription(f"{name}#{phase}")
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if m:
+                from bench import _bench_nba_pipeline
+
+                _bench_nba_pipeline(spark, int(m.group(1)))
+            else:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
             walls[name][phase] = time.perf_counter() - t0
             spark.sparkContext.setJobDescription(None)
     spark.stop()
@@ -192,6 +201,39 @@ def main() -> None:
                         f"{r['sh_r'] / 1e6:>7.1f} {r['sh_w'] / 1e6:>7.1f} "
                         f"{r['inp'] / 1e6:>7.1f}  {r['name']}"
                     )
+        known = {f"{n}#{p}" for n in names for p in ("cold", "warm")}
+        other = sorted(
+            (
+                s
+                for s, d in job_of_stage.items()
+                if d not in known and s in stage_meta
+            )
+        )
+        if other:
+            print(f"\n=== (unattributed: pool-thread jobs etc.)  "
+                  f"stages={len(other)} ===")
+            rows = sorted(
+                (
+                    {
+                        "sid": sid,
+                        "wall": stage_meta[sid]["wall_ms"] / 1e3,
+                        "n": len(stage_tasks.get(sid, [])),
+                        "sum_run": sum(
+                            t["run_ms"] for t in stage_tasks.get(sid, [])
+                        )
+                        / 1e3,
+                        "name": stage_meta[sid]["name"].split("\n")[0][:70],
+                    }
+                    for sid in other
+                ),
+                key=lambda r: -r["wall"],
+            )
+            print(f"  stage-wall total {sum(r['wall'] for r in rows):.2f}s")
+            for r in rows[:top_n]:
+                print(
+                    f"  {r['sid']:>4} {r['wall']:>6.2f} {r['sum_run']:>7.2f} "
+                    f"{r['n']:>4}  {r['name']}"
+                )
     finally:
         shutil.rmtree(log_dir, ignore_errors=True)
 
