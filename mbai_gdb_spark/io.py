@@ -685,6 +685,14 @@ def _incremental_rollup_locked(
     partial = batch.groupBy(part_col, *key_cols).agg(
         *[expr.alias(name) for name, (_, expr) in measures.items()]
     )
+    # Materialize the rollup-grain partial ONCE (r14, guide §2.4): it
+    # is read twice — the affected-partition collect and the merge
+    # write — and without the cut each consumer re-scanned and
+    # re-aggregated the full fact batch (profiled: two identical
+    # single-split fact scans per merge).  The partial is bounded by
+    # rollup grain × the batch's partition span, the same bounded
+    # class the affected-values collect already relies on.
+    partial = _ckpt(partial)
     merge_fns = {"sum": F.sum, "min": F.min, "max": F.max}
     if _path_has_data(path):
         affected = [

@@ -452,17 +452,22 @@ def bm25_topk(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     ).filter(F.col("term") != "")
     postings = toks.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    doc_len = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # r14 (guide §2.4): EVERYTHING downstream derives from the postings
+    # subtree so the corpus is tokenized ONCE (the (term, doc) exchange
+    # is reused by every branch).  Before: doc_len aggregated the raw
+    # token stream (second tokenize pass) and N/T were fetched by a
+    # separate eager full-corpus agg job (third pass).  dl = Σ tf per
+    # doc is the identical count; T = Σ tf overall likewise; N is a
+    # column-pruned count-star that never touches the text column.
+    # N/T ride as a 1-row broadcast frame (the allowlisted 1-row
+    # scalar-subquery-broadcast BNLJ shape) instead of driver
+    # literals, so no action runs at plan-construction time at all.
+    doc_len = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # Both bounded scalars (N docs, T non-empty tokens) in ONE corpus
-    # pass — size(filter(tokens)) per row, no explode, no second job.
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.size(F.filter(tokens(text_col), lambda x: x != F.lit("")))
-        ).alias("t"),
-    ).first()
-    n_docs, total_toks = stats["n"], stats["t"] or 1
+    scalars = (
+        postings.agg(F.coalesce(F.sum("tf"), F.lit(1)).alias("__T__"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("__N__"))))
+    )
     qterms = (
         queries_df.select(
             F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")
@@ -474,16 +479,17 @@ def bm25_topk(
         postings.join(F.broadcast(qterms), "term")
         .join(df_t, "term")
         .join(doc_len, id_col)
+        .crossJoin(F.broadcast(scalars))
     )
-    return _bm25_score_rank(hits, n_docs, total_toks, idf_scale, query_id_col, id_col, k)
+    return _bm25_score_rank(hits, None, None, idf_scale, query_id_col, id_col, k)
 
 
 
 
 def _bm25_score_rank(
     hits: DataFrame,
-    n_docs: int,
-    total_toks: int,
+    n_docs: int | None,
+    total_toks: int | None,
     idf_scale: int,
     query_id_col: str,
     id_col: str,
@@ -493,20 +499,30 @@ def _bm25_score_rank(
     per (query, doc, term) → exact-integer contributions → per-(query,
     doc) sum → deterministic top-k.  Used by both the in-memory
     :func:`bm25_topk` and the persisted-index probe, so the two paths
-    cannot drift."""
+    cannot drift.
+
+    ``n_docs``/``total_toks`` may be ints (persisted probes: bounded
+    `_meta` scalars) or None, in which case ``hits`` carries them as
+    ``__N__``/``__T__`` columns from a 1-row broadcast frame — the r14
+    in-memory path, which derives them from the postings subtree
+    instead of paying a separate full-corpus tokenize job (guide §2.4:
+    same exchange, reused).  The integer algebra is identical either
+    way."""
     from pyspark.sql import Window as W
 
+    n_expr = f"CAST({n_docs} AS BIGINT)" if n_docs is not None else "__N__"
+    t_expr = str(total_toks) if total_toks is not None else "__T__"
     scored = (
         hits.withColumn(
             "idf_i",
             F.expr(
-                f"(CAST({2 * n_docs} AS BIGINT) - 2*df + 1) * {idf_scale}"
+                f"(2 * {n_expr} - 2*df + 1) * {idf_scale}"
                 " div (2*df + 1)"
             ),
         )
         .withColumn(
             "norm_d",
-            F.expr(f"9 * dl * CAST({n_docs} AS BIGINT) div {total_toks}"),
+            F.expr(f"9 * dl * {n_expr} div {t_expr}"),
         )
         .withColumn(
             "contrib",
@@ -582,24 +598,28 @@ def phrase_bm25_topk(
         .distinct()
     )
     # The standard BM25 pieces (same shapes as bm25_topk), scored only
-    # for phrase-matched documents.
+    # for phrase-matched documents.  r14: doc_len and the N/T scalars
+    # derive from the postings subtree (see bm25_topk) — the corpus is
+    # position-exploded once for the phrase candidates and once for the
+    # postings exchange, instead of four tokenize passes (the separate
+    # doc_len aggregation and the eager stats job are gone).
     postings = tok_pos.groupBy("term", id_col).agg(F.count(F.lit(1)).alias("tf"))
-    doc_len = tok_pos.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    doc_len = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.size(cleaned)).alias("t"),
-    ).first()
-    n_docs, total_toks = stats["n"], stats["t"] or 1
+    scalars = (
+        postings.agg(F.coalesce(F.sum("tf"), F.lit(1)).alias("__T__"))
+        .crossJoin(F.broadcast(docs.agg(F.count(F.lit(1)).alias("__N__"))))
+    )
     qterms = qtoks.select(query_id_col, "term").distinct()
     hits = (
         postings.join(F.broadcast(qterms), "term")
         .join(df_t, "term")
         .join(doc_len, id_col)
         .join(F.broadcast(phrase_docs), [query_id_col, id_col], "leftsemi")
+        .crossJoin(F.broadcast(scalars))
     )
     return _bm25_score_rank(
-        hits, n_docs, total_toks, idf_scale, query_id_col, id_col, k
+        hits, None, None, idf_scale, query_id_col, id_col, k
     )
 
 

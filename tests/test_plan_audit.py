@@ -29,6 +29,12 @@ BNLJ_OK = {
     "emb_centroid_classify",  # k class centroids broadcast
     "q22_dormant_capital",  # 1-row scalar subquery broadcast
     "q11_important_parts",  # 1-row grand-total broadcast for the value cut
+    # r14: in-memory BM25 folds the N/T corpus normalizers in as a
+    # 1-row broadcast frame derived from the postings subtree (one
+    # tokenize pass, no plan-construction action) — same 1-row scalar
+    # broadcast shape as q22/q11.
+    "search_bm25_topk",
+    "search_phrase_bm25",
 }
 
 # Single-partition exchanges that are scalar FINAL aggregates over
@@ -44,6 +50,13 @@ SINGLEPART_OK = {
     "a16_revenue_share",  # global-share window over the 25-row nation rollup
     "io_table_stats",  # ANALYZE: one whole-table agg row, map-side partials
     "dq_orders_constraints",  # per-rule scalar violation counts, map-side partials
+    # r14: the in-memory BM25 paths fold the N/T corpus normalizers in
+    # as a 1-row broadcast frame derived from the postings subtree
+    # (ONE tokenize pass, no plan-construction action) — the scalar
+    # final agg over map-side partials is that frame's build.
+    "search_bm25_topk",
+    "search_phrase_bm25",
+    "search_hybrid_rrf",
 }
 
 
