@@ -412,7 +412,18 @@ def _kcore_state(
     delta's incident edges + |V| — the asymptotic the delta peel
     always claimed.  Same rows, same counts: the adjacency is
     symmetric, so counting dead-neighbor hits by exploding the DEAD
-    rows' lists equals the old count over the survivor side."""
+    rows' lists equals the old count over the survivor side.
+
+    Degree-bound assumption (advice r14): collect_list packs each
+    vertex's ENTIRE adjacency into one array row, so a single row is
+    O(max degree).  That is the right trade for graphs whose hub
+    degree is task-memory-bounded (the co-purchase graphs here cap a
+    vertex's degree at Σ per-order C(basket,2) fan-ins — thousands,
+    not millions); on a power-law web/social graph with 10^8-degree
+    hubs, split hub rows into bounded segments first (e.g. group by
+    (vid, nbr_hash % ceil(deg/seg))) or fall back to the pre-r14
+    row-per-edge layout — the peel's counting logic is agnostic to
+    the segmentation because decrements are summed per vid anyway."""
     if canonical:
         e = edges.select("u", "v")
     else:

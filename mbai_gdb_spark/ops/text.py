@@ -671,13 +671,23 @@ def _py_char_poly(token: str, mod: int = 2**31 - 1, mult: int = 31) -> int:
 def _py_query_plan(qrows, qid_key: str, text_key: str):
     """Tokenize collected query rows driver-side.  Returns
     ``{query_id: [tokens...]}`` (queries with NULL text map to []), or
-    None when any text is non-ASCII (caller falls back to Spark)."""
+    None when the caller must fall back to the Spark expressions:
+    any non-ASCII text (the exact-twin guarantee is only proven for
+    ASCII), a NULL query id, or a duplicated query id (advice r14: the
+    dict silently collapsed duplicates to the LAST row's tokens where
+    the Spark fallback unions terms across duplicates, and None ids
+    made the callers' sorted() over (qid, term) raise TypeError —
+    both corner cases keep their original Spark-defined semantics by
+    falling back)."""
     out = {}
     for r in qrows:
+        qid = r[qid_key]
         text = r[text_key]
         if text is not None and any(ord(c) > 127 for c in text):
             return None
-        out[r[qid_key]] = _py_tokens(text) or []
+        if qid is None or qid in out:
+            return None
+        out[qid] = _py_tokens(text) or []
     return out
 
 

@@ -61,6 +61,10 @@ def _reconstruct(key, pdf):
     sub order, NaN-elapsed rows ignored (the pandas version's ==/>
     masks and groupby dropped them too), period-start subs applied
     before the opening stint, emit-on-change."""
+    def _num(x):
+        # NaN (float) and None (object column) both read as "absent".
+        return x is not None and x == x
+
     game_id, team_id = int(key[0]), int(key[1])
     kinds = pdf["kind"].tolist()
     player_ids = pdf["player_id"].tolist()
@@ -71,28 +75,36 @@ def _reconstruct(key, pdf):
     time_col = pdf["time"].tolist()
 
     starters = sorted(
-        int(p) for p, kd in zip(player_ids, kinds) if kd == "starter"
+        int(p) for p, kd in zip(player_ids, kinds) if kd == "starter" and _num(p)
     )
     # Wall-clock period starts (reference stints carry start_time/
     # end_time alongside the game clocks, src/queries/game.py:105-125).
     period_start = {
         int(period_col[i]): time_col[i]
         for i in range(len(kinds))
-        if kinds[i] == "period"
+        if kinds[i] == "period" and _num(period_col[i])
     }
     periods = sorted(period_start)
-    # Stable sub order; NaN and negative elapsed excluded (they matched
-    # neither the ==0 period-start branch nor the >0 mid-period branch
-    # before — NaN additionally dropped by the old groupby).
+    # Stable sub order on the (period, elapsed, action_id) KEY ONLY —
+    # sub_type/player_id never participate in the comparison (advice
+    # r14: a None sub_type under a duplicated action_id made the bare
+    # tuple sort raise TypeError).  NaN/None period, action_id or
+    # player_id and NaN/negative elapsed are skipped like NaN elapsed
+    # always was (the pre-r14 pandas masks/groupby dropped such rows
+    # silently; the int() casts here would crash the task instead).
     subs = sorted(
         (
             (int(period_col[i]), float(elapsed_col[i]), int(action_col[i]),
              sub_type_col[i], int(player_ids[i]), time_col[i])
             for i in range(len(kinds))
             if kinds[i] == "sub"
-            and elapsed_col[i] == elapsed_col[i]
+            and _num(period_col[i])
+            and _num(action_col[i])
+            and _num(player_ids[i])
+            and _num(elapsed_col[i])
             and elapsed_col[i] >= 0.0
         ),
+        key=lambda r: r[:3],
     )
 
     out_rows = []
