@@ -87,6 +87,58 @@ def player_plus_minus(
     )
 
 
+class _LazyTables(dict):
+    """Pipeline table set whose DataFrames are CONSTRUCTED on first
+    access (memoized; plain dict writes still work for extra keys like
+    the optional ``players`` dimension).
+
+    r15 (guide §7.3): plan CONSTRUCTION is real single-threaded driver
+    time — building all 16 tables costs ~1.9 s per call regardless of
+    corpus size (measured; ``action_edges`` alone ~0.4 s of analyzer
+    walks), while a consumer that materializes the bench's 4 outputs
+    touches only 8 of them.  Laziness charges each table's analyzer
+    cost to whoever actually reads it; ``items()``/``values()``
+    construct everything, so full-set consumers (the PyG export, the
+    pipeline tests) see the exact same dict they always did."""
+
+    def __init__(self, builders: dict) -> None:
+        super().__init__()
+        self._builders = dict(builders)
+
+    def __missing__(self, k):
+        df = self._builders[k]()  # KeyError for unknown names, as before
+        self[k] = df
+        return df
+
+    def __contains__(self, k) -> bool:
+        return super().__contains__(k) or k in self._builders
+
+    def _names(self) -> list:
+        extras = [k for k in super().keys() if k not in self._builders]
+        return list(self._builders) + extras
+
+    def __iter__(self):
+        return iter(self._names())
+
+    def __len__(self) -> int:
+        return len(self._names())
+
+    def keys(self):
+        return self._names()
+
+    def values(self):
+        return [self[k] for k in self._names()]
+
+    def items(self):
+        return [(k, self[k]) for k in self._names()]
+
+    def get(self, k, default=None):
+        try:
+            return self[k]
+        except KeyError:
+            return default
+
+
 def game_pipeline(
     pbp: DataFrame,
     starters: DataFrame,
@@ -94,13 +146,18 @@ def game_pipeline(
     persist_intermediates: bool = True,
 ) -> dict:
     """EP2 end-to-end: periods → lineups → stints → actions → scores →
-    plus-minus.  Returns the full table set (lazy DataFrames).
+    plus-minus.  Returns the full table set (lazy DataFrames,
+    constructed on first access — see :class:`_LazyTables`).
 
-    ``persist_intermediates`` caches the two fan-out points every
-    downstream table reuses — the lineup-kernel output and the shaped
-    actions — so materializing N outputs runs the kernel once, not N
-    times.  (At cluster scale the same role is played by checkpointing
-    or writing these two tables; the DAG shape is identical.)"""
+    ``persist_intermediates`` caches the fan-out points downstream
+    tables reuse — the lineup-kernel output, the shaped actions, the
+    player stints, and (r15) the lineup plus-minus, which both the
+    ``lineup_plus_minus`` output and the ``player_plus_minus`` rollup
+    consume: uncached, materializing both outputs ran the containment
+    join + aggregation twice (measured ~1.4 s duplicated at the
+    2000-game tier).  (At cluster scale the same role is played by
+    checkpointing or writing these tables; the DAG shape is
+    identical.)"""
     from mbai_gdb_spark.pipeline.actions import (
         action_next_chain,
         attribute_rebounds,
@@ -117,40 +174,44 @@ def game_pipeline(
         player_stint_lineup_edges,
     )
 
-    periods = build_periods(pbp)
-    lineup_stints = build_lineup_stints(pbp, starters)
-    actions = shape_actions(pbp)
-    if persist_intermediates:
-        lineup_stints = lineup_stints.persist()
-        actions = actions.persist()
-    player_stints = build_player_stints(lineup_stints)
-    if persist_intermediates:
-        player_stints = player_stints.persist()
-    edges = player_stint_lineup_edges(player_stints)
-    attributed = join_actions_to_stints(actions, lineup_stints)
-    rebounds = attribute_rebounds(actions)
-    next_actions = action_next_chain(actions)
-    scores = build_score_chain(actions, home_teams)
-    lineup_pm = lineup_plus_minus(actions, lineup_stints)
-    player_pm = player_plus_minus(lineup_pm, edges)
-    return {
-        "periods": periods,
-        "period_next": period_next_chain(periods),
-        "lineup_stints": lineup_stints,
-        "lineup_next": on_court_next_edges(lineup_stints),
-        "player_stints": player_stints,
-        "stint_edges": edges,
-        "stint_next": cross_period_next_chain(lineup_stints, player_stints),
-        "actions": actions,
-        "actions_attributed": attributed,
-        "action_edges": build_action_edges(actions, lineup_stints, player_stints),
-        "rebound_attribution": rebounds,
-        "action_next": next_actions,
-        "scores": scores,
-        "score_next": score_next_chain(scores),
-        "lineup_plus_minus": lineup_pm,
-        "player_plus_minus": player_pm,
-    }
+    def _maybe_persist(df: DataFrame) -> DataFrame:
+        return df.persist() if persist_intermediates else df
+
+    t: _LazyTables = _LazyTables(
+        {
+            "periods": lambda: build_periods(pbp),
+            "period_next": lambda: period_next_chain(t["periods"]),
+            "lineup_stints": lambda: _maybe_persist(
+                build_lineup_stints(pbp, starters)
+            ),
+            "lineup_next": lambda: on_court_next_edges(t["lineup_stints"]),
+            "player_stints": lambda: _maybe_persist(
+                build_player_stints(t["lineup_stints"])
+            ),
+            "stint_edges": lambda: player_stint_lineup_edges(t["player_stints"]),
+            "stint_next": lambda: cross_period_next_chain(
+                t["lineup_stints"], t["player_stints"]
+            ),
+            "actions": lambda: _maybe_persist(shape_actions(pbp)),
+            "actions_attributed": lambda: join_actions_to_stints(
+                t["actions"], t["lineup_stints"]
+            ),
+            "action_edges": lambda: build_action_edges(
+                t["actions"], t["lineup_stints"], t["player_stints"]
+            ),
+            "rebound_attribution": lambda: attribute_rebounds(t["actions"]),
+            "action_next": lambda: action_next_chain(t["actions"]),
+            "scores": lambda: build_score_chain(t["actions"], home_teams),
+            "score_next": lambda: score_next_chain(t["scores"]),
+            "lineup_plus_minus": lambda: _maybe_persist(
+                lineup_plus_minus(t["actions"], t["lineup_stints"])
+            ),
+            "player_plus_minus": lambda: player_plus_minus(
+                t["lineup_plus_minus"], t["stint_edges"]
+            ),
+        }
+    )
+    return t
 
 
 def materialize_outputs(
@@ -176,13 +237,31 @@ def materialize_outputs(
         def writer(df):
             df.write.format("noop").mode("overwrite").save()
 
-    fanout = [
-        tables[n]
-        for n in ("lineup_stints", "actions", "player_stints")
-        if n in tables and tables[n].is_cached
-    ]
-    if fanout:
-        with ThreadPoolExecutor(len(fanout)) as ex:
-            list(ex.map(lambda d: d.count(), fanout))
+    # Dependency-ordered waves (r15): wave 2's tables read wave 1's
+    # caches, so warming them together used to COMPUTE the kernel
+    # twice (two threads each filling the cold lineup_stints cache
+    # partition-by-partition).  Within a wave the tables are
+    # independent.  Only cached outputs that a requested output
+    # actually needs are warmed — lineup_plus_minus feeds both the
+    # plus-minus outputs, so its cache is a fan-out point too.
+    needed = set(output_names)
+    waves = (
+        ("lineup_stints", "actions"),
+        ("player_stints", "lineup_plus_minus"),
+    )
+    for wave in waves:
+        group = [
+            tables[n]
+            for n in wave
+            if (
+                n in tables
+                and (n != "lineup_plus_minus"
+                     or needed & {"lineup_plus_minus", "player_plus_minus"})
+                and tables[n].is_cached
+            )
+        ]
+        if group:
+            with ThreadPoolExecutor(len(group)) as ex:
+                list(ex.map(lambda d: d.count(), group))
     with ThreadPoolExecutor(max_workers) as ex:
         list(ex.map(lambda n: writer(tables[n]), output_names))
