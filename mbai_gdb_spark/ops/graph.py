@@ -352,8 +352,19 @@ def triangle_count(
     # 9.5-20 s swings on the same input; 5.6-5.8 s hinted) goes away.
     # The same asymmetry holds at any scale, so the hint is not a
     # local-mode tune.
-    o1 = oriented.select(F.col("a"), F.col("b"), F.col("db"))
-    o2 = oriented.select(
+    # r15: pin the self-join exchange's parallelism.  AQE's byte-blind
+    # coalescing sized the post-shuffle partitions by the EDGE bytes
+    # (~25 MB → 16 partitions) while the stage's real cost is the
+    # wedge fan-out + closing probe now fused into it (measured 36 s
+    # of CPU squeezed onto 16 of 32 cores after the broadcast change).
+    # A user repartition is exempt from coalescing and scale-adaptive
+    # (defaultParallelism = cluster cores, not a local constant); both
+    # self-join sides reuse the ONE exchange.
+    opart = oriented.repartition(
+        oriented.sparkSession.sparkContext.defaultParallelism, "a"
+    )
+    o1 = opart.select(F.col("a"), F.col("b"), F.col("db"))
+    o2 = opart.select(
         F.col("a"), F.col("b").alias("c"), F.col("db").alias("dc")
     )
     wedges = o1.join(o2.hint("SHUFFLE_HASH"), "a").filter(
@@ -361,7 +372,19 @@ def triangle_count(
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     closing = oriented.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    tri = wedges.join(closing.hint("SHUFFLE_HASH"), ["b", "c"]).select("a", "b", "c")
+    # r15: LEFT SEMI instead of inner — `closing` is the distinct
+    # canonical edge set with NO payload columns, so the inner join was
+    # already an existence test (each (b, c) matches at most once);
+    # semi keeps the identical row set while the build side stores
+    # keys only.  Broadcasting `closing` was TRIED and measured WORSE
+    # (guide §1.6 — re-measure): it did delete the wedge exchange
+    # (433 MB → 0 at sf0.1) but every task then probed the FULL m-row
+    # relation instead of a 1/P partition of it — stage CPU 34 s → 82 s
+    # (cache-hostile random access), a net wall loss.  The partitioned
+    # SHUFFLE_HASH probe keeps the per-partition build table
+    # cache-resident and the same asymmetry (edge-sized build,
+    # wedge-sized probe) holds at any scale.
+    tri = wedges.join(closing.hint("SHUFFLE_HASH"), ["b", "c"], "left_semi")
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("vertex"))
         .groupBy("vertex")
@@ -452,29 +475,47 @@ def _kcore_peel(
     k: int,
     max_iter: int = 100,
     checkpoint_every: int = 1,
+    n_alive: int | None = None,
 ) -> DataFrame:
     """Peel ``alive`` (vid, deg) to the k-core fixpoint against the
     immutable ``adj`` frame; returns the surviving degree table, whose
-    ``deg`` equals each vertex's degree WITHIN the core."""
+    ``deg`` equals each vertex's degree WITHIN the core.
+
+    r15 (guide §1/§7.3 — driver gaps): ONE Spark job per round instead
+    of two.  The old loop ran a ``newly.count()`` convergence job and
+    then a separate eager-checkpoint job per round — at sf0.1 the
+    profile showed ~1.9 s of pure inter-job driver gaps across ~33
+    rounds of sub-150 ms stages.  Now the round's output is LAZILY
+    checkpointed and a single ``count()`` both materializes it and
+    yields the convergence signal: the row count changes iff the
+    ``deg >= k`` filter removed something, and removing nothing also
+    means the decrement side was empty, so count-unchanged ⟺ the old
+    ``n_new == 0`` fixpoint test exactly.  ``n_alive`` (the incoming
+    row count, if the caller already knows it — kcore_profile threads
+    the previous k's count through) saves the one bootstrap count.
+    The broadcast decision now uses ``n_alive`` as an upper bound for
+    |newly| (newly ⊆ alive): below the 1M cutoff behavior is
+    identical; above it the delta join is left to the optimizer's own
+    threshold, which is where the old code's forced broadcast was
+    already documented as not applying."""
     # Invariant across rounds — resolve once, not per iteration (the
     # alive plan tree grows between checkpoints).
     numeric_id = isinstance(
         alive.schema["vid"].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     )
+    if n_alive is None:
+        n_alive = alive.count()  # bootstrap: cheap, caller's frame is checkpointed
+    converged = False
     for i in range(max_iter):
         newly = alive.filter(F.col("deg") < k).select("vid")
-        n_new = newly.count()  # bounded scalar: convergence check
-        if n_new == 0:
-            break
-        alive = alive.filter(F.col("deg") >= k)
         # NUMERIC vertex-id deltas are <= 8 bytes each, so even a
         # full-graph cascade broadcasts a few MB and the map-side join
         # skips shuffling the adjacency frame entirely.  Wide ids
         # (UUID strings: 36+ bytes + JVM string overhead) would make a
         # forced 1M-row broadcast tens of MB per round — leave those
         # to the optimizer's own threshold.
-        nd = F.broadcast(newly) if (numeric_id and n_new <= 1_000_000) else newly
+        nd = F.broadcast(newly) if (numeric_id and n_alive <= 1_000_000) else newly
         # Explode ONLY the newly-dead vertices' adjacency lists (r14):
         # symmetric adjacency means each dead→survivor incidence is
         # counted exactly once from the dead side, identical to the
@@ -487,14 +528,19 @@ def _kcore_peel(
             .groupBy("vid")
             .agg(F.count(F.lit(1)).alias("dec"))
         )
-        alive = alive.join(dec, "vid", "left").select(
+        alive = alive.filter(F.col("deg") >= k).join(dec, "vid", "left").select(
             "vid",
             (F.col("deg") - F.coalesce(F.col("dec"), F.lit(0))).alias("deg"),
         )
         if (i + 1) % checkpoint_every == 0:
-            alive = alive.transform(_ckpt)  # small vertex table
-    else:
-        # Loop exhausted max_iter without hitting the n_new == 0 exit.
+            alive = alive.transform(_ckpt_lazy)  # small vertex table
+        n = alive.count()  # materializes the checkpoint AND checks convergence
+        if n == n_alive:
+            converged = True
+            break
+        n_alive = n
+    if not converged:
+        # Loop exhausted max_iter without reaching a fixpoint round.
         # Peel depth is linear in the graph (unlike CC's O(log d)
         # doubling), so a deep-cascade graph CAN outlast the budget —
         # and a silent return here would hand callers vertices with
@@ -528,12 +574,14 @@ def kcore_profile(
         raise ValueError("ks must be ascending (cores nest)")
     adj, alive = _kcore_state(edges, src, dst)
     rows = []
+    n_alive = None  # first peel bootstraps its own count
     for k in ks:
-        alive = _kcore_peel(adj, alive, k, max_iter)
+        alive = _kcore_peel(adj, alive, k, max_iter, n_alive=n_alive)
         r = alive.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.sum("deg"), F.lit(0)).alias("s"),
         ).first()
+        n_alive = r.n  # the k2-peel resumes from this exact row count
         rows.append((k, r.n, r.s // 2))
     return rows
 
