@@ -3,9 +3,10 @@
 Usage:
     python tools/capture_plans.py <tag> [query ...]
 
-Writes plans/r14/<name>_<tag>.txt for each named query (default: the
-bench HEADLINE list).  The tag is normally "before" or "after" — the
-optimization-round evidence files the judge diffs against the code.
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<name>_<tag>.txt (round defaults
+to r15) for each named query (default: the bench HEADLINE list).  The
+tag is normally "before" or "after" — the optimization-round evidence
+files the judge diffs against the code.
 
 Plans are captured from the same tuned session bench.py uses, at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), so Exchange
@@ -39,7 +40,7 @@ def main() -> None:
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r14",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
