@@ -437,7 +437,7 @@ def _kcore_state(
     symmetric, so counting dead-neighbor hits by exploding the DEAD
     rows' lists equals the old count over the survivor side.
 
-    Degree-bound assumption (advice r14): collect_list packs each
+    Degree-bound assumption (advice r14): collect_set packs each
     vertex's ENTIRE adjacency into one array row, so a single row is
     O(max degree).  That is the right trade for graphs whose hub
     degree is task-memory-bounded (the co-purchase graphs here cap a
@@ -451,16 +451,21 @@ def _kcore_state(
         e = edges.select("u", "v")
     else:
         u, v = F.col(src), F.col(dst)
-        e = (
-            edges.select(F.least(u, v).alias("u"), F.greatest(u, v).alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct()
-        )
+        # r15 (guide §2.4): NO pre-grouping distinct — the adjacency
+        # groupBy below dedups via collect_set in the SAME exchange, so
+        # the separate (u, v)-keyed distinct shuffle (whose
+        # partitioning the vid-keyed grouping could never reuse) is
+        # pure overhead.  Duplicate input pairs ride the one exchange
+        # instead of paying their own; degrees (= set size) and the
+        # reconstructed edge set are identical.
+        e = edges.select(
+            F.least(u, v).alias("u"), F.greatest(u, v).alias("v")
+        ).filter(F.col("u") != F.col("v"))
     adj = (
         e.select(F.col("u").alias("vid"), F.col("v").alias("nbr"))
         .unionAll(e.select(F.col("v").alias("vid"), F.col("u").alias("nbr")))
         .groupBy("vid")
-        .agg(F.collect_list("nbr").alias("nbrs"))
+        .agg(F.collect_set("nbr").alias("nbrs"))
         .transform(_ckpt)
     )
     alive = (

@@ -82,7 +82,7 @@ def spread(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
-def _copurchase_edges(li: DataFrame) -> DataFrame:
+def _copurchase_edges(li: DataFrame, distinct: bool = True) -> DataFrame:
     """Distinct canonical co-purchase edges (u < v) from (l_orderkey,
     l_partkey) rows.
 
@@ -95,7 +95,15 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
     through join machinery.  Pair count per order is C(n,2) of a
     basket-sized n, so the explode is bounded; the edge SET is
     identical (sorted distinct parts per order → all ordered pairs →
-    global distinct)."""
+    global distinct).
+
+    ``distinct=False`` (r15) skips the global dedup for consumers that
+    dedup inside their own first exchange anyway — the k-core state
+    build groups by vertex with collect_set, so the (u, v)-keyed
+    distinct shuffle bought it nothing (guide §2.4: a partitioning the
+    next operator cannot reuse is a wasted exchange).  Triangle
+    counting keeps the distinct: wedge enumeration needs the exact
+    edge MULTISET to be 1 per edge."""
     per_order = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("pks")
     )
@@ -113,7 +121,8 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
             )
         ).alias("p")
     )
-    return pairs.select(F.col("p.u").alias("u"), F.col("p.v").alias("v")).distinct()
+    out = pairs.select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+    return out.distinct() if distinct else out
 
 
 # --- exact-arithmetic helpers (see module docstring) -----------------------
@@ -2512,8 +2521,11 @@ def graph_kcore_profile(spark, sf_dir):
     closed-form graphs."""
     from mbai_gdb_spark.ops.graph import kcore_profile
 
+    # distinct=False (r15): the peel's state build dedups inside its
+    # own vertex-keyed collect_set exchange — see _copurchase_edges.
     edges = _copurchase_edges(
-        spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+        spread(_t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")),
+        distinct=False,
     )
     rows = kcore_profile(edges, [48, 80, 112], "u", "v")
     return spark.createDataFrame(rows, "k int, n_vertices long, n_edges long")
